@@ -1,0 +1,370 @@
+"""Deterministic pages-table generator (FIXTURES.md family A, seed=42).
+
+Synthesizes the engine's real input per ``BASELINE.json:input_hint``:
+``url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING``.
+
+Payload mix (deterministic per seeded RNG):
+
+- ~70% templated HTML pages: known main-content paragraphs embedded in
+  boilerplate (nav link lists, ads, footers) with controlled link/text density;
+- ~25% GRIDDOC grid-page payloads (SURVEY.md D2): PNG rasters with rule-line
+  lattices whose cells bit-encode tokens of a Python-literal dict string,
+  referencing a ``pattern_name`` for the broadcast-join fixture;
+- ~5% edge rows: empty html, error-prefixed decodes, unbalanced braces,
+  set literals, unknown patterns, truncated containers, multi-page last-wins
+  collisions (ref pdor/pdor_unit.py:270-283), non-target lang.
+
+Hosts are drawn Zipf-like so one host carries ~half the rows (skew fixture for
+SURVEY.md M4).  Everything is a pure function of (seed, row index) — no wall
+clock, no os.urandom — so any two runs (and the pytest oracle) agree bytewise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from ..kernel.grid import BIT_PX, CELL_PAD, CHAR_BITS, GLYPH_H, LINE_PX
+from ..kernel.page import GRID_MAGIC
+from ..kernel.png import encode_png
+
+SEED = 42
+EPOCH = datetime(2025, 1, 1)
+
+# ---------------------------------------------------------------------------
+# pattern dimension (mirrors PdorPattern, ref pdor/pdor_pattern.py:25-73;
+# box order [top%, bottom%, left%, right%] per ref pdor/pdor_unit.py:197;
+# preset-shaped trio: 11/2/2 boxes, dpi 1390/450/1200 like ref :229-317;
+# the empty sub_imgs row must default to full page, ref :73)
+# ---------------------------------------------------------------------------
+
+
+def _vslice_boxes(n: int, denom: int) -> list[list[float]]:
+    """n vertical slices over a denom-slice page; exact binary percentages."""
+    return [
+        [100.0 * i / denom, 100.0 * (i + 1) / denom, 0.0, 100.0] for i in range(n)
+    ]
+
+
+PATTERNS: dict[str, dict] = {
+    "grid11": {"name": "grid11", "prompt": "grid-ocr", "dpi": 1390,
+               "sub_imgs": _vslice_boxes(11, 16), "slices": 16},
+    "grid2": {"name": "grid2", "prompt": "grid-ocr", "dpi": 450,
+              "sub_imgs": _vslice_boxes(2, 2), "slices": 2},
+    "grid4": {"name": "grid4", "prompt": "grid-ocr", "dpi": 1200,
+              "sub_imgs": _vslice_boxes(4, 4), "slices": 4},
+    "fullpage": {"name": "fullpage", "prompt": "grid-ocr", "dpi": 450,
+                 "sub_imgs": [], "slices": 1},
+}
+
+
+# ---------------------------------------------------------------------------
+# grid raster encoder (inverse of kernel/grid.py decoder; same constants)
+# ---------------------------------------------------------------------------
+
+
+def encode_grid_image(
+    token_rows: list[list[str]],
+    n_rows: int | None = None,
+    n_cols: int | None = None,
+    max_len: int | None = None,
+) -> np.ndarray:
+    """Draw an R×C rule-line grid whose cells bit-encode *token_rows*.
+
+    Cells are uniform: interior width fits the longest token (or the forced
+    *max_len*), interior height one glyph column (8 bits).  The n_rows/n_cols/
+    max_len overrides let one page's sub-rasters share identical geometry so
+    rule lines span every crop fully.  Returns (H, W) uint8 white bg/black ink.
+    """
+    n_rows = n_rows or len(token_rows)
+    n_cols = n_cols or max(len(r) for r in token_rows)
+    max_len = max_len or max((len(t) for row in token_rows for t in row), default=1) or 1
+    cell_w = 2 * CELL_PAD + max_len * BIT_PX + BIT_PX  # + terminator column
+    cell_h = 2 * CELL_PAD + GLYPH_H
+    h = n_rows * cell_h + (n_rows + 1) * LINE_PX
+    w = n_cols * cell_w + (n_cols + 1) * LINE_PX
+    img = np.full((h, w), 255, dtype=np.uint8)
+    for i in range(n_rows + 1):
+        y = i * (cell_h + LINE_PX)
+        img[y : y + LINE_PX, :] = 0
+    for j in range(n_cols + 1):
+        x = j * (cell_w + LINE_PX)
+        img[:, x : x + LINE_PX] = 0
+    for r, row in enumerate(token_rows):
+        cy = r * (cell_h + LINE_PX) + LINE_PX + CELL_PAD
+        for c, token in enumerate(row):
+            cx = c * (cell_w + LINE_PX) + LINE_PX + CELL_PAD
+            for j, ch in enumerate(token):
+                code = ord(ch)
+                if not 1 <= code <= 126:
+                    raise ValueError(f"token char out of range: {ch!r}")
+                for i in range(CHAR_BITS):
+                    if code & (1 << (CHAR_BITS - 1 - i)):
+                        y0 = cy + i * BIT_PX
+                        x0 = cx + j * BIT_PX
+                        img[y0 : y0 + BIT_PX, x0 : x0 + BIT_PX] = 0
+    return img
+
+
+def dict_to_tokens(d: dict, n_cols: int = 3) -> list[list[str]]:
+    """Flat str/int dict → token grid spelling its Python-literal repr.
+
+    Tokens concatenate (with any whitespace between) to a valid literal:
+    ``{  'k0':  'v0',  'k1':  7,  }`` — trailing comma is legal Python.
+    """
+    tokens = ["{"]
+    for k, v in d.items():
+        tokens.append(f"'{k}':")
+        tokens.append(f"'{v}'," if isinstance(v, str) else f"{v},")
+    tokens.append("}")
+    rows = [tokens[i : i + n_cols] for i in range(0, len(tokens), n_cols)]
+    rows[-1] += [""] * (n_cols - len(rows[-1]))
+    return rows
+
+
+def build_page_image(pattern: dict, sub_dicts: list) -> np.ndarray:
+    """Stack one grid raster per pattern sub-box into a full page image.
+
+    Pattern boxes are exact vertical slices of the page (i/denominator with
+    power-of-two-friendly denominators), so the reference's truncating pct→px
+    crop (ref pdor/pdor_unit.py:199-202) lands exactly on slice boundaries.
+    """
+    slices = pattern["slices"]
+    n_boxes = len(pattern["sub_imgs"]) or 1
+    grids = [d if isinstance(d, list) else dict_to_tokens(d) for d in sub_dicts]
+    # uniform geometry across every sub-raster so each crop sees full-span lines
+    n_rows = max(len(g) for g in grids)
+    n_cols = max(len(r) for g in grids for r in g)
+    max_len = max((len(t) for g in grids for r in g for t in r), default=1) or 1
+    rasters = [encode_grid_image(g, n_rows, n_cols, max_len) for g in grids]
+    slice_h, width = rasters[0].shape
+    page = np.full((slice_h * slices, width), 255, dtype=np.uint8)
+    for i, raster in enumerate(rasters[:n_boxes]):
+        page[i * slice_h : (i + 1) * slice_h, :] = raster
+    return page
+
+
+def build_griddoc(pattern_name: str, page_images: list[np.ndarray]) -> bytes:
+    """Pack page rasters into the GRIDDOC container (kernel/page.py format)."""
+    name_b = pattern_name.encode("utf-8")
+    out = [GRID_MAGIC, struct.pack(">H", len(name_b)), name_b,
+           struct.pack(">I", len(page_images))]
+    for img in page_images:
+        png = encode_png(img)
+        out.append(struct.pack(">I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# HTML templating
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "signal lattice carbon vector module tensor quartz harbor meadow copper "
+    "drawing terminal circuit relay winding busbar feeder breaker anchor pivot "
+    "granite osprey lantern furrow tandem zephyr cobalt marble timber sprocket"
+).split()
+
+_ZH = "电路图纸端子排接线标号母线断路器继电器绕组馈线识别结果工程制图"
+
+
+def _rng_words(h: int, n: int) -> str:
+    out = []
+    for i in range(n):
+        h = (h * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        out.append(_WORDS[h % len(_WORDS)])
+    return " ".join(out)
+
+
+def _para(h: int, n_words: int = 40) -> str:
+    body = _rng_words(h, n_words)
+    return body[0].upper() + body[1:] + "."
+
+
+def make_html(row_hash: int, lang: str) -> tuple[bytes, str, list[str]]:
+    """One templated page: (utf-8 bytes, raw full text, expected main paras)."""
+    n_paras = 2 + row_hash % 4
+    paras = [_para(row_hash + i * 7919) for i in range(n_paras)]
+    if lang == "zh":
+        zh_piece = "".join(_ZH[(row_hash + i) % len(_ZH)] for i in range(20))
+        paras[0] = paras[0] + " " + zh_piece
+    if row_hash % 5 == 0:
+        paras[1] = paras[1] + " 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 ✓ 🜚"  # non-BMP round-trip fixture
+    nav_links = "".join(
+        f'<li><a href="/s/{i}">section {i} link</a></li>' for i in range(6)
+    )
+    ad = '<div class="ad"><a href="/buy">BUY NOW amazing deal</a> <a href="/x">click</a></div>'
+    body_paras = "\n".join(f"<p>{p}</p>" for p in paras)
+    html = f"""<!DOCTYPE html>
+<html><head><title>doc {row_hash % 100000}</title>
+<script>var t = {row_hash % 97};</script>
+<style>p {{ margin: 0 }}</style></head>
+<body>
+<nav><ul>{nav_links}</ul></nav>
+<header><a href="/">home</a> breadcrumb</header>
+<article>
+{body_paras}
+{ad}
+</article>
+<footer>copyright 2025 example corp <a href="/tos">terms</a></footer>
+</body></html>"""
+    raw_text = " ".join(paras) + " section links BUY NOW copyright"
+    return html.encode("utf-8"), raw_text, paras
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly
+# ---------------------------------------------------------------------------
+
+_HOSTS = [f"host{i:02d}.example.org" for i in range(50)]
+_LANGS = ["en", "en", "en", "zh", "de", "en"]
+
+
+def _h64(*parts) -> int:
+    """Stable 64-bit hash of the parts (md5-based; not Python's salted hash)."""
+    m = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return struct.unpack(">Q", m[:8])[0]
+
+
+def _grid_payload(h: int) -> bytes:
+    """One deterministic GRIDDOC payload; shape keyed off the hash."""
+    variant = h % 10
+    if variant < 4:
+        # single-page, multi-key dict → sub_{i}_{k} prefixes (ref :280-282)
+        name = ("grid2", "grid4")[h % 2]
+        pattern = PATTERNS[name]
+        subs = []
+        for s in range(len(pattern["sub_imgs"])):
+            kv = {f"k{j}": (f"v_{(h + s * 31 + j) % 9973:04x}" if j % 2 else (h + j) % 1000)
+                  for j in range(2 + (h + s) % 3)}
+            subs.append(kv)
+        return build_griddoc(name, [build_page_image(pattern, subs)])
+    if variant < 7:
+        # single-text collapse rows (ref :278-279)
+        name = "fullpage"
+        d = {"text": f"t_{h % 99991:05x}"}
+        return build_griddoc(name, [build_page_image(PATTERNS[name], [d])])
+    if variant < 9:
+        # multi-page with colliding sub_idx → last-wins merge (ref :270-283)
+        name = "grid2"
+        pattern = PATTERNS[name]
+        page0 = build_page_image(pattern, [{"text": f"old_{h % 997}"},
+                                           {"a": f"p0_{h % 89}"}])
+        page1 = build_page_image(pattern, [{"text": f"new_{h % 997}"},
+                                           {"a": f"p1_{h % 89}", "b": (h % 7)}])
+        return build_griddoc(name, [page0, page1])
+    # grid11: the 11-box preset shape
+    name = "grid11"
+    pattern = PATTERNS[name]
+    subs = [{"text": f"s{s}_{(h + s) % 999:03x}"} for s in range(11)]
+    return build_griddoc(name, [build_page_image(pattern, subs)])
+
+
+def _edge_payload(h: int) -> tuple[bytes | None, str]:
+    """Fault-injection rows driving A12/A13/A14/A16/A18/A19 paths."""
+    variant = h % 6
+    name = "fullpage"
+    pattern = PATTERNS[name]
+    if variant == 0:
+        return None, "empty html"
+    if variant == 1:
+        img = build_page_image(pattern, [[["Error:", "transient", "decode"]]])
+        return build_griddoc(name, [img]), "error-prefixed decode (A13)"
+    if variant == 2:
+        img = build_page_image(pattern, [[["{", "'a':", "'b'"]]])
+        return build_griddoc(name, [img]), "unbalanced braces (A14)"
+    if variant == 3:
+        img = build_page_image(pattern, [[["{", "'a',", "'b'", "}"]]])
+        return build_griddoc(name, [img]), "set literal rejected (A16)"
+    if variant == 4:
+        img = build_page_image(pattern, [{"text": f"orphan_{h % 97}"}])
+        return build_griddoc("no_such_pattern", [img]), "unknown pattern"
+    return build_griddoc(name, [])[:12], "truncated container"
+
+
+def gen_rows(n_rows: int, seed: int = SEED):
+    """Yield (url, warc_ts, html, text, lang) tuples, deterministic in seed."""
+    for i in range(n_rows):
+        h = _h64(seed, i)
+        # Zipf-ish host skew: ~half of all rows land on host00 (M4 fixture)
+        host = _HOSTS[0] if h % 2 == 0 else _HOSTS[1 + (h >> 8) % 49]
+        url = f"https://{host}/p/{h:016x}"
+        ts = EPOCH + timedelta(minutes=int((h >> 16) % (30 * 24 * 60)))
+        lang = _LANGS[(h >> 4) % len(_LANGS)]
+        kind = h % 100
+        if kind < 70:
+            html, raw_text, _ = make_html(h, lang)
+        elif kind < 95:
+            html = _grid_payload(h)
+            raw_text = f"griddoc {h % 4}"
+        else:
+            html, note = _edge_payload(h)
+            raw_text = note
+            if h % 6 == 5:
+                lang = "xx"  # non-target language, filtered by the pipeline
+        yield url, ts, html, raw_text, lang
+
+
+def gen_corpus(n_rows: int, seed: int = SEED):
+    """Materialize the corpus as a pyarrow Table (input_hint schema, exactly)."""
+    import pyarrow as pa
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for url, ts, html, text, lang in gen_rows(n_rows, seed):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def write_corpus(path: str, n_rows: int, seed: int = SEED, files: int = 8) -> str:
+    """Write the corpus as *files* parquet parts (multi-file so Spark gets
+    parallel scan splits, Iceberg-layout-friendly)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table = gen_corpus(n_rows, seed)
+    per = (table.num_rows + files - 1) // files
+    for f in range(files):
+        chunk = table.slice(f * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{f:04d}.parquet"))
+    return path
+
+
+def write_patterns(path: str) -> str:
+    """Write the pattern dimension as JSON (sources/pattern_registry reads it)."""
+    import json
+
+    clean = {
+        name: {k: v for k, v in p.items() if k != "slices"}
+        for name, p in PATTERNS.items()
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(clean, f, ensure_ascii=False, indent=2)
+    return path
+
+
+if __name__ == "__main__":
+    import sys
+
+    out = sys.argv[1] if len(sys.argv) > 1 else "fixtures_data/pages_small"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    write_corpus(out, n)
+    print(f"wrote {n} rows to {out}")

@@ -1,0 +1,169 @@
+"""HTML boilerplate-strip kernel (SURVEY.md M1).
+
+Generalizes the reference's fixed-layout extraction to web pages, per
+``BASELINE.json:north_star``: block segmentation of the raw HTML + per-block
+link-density / text-density features + Boilerpipe/trafilatura-class threshold
+rules (Kohlschütter et al., WSDM'10; Barbaresi, ACL'21 demo — PAPERS.md).
+
+Deterministic pure-Python implementation on the stdlib ``html.parser`` — no
+external parsing libs (none are installed).  The classifier:
+
+- split the document into blocks at block-level element boundaries
+  (p, div, li, td, h1-h6, section, article, br pairs, ...);
+- per block compute
+    * ``link_density``  = anchor-enclosed chars / total chars
+    * ``text_density``  = words / wrapped-line-count at 80 cols (Kohlschütter's
+      proxy for "full lines of running text")
+- a block is CONTENT iff text_density >= 8 and link_density <= 0.33 and it has
+  >= 10 words, with a short-block rescue rule: a block sandwiched between two
+  content blocks is kept when link_density <= 0.33 (Boilerpipe's
+  "NumWordsRulesClassifier" shape, simplified but deterministic);
+- content blocks are emitted in document order joined by '\n\n'.
+
+``<script>``/``<style>``/``<noscript>``/``<template>`` subtrees and comments are
+dropped entirely; ``<nav>``/``<header>``/``<footer>``/``<aside>`` subtrees are
+hard boilerplate (trafilatura-style structural pruning).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "ul", "ol", "td", "th", "tr", "table",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "section", "article", "main", "figure", "figcaption", "dd", "dt",
+}
+_DROP_TAGS = {"script", "style", "noscript", "template", "svg", "iframe"}
+_BOILER_TAGS = {"nav", "header", "footer", "aside"}
+_WS_RE = re.compile(r"\s+")
+_WRAP_COLS = 80
+
+
+@dataclass
+class Block:
+    """One text block with link/text-density features."""
+
+    text_parts: list[str] = field(default_factory=list)
+    anchor_chars: int = 0
+    in_boiler: bool = False
+
+    def finish(self) -> dict | None:
+        text = _WS_RE.sub(" ", "".join(self.text_parts)).strip()
+        if not text:
+            return None
+        n_chars = len(text)
+        words = text.split(" ")
+        n_words = len(words)
+        n_lines = max(1, math.ceil(n_chars / _WRAP_COLS))
+        return {
+            "text": text,
+            "n_chars": n_chars,
+            "n_words": n_words,
+            "link_density": self.anchor_chars / n_chars if n_chars else 0.0,
+            "text_density": n_words / n_lines,
+            "in_boiler": self.in_boiler,
+        }
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._cur = Block()
+        self._drop_depth = 0
+        self._boiler_depth = 0
+        self._anchor_depth = 0
+
+    def _flush(self) -> None:
+        done = self._cur.finish()
+        if done is not None:
+            self.blocks.append(done)
+        self._cur = Block(in_boiler=self._boiler_depth > 0)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if tag in _BOILER_TAGS:
+            self._flush()
+            self._boiler_depth += 1
+            self._cur.in_boiler = True
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _BLOCK_TAGS or tag == "br":
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if tag in _BOILER_TAGS:
+            self._flush()
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+            self._cur.in_boiler = self._boiler_depth > 0
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth > 0 or not data:
+            return
+        self._cur.text_parts.append(data)
+        if self._anchor_depth > 0:
+            self._cur.anchor_chars += len(_WS_RE.sub(" ", data).strip())
+
+    def close(self) -> None:  # noqa: D102 - flush trailing block
+        super().close()
+        self._flush()
+
+
+# classifier thresholds (Boilerpipe-class rules, fixed for determinism)
+MIN_WORDS = 10
+MAX_LINK_DENSITY = 0.33
+MIN_TEXT_DENSITY = 8.0
+
+
+def block_features(html: str) -> list[dict]:
+    """Segment *html* into blocks and return their feature dicts in doc order."""
+    parser = _BlockParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # malformed markup: fall back to whatever blocks were collected
+        parser._flush()
+    return parser.blocks
+
+
+def classify_blocks(blocks: list[dict]) -> list[bool]:
+    """Apply the threshold rules + sandwich rescue; returns per-block keep flags."""
+    base = [
+        (not b["in_boiler"])
+        and b["n_words"] >= MIN_WORDS
+        and b["link_density"] <= MAX_LINK_DENSITY
+        and b["text_density"] >= MIN_TEXT_DENSITY
+        for b in blocks
+    ]
+    keep = list(base)
+    for i, b in enumerate(blocks):
+        if base[i] or b["in_boiler"]:
+            continue
+        prev_ok = i > 0 and base[i - 1]
+        next_ok = i + 1 < len(blocks) and base[i + 1]
+        if prev_ok and next_ok and b["link_density"] <= MAX_LINK_DENSITY:
+            keep[i] = True
+    return keep
+
+
+def extract_main_text(html: str) -> str:
+    """Main-content text: kept blocks joined by blank lines, document order."""
+    blocks = block_features(html)
+    keep = classify_blocks(blocks)
+    return "\n\n".join(b["text"] for b, k in zip(blocks, keep) if k)
