@@ -1,0 +1,39 @@
+"""Pages-table source (BASELINE.json input_hint schema).
+
+In production this is an Iceberg table (``spark.read.table``) partitioned by
+``days(warc_ts)``; in this sandbox it is a directory of parquet parts with the
+identical schema, so every relational property (predicate pushdown into the
+scan, column pruning of the wide ``html`` column, partition-file splits)
+behaves the same.  The reference's analogue is the PDF file path + existence
+guard (pdor/pdor_unit.py:97-100) — here existence is the scan itself and the
+per-row guard is an ``html IS NOT NULL`` filter the caller applies when wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING"
+
+
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    langs: tuple[str, ...] | None = None,
+    since=None,
+    until=None,
+) -> DataFrame:
+    """Read the pages table with pushable filters.
+
+    lang/time predicates are plain column filters so Catalyst pushes them into
+    the parquet scan (visible as PushedFilters in .explain("formatted")).
+    """
+    df = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    if langs:
+        df = df.filter(F.col("lang").isin(*langs))
+    if since is not None:
+        df = df.filter(F.col("warc_ts") >= F.lit(since))
+    if until is not None:
+        df = df.filter(F.col("warc_ts") < F.lit(until))
+    return df
