@@ -1,0 +1,106 @@
+"""Benchmark runner — one JSON line for the driver (BENCH_r{N}.json).
+
+Headline: extraction throughput (docs/s) over the synthesized pages corpus
+(BASELINE.json metric) at local[$SPARK_GRAFT_CPUS], plus wall-clock for the
+representative driver-table queries.  The pages corpus is generated once and
+cached under fixtures_data/ (generation excluded from timing).
+
+    SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS    (default 32)
+    BENCH_PAGES_ROWS    (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+    "host_skew_counts",
+    "first_success_window",
+    "merge_collect_ordered",
+    "window_tumbling_events",
+    "broadcast_pattern_join",
+    "rollup_doc_metrics",
+]
+
+
+def ensure_corpus(n_rows: int) -> str:
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import write_corpus
+
+    path = os.path.join("fixtures_data", f"pages_bench_{n_rows}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus(path, n_rows, files=32)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES_ROWS", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    corpus = ensure_corpus(n_pages)
+
+    import __spark_entry__ as entrymod
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
+    from pdf_drawing_ocr_recognition_spark.plans.pipeline import extraction_pipeline
+    from pdf_drawing_ocr_recognition_spark.plans.session import build_session
+
+    spark = build_session(
+        app="pdor-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm the JVM/Python workers so the headline number measures the job
+    spark.range(1000).select("id").count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    n_docs = extraction_pipeline(spark, corpus, PATTERNS).count()
+    t_extract = time.time() - t0
+    timings["extraction_pipeline"] = round(t_extract, 3)
+    docs_per_s = n_docs / t_extract
+
+    qmap = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qmap[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extraction_docs_per_s": round(docs_per_s, 1),
+                "extraction_docs": n_docs,
+                "pages_rows": n_pages,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

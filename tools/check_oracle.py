@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, column names, and order-insensitive values.  Usage:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df):
+    """pandas frame → canonical sorted list of stringified rows."""
+    df = df[sorted(df.columns)]
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "<null>"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 2**53:
+                return str(int(v))
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if hasattr(v, "item") and not isinstance(v, str):
+            return cell(v.item())
+        return str(v)
+
+    rows = ["\x1f".join(cell(v) for v in row) for row in df.itertuples(index=False)]
+    return sorted(rows)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from pdf_drawing_ocr_recognition_spark.plans.session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = build_session(app="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {str(e)[:300]}")
+            continue
+        if sql is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle — rows-only)")
+            continue
+        try:
+            ddf = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
+            continue
+        if sorted(sdf.columns) != sorted(ddf.columns):
+            failures.append((name, f"schema {sorted(sdf.columns)} vs {sorted(ddf.columns)}"))
+            print(f"FAIL  {name}: schema mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
+            continue
+        if len(sdf) != len(ddf):
+            failures.append((name, f"rowcount {len(sdf)} vs {len(ddf)}"))
+            print(f"FAIL  {name}: rowcount {len(sdf)} vs {len(ddf)}")
+            continue
+        a, b = normalize(sdf), normalize(ddf)
+        if a != b:
+            diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            failures.append((name, f"values differ at {diff[0]}"))
+            print(f"FAIL  {name}: first diff row {diff[0]}:\n  spark={diff[1][:250]}\n  duck ={diff[2][:250]}")
+            continue
+        print(f"OK    {name}: {len(sdf)} rows match")
+
+    missing = set(oracles) - set(queries)
+    if missing:
+        print(f"WARN: oracle_sql keys without queries(): {missing}")
+    print(f"\n{len(failures)} failures")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
