@@ -1,0 +1,191 @@
+"""Operator-level Spark tests: relational pipeline equality, manifest resume,
+salted aggregation, metrics, multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS, gen_rows
+from pdf_drawing_ocr_recognition_spark.kernel import extract_document
+
+N_ROWS = 400
+
+
+class TestRelationalPipeline:
+    """The exploded/shuffled variant must reproduce the single-pass kernel
+    byte-for-byte on grid documents (ordering recovered by explicit keys)."""
+
+    def test_matches_kernel_on_grid_docs(self, spark, pages_small):
+        from pdf_drawing_ocr_recognition_spark.operators.relational import (
+            relational_extract,
+        )
+
+        pages = spark.read.parquet(pages_small)
+        got = {
+            r["url"]: r["extracted_text"]
+            for r in relational_extract(spark, pages, PATTERNS).collect()
+        }
+        assert got, "no grid docs decoded"
+        checked = 0
+        for url, _ts, html, _text, lang in gen_rows(600):
+            oracle = extract_document(url, html, lang, PATTERNS)
+            if url in got and oracle["status"] == "ok" and oracle["spans"] and (
+                oracle["spans"][0]["group"].startswith("page_")
+            ):
+                assert got[url] == oracle["extracted_text"], url
+                checked += 1
+        assert checked > 30, f"only {checked} grid docs cross-checked"
+
+    def test_shuffle_partitions_do_not_change_output(self, spark, pages_small):
+        from pdf_drawing_ocr_recognition_spark.operators.relational import (
+            relational_extract,
+        )
+
+        pages = spark.read.parquet(pages_small)
+        a = relational_extract(spark, pages.repartition(1), PATTERNS)
+        b = relational_extract(spark, pages.repartition(13), PATTERNS)
+        da = {r["url"]: r["extracted_text"] for r in a.collect()}
+        db = {r["url"]: r["extracted_text"] for r in b.collect()}
+        assert da == db
+
+
+class TestManifestResume:
+    def _pages(self, spark, tmp_path, n=120):
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import write_corpus
+
+        path = str(tmp_path / "pages")
+        write_corpus(path, n, files=4)
+        return spark.read.parquet(path)
+
+    def test_resume_skips_committed_buckets(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+        from pdf_drawing_ocr_recognition_spark.operators.manifest import (
+            read_manifest,
+            run_with_manifest,
+        )
+
+        pages = self._pages(spark, tmp_path)
+        out_dir = str(tmp_path / "out")
+
+        calls = []
+
+        def extract_fn(df):
+            calls.append(1)
+            return extract_pages(df, PATTERNS)
+
+        full = run_with_manifest(spark, pages, extract_fn, out_dir, n_buckets=4)
+        n_first = full.count()
+        assert len(calls) == 4
+        assert read_manifest(spark, out_dir).count() == 4
+
+        # second run: everything committed → no extraction work at all
+        calls.clear()
+        again = run_with_manifest(spark, pages, extract_fn, out_dir, n_buckets=4)
+        assert len(calls) == 0
+        assert again.count() == n_first
+
+    def test_partial_run_resumes_idempotently(self, spark, tmp_path):
+        """Simulate a kill after bucket k: drop one manifest + its results; the
+        re-run reprocesses exactly that bucket and the final output matches."""
+        import shutil
+
+        from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+        from pdf_drawing_ocr_recognition_spark.operators.manifest import (
+            manifest_path,
+            run_with_manifest,
+        )
+
+        pages = self._pages(spark, tmp_path)
+        out_dir = str(tmp_path / "out2")
+        fn = lambda df: extract_pages(df, PATTERNS)
+        full = run_with_manifest(spark, pages, fn, out_dir, n_buckets=4)
+        want = {r["url"]: r["extracted_text"] for r in full.collect()}
+
+        # "kill": remove bucket 2's commit + data
+        os.remove(os.path.join(manifest_path(out_dir), "bucket-00002.json"))
+        shutil.rmtree(os.path.join(out_dir, "bucket=2"))
+
+        calls = []
+
+        def counting_fn(df):
+            calls.append(1)
+            return extract_pages(df, PATTERNS)
+
+        resumed = run_with_manifest(spark, pages, counting_fn, out_dir, n_buckets=4)
+        got = {r["url"]: r["extracted_text"] for r in resumed.collect()}
+        assert len(calls) == 1  # only the lost bucket re-ran
+        assert got == want
+
+
+class TestSkew:
+    def test_salted_host_counts_equal_plain_groupby(self, spark, pages_small):
+        from pdf_drawing_ocr_recognition_spark.operators.skew import (
+            host_of,
+            salted_host_counts,
+        )
+
+        pages = spark.read.parquet(pages_small)
+        salted = {
+            r["host"]: r["n_pages"] for r in salted_host_counts(pages).collect()
+        }
+        plain = {
+            r["host"]: r["n"]
+            for r in pages.select(host_of(F.col("url")).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert salted == plain
+        # the skew fixture: top host carries ~half the corpus
+        top = max(salted.values())
+        assert top > sum(salted.values()) * 0.4
+
+
+class TestMetrics:
+    def test_partition_metrics_totals(self, spark, pages_small):
+        from pdf_drawing_ocr_recognition_spark.operators.metrics import (
+            partition_metrics,
+        )
+
+        pages = spark.read.parquet(pages_small)
+        m = partition_metrics(pages).collect()
+        assert sum(r["n_docs"] for r in m) == pages.count()
+        assert all(r["docs_per_s"] > 0 for r in m if r["n_docs"])
+
+
+class TestMultimodal:
+    def test_metadata_schema_and_determinism(self, spark, pages_small):
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            decode_metadata,
+        )
+
+        pages = spark.read.parquet(pages_small).filter("html IS NOT NULL")
+        blobs = pages.select(
+            F.xxhash64("url").alias("doc_id"), F.col("html").alias("payload")
+        )
+        a = {r["doc_id"]: r.asDict() for r in decode_metadata(blobs).collect()}
+        b = {r["doc_id"]: r.asDict() for r in decode_metadata(blobs).collect()}
+        assert a == b
+        kinds = {r["media_kind"] for r in a.values()}
+        assert "opaque" in kinds
+        assert all(r["n_bytes"] > 0 for r in a.values())
+
+    def test_real_png_payloads_decoded(self, spark):
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            build_page_image,
+        )
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            decode_metadata,
+        )
+
+        img = build_page_image(PATTERNS["fullpage"], [{"text": "png_meta"}])
+        png = encode_png(img)
+        blobs = spark.createDataFrame(
+            [(1, bytearray(png))], "doc_id LONG, payload BINARY"
+        )
+        row = decode_metadata(blobs).collect()[0]
+        assert row["media_kind"] == "png"
+        assert (row["height"], row["width"]) == img.shape
