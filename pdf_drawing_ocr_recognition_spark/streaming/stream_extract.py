@@ -1,0 +1,80 @@
+"""Streaming extraction — the batch pipeline rebound to readStream/writeStream.
+
+The reference is strictly batch (SURVEY.md Table B: streaming absent), and the
+north rule does not require streams; this module is the idiomatic Spark
+extension: because the extract operator is a narrow ``mapInPandas`` over a
+schema-stable source, the SAME operator runs unchanged under Structured
+Streaming — continuous ingestion of newly landed WARC partitions with exactly
+-once sinks via checkpointing.  ``Trigger.AvailableNow`` turns it back into an
+incremental batch (the test uses that to prove stream==batch output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..sources.pages import PAGES_SCHEMA
+
+
+def stream_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    patterns: dict[str, dict],
+    langs: tuple[str, ...] = ("en", "zh", "de"),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the pages directory → the batch extract operator."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_path)
+    if langs:
+        pages = pages.filter(F.col("lang").isin(*langs))
+    return extract_pages(pages, patterns)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts (late-data-tolerant rollup).
+
+    Works on either a streaming or batch events frame; under streaming the
+    watermark bounds state so the 100 TB/day firehose cannot accumulate
+    unbounded window state.
+    """
+    return (
+        events.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", watermark)
+        .groupBy(F.window("ts_tz", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    pages_path: str,
+    patterns: dict[str, dict],
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available input exactly once (AvailableNow), then stop."""
+    result = stream_extraction(spark, pages_path, patterns)
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
