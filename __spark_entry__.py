@@ -308,11 +308,14 @@ def _shingles(col, k: int = 5):
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 salted md5 min-hashes over 5-gram shingles)."""
-    from pdf_drawing_ocr_recognition_spark.functions.dedup import minhash_signature
+    """MinHash signatures (16 salted md5 min-hashes over word-trigram shingles)."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sig = minhash_signature(_shingles(F.col("text")), n_hashes=16)
+    sig = minhash_signature(word_shingles(F.col("text"), 3), n_hashes=16)
     return docs.select("doc_id", F.concat_ws(",", sig).alias("sig"))
 
 
@@ -321,23 +324,49 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_drawing_ocr_recognition_spark.functions.dedup import (
         lsh_band_keys,
         minhash_signature,
+        word_shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sig = minhash_signature(_shingles(F.col("text")), n_hashes=16)
-    banded = docs.select(
-        "doc_id", F.explode(lsh_band_keys(sig, 4, 4)).alias("band_key")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    # Parallelize the md5-heavy signature stage (a single small parquet file
+    # would otherwise be one task), and put an exchange between the signature
+    # projection and the banding so Catalyst cannot inline the 16-hash
+    # expression into each of the 4 band keys (8x recompute).  AQE reuses the
+    # exchange for both sides of the self-join (ReusedExchange).
+    par = spark.sparkContext.defaultParallelism
+    sigs = (
+        docs.repartition(par)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "doc_id",
+            minhash_signature(word_shingles(F.col("text"), 3), n_hashes=16).alias("sig"),
         )
-        .distinct()
+        .repartition(par, "doc_id")
     )
+    banded = sigs.select(
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key")
+    )
+    # pairs-within-bucket via grouped collect + in-array combination generation:
+    # one scan of the signatures and ONE shuffle (on band_key), instead of a
+    # self-join that would re-execute the md5-heavy subtree for both branches.
+    buckets = banded.groupBy("band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +632,12 @@ _SHINGLE_SQL = (
     " i -> substr(lower(text), i, {k}))"
 )
 
+# word k-gram shingles (k=3): space-joined trigrams of the word array
+_WORD_SHINGLE_SQL = (
+    "list_transform(generate_series(1, greatest(0, len(string_split(lower(text), ' ')) - 2)),"
+    " i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))"
+)
+
 
 def _minhash_sql(n_hashes: int = 16) -> str:
     """sig as list of 16 min md5 strings over shingles (NULL-safe min)."""
@@ -613,7 +648,7 @@ def _minhash_sql(n_hashes: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    shingle5 = _SHINGLE_SQL.format(km1=4, k=5)
+    shingle5 = _WORD_SHINGLE_SQL
     shingle3 = _SHINGLE_SQL.format(km1=2, k=3)
     sig16 = _minhash_sql(16)
     band_keys = ", ".join(

@@ -31,6 +31,20 @@ def shingles(col: Column, k: int = 5) -> Column:
     )
 
 
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram multiset (space-joined) — the cheaper shingling for MinHash
+    (k-word shingles are the standard near-dup unit; ~6x fewer hash calls than
+    char shingles on prose)."""
+    words = F.split(F.lower(col), " ")
+    n = F.size(words) - F.lit(k - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
 def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
     """MinHash signature: per seed j, min over shingles of md5(j || '|' || x).
 
