@@ -323,24 +323,35 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: band-key equi-join (4 bands × 4 rows)."""
     from pdf_drawing_ocr_recognition_spark.functions.dedup import (
         lsh_band_keys,
-        minhash_signature,
+        window_minima,
         word_shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # Parallelize the md5-heavy signature stage (a single small parquet file
-    # would otherwise be one task), and put an exchange between the signature
-    # projection and the banding so Catalyst cannot inline the 16-hash
-    # expression into each of the 4 band keys (8x recompute).  AQE reuses the
-    # exchange for both sides of the self-join (ReusedExchange).
+    # Scale path: 2 salted md5s per word-trigram shingle, materialized across
+    # an exchange, then 8 disjoint hex windows of each digest as the 16
+    # min-hash functions (window_minima docstring).  The repartitions (a) give
+    # the md5 stage full parallelism on a single-file input and (b) stop
+    # Catalyst from inlining the digest arrays into each window/band key.
     par = spark.sparkContext.defaultParallelism
-    sigs = (
-        docs.repartition(par)
-        .select(
-            "doc_id",
-            minhash_signature(word_shingles(F.col("text"), 3), n_hashes=16).alias("sig"),
+
+    def salted(salt: str):
+        prefix = F.lit(salt + "|")
+        return F.transform(
+            word_shingles(F.col("text"), 3),
+            lambda x: F.md5(F.encode(F.concat(prefix, x), "utf-8")),
         )
+
+    hashed = (
+        docs.repartition(par)
+        .select("doc_id", salted("0").alias("h0"), salted("1").alias("h1"))
         .repartition(par, "doc_id")
+    )
+    sigs = hashed.select(
+        "doc_id",
+        F.concat(
+            window_minima(F.col("h0"), 8, 4), window_minima(F.col("h1"), 8, 4)
+        ).alias("sig"),
     )
     banded = sigs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key")
@@ -655,6 +666,11 @@ def oracle_sql() -> dict[str, str]:
         f"md5('{b}|' || array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|'))"
         for b in range(4)
     )
+    window_mins = ", ".join(
+        f"list_min(list_transform({h}, x -> substr(x, {j * 4 + 1}, 4)))"
+        for h in ("h0", "h1")
+        for j in range(8)
+    )
     en, de, fr, es = (
         ("the", "and", "of"),
         ("der", "und", "nicht"),
@@ -795,9 +811,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, {shingle5} AS sh FROM documents WHERE doc_id < 200)
         """,
         "minhash_lsh_pairs": f"""
-            WITH sigs AS (
-                SELECT doc_id, {sig16} AS sig
-                FROM (SELECT doc_id, {shingle5} AS sh FROM documents)
+            WITH hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
             ), banded AS (
                 SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
             )

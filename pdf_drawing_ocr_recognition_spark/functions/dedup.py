@@ -63,6 +63,27 @@ def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
     return F.array(*[salted_min(j) for j in range(n_hashes)])
 
 
+def window_minima(hashes: Column, n_windows: int = 8, width: int = 4) -> Column:
+    """Per-window minima over an ARRAY<STRING> of md5 hex digests.
+
+    The scale path for MinHash: instead of n_hashes salted md5s per shingle,
+    compute ONE md5 per (salt, shingle) and treat each disjoint *width*-hex
+    window of the digest as an (approximately independent) hash function —
+    min-of-window-j across shingles is then a valid minwise value.  8x fewer
+    digest computations for a 16-wide signature built from 2 salts.
+    *hashes* must be a materialized column (post-exchange), or Catalyst will
+    inline its expression into every window's array_min.
+    """
+    def window_min(offset: int):
+        # offset closed over outside the lambda (1-arg lambda — see the
+        # salted_min note above about pyspark's arity-based index injection)
+        return F.array_min(
+            F.transform(hashes, lambda h: F.substring(h, offset, width))
+        )
+
+    return F.array(*[window_min(j * width + 1) for j in range(n_windows)])
+
+
 def lsh_band_keys(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> Column:
     """LSH banding: hash each r-row slice of the signature to one band key.
 
