@@ -547,6 +547,35 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
+    resume-delta algebra (all docs ∪ reprocessed) minus completed."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    first = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1)
+    completed = docs.filter(F.col("doc_id") % 6 == 0)
+    return first.unionByName(second).exceptAll(completed)
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: per-source distinct languages + row counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (sort + limit) with deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL-expressible oracle; driver records rows-only)
 # ---------------------------------------------------------------------------
@@ -617,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_counts": q_host_skew_counts,
         "pricing_summary": q_pricing_summary,
         "window_tumbling_events": q_window_tumbling_events,
+        "set_ops": q_set_ops,
+        "distinct_counts": q_distinct_counts,
+        "topk_docs": q_topk_docs,
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
     }
@@ -951,5 +983,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "set_ops": """
+            (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0
+             UNION ALL
+             SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 1)
+            EXCEPT ALL
+            SELECT doc_id, lang FROM documents WHERE doc_id % 6 = 0
+        """,
+        "distinct_counts": """
+            SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "topk_docs": """
+            SELECT doc_id, n_chars, lang FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
         """,
     }

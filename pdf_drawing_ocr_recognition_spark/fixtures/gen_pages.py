@@ -286,9 +286,11 @@ def _edge_payload(h: int) -> tuple[bytes | None, str]:
     return build_griddoc(name, [])[:12], "truncated container"
 
 
-def gen_rows(n_rows: int, seed: int = SEED):
-    """Yield (url, warc_ts, html, text, lang) tuples, deterministic in seed."""
-    for i in range(n_rows):
+def gen_rows(n_rows: int, seed: int = SEED, start: int = 0):
+    """Yield (url, warc_ts, html, text, lang) tuples for row indices
+    [start, n_rows) — a pure function of (seed, index), so any sharding of the
+    index range reproduces exactly the same corpus."""
+    for i in range(start, n_rows):
         h = _h64(seed, i)
         # Zipf-ish host skew: ~half of all rows land on host00 (M4 fixture)
         host = _HOSTS[0] if h % 2 == 0 else _HOSTS[1 + (h >> 8) % 49]
@@ -331,20 +333,58 @@ def gen_corpus(n_rows: int, seed: int = SEED):
     )
 
 
-def write_corpus(path: str, n_rows: int, seed: int = SEED, files: int = 8) -> str:
-    """Write the corpus as *files* parquet parts (multi-file so Spark gets
-    parallel scan splits, Iceberg-layout-friendly)."""
+def _write_shard(args) -> str:
+    path, seed, lo, hi, idx = args
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for url, ts, html, text, lang in gen_rows(hi, seed, start=lo):
+        urls.append(url)
+        tss.append(ts)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    out = os.path.join(path, f"part-{idx:04d}.parquet")
+    pq.write_table(table, out)
+    return out
+
+
+def write_corpus(
+    path: str, n_rows: int, seed: int = SEED, files: int = 8, workers: int | None = None
+) -> str:
+    """Write the corpus as *files* parquet parts (multi-file so Spark gets
+    parallel scan splits).  Shards are generated in parallel processes; the
+    result is bit-identical to a serial run because every row is a pure
+    function of (seed, row index)."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
     os.makedirs(path, exist_ok=True)
-    table = gen_corpus(n_rows, seed)
-    per = (table.num_rows + files - 1) // files
-    for f in range(files):
-        chunk = table.slice(f * per, per)
-        if chunk.num_rows:
-            pq.write_table(chunk, os.path.join(path, f"part-{f:04d}.parquet"))
+    per = (n_rows + files - 1) // files
+    shards = [
+        (path, seed, f * per, min((f + 1) * per, n_rows), f)
+        for f in range(files)
+        if f * per < n_rows
+    ]
+    workers = workers or min(len(shards), os.cpu_count() or 8)
+    if workers <= 1:
+        for s in shards:
+            _write_shard(s)
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_shard, shards))
     return path
 
 
