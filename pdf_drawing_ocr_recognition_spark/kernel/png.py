@@ -63,6 +63,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(idat)
     stride = width + 1
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+    # fast path: every row filter 0 (what our encoder always writes)
+    if not buf[:, 0].any():
+        return buf[:, 1:].copy()
     img = np.zeros((height, width), dtype=np.uint8)
     prev = np.zeros(width, dtype=np.uint8)
     for y in range(height):
