@@ -1,0 +1,77 @@
+"""Dump formatted physical plans for the headline queries → PLANS.md.
+
+Run after plan-affecting changes; the assertions encode the plan properties
+the engine promises (pushdown, pruning, broadcast, no per-row Python):
+
+- pages scan: lang filter in PushedFilters, ReadSchema without `text`;
+- broadcast_pattern_join: BroadcastHashJoin (no sort-merge for a 20-row dim);
+- anti_join_resume: BroadcastHashJoin LeftAnti;
+- pricing_summary: partial aggregation (HashAggregate x2) + WholeStageCodegen;
+- minhash_lsh_pairs: exchanges isolating the digest stage.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    import __spark_entry__ as em
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS, write_corpus
+    from pdf_drawing_ocr_recognition_spark.plans.pipeline import extraction_pipeline
+    from pdf_drawing_ocr_recognition_spark.plans.session import build_session
+
+    sf = "/root/testdata/sf0.001"
+    spark = build_session(app="plans", master="local[4]", shuffle_partitions=4)
+
+    import os
+    import tempfile
+
+    pages_dir = tempfile.mkdtemp(prefix="plans_pages_")
+    write_corpus(pages_dir, 300, files=2)
+
+    sections = []
+    checks = []
+
+    def grab(title: str, df, *must_contain: str):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sections.append((title, plan))
+        for needle in must_contain:
+            ok = needle in plan
+            checks.append((title, needle, ok))
+
+    ext = extraction_pipeline(spark, pages_dir, PATTERNS)
+    grab("extraction_pipeline", ext, "PushedFilters", "lang")
+    scan_line = [l for l in sections[-1][1].split("\n") if "ReadSchema" in l]
+    text_pruned = all("text" not in l.split("ReadSchema")[-1] for l in scan_line)
+    checks.append(("extraction_pipeline", "html-only ReadSchema (text pruned)", text_pruned))
+
+    grab("broadcast_pattern_join", em.q_broadcast_pattern_join(spark, sf), "BroadcastHashJoin")
+    grab("anti_join_resume", em.q_anti_join_resume(spark, sf), "BroadcastHashJoin", "LeftAnti")
+    # partial_sum below the exchange = map-side combine (codegen markers only
+    # appear in final AQE plans post-execution, so assert the agg shape)
+    grab("pricing_summary", em.q_pricing_summary(spark, sf), "HashAggregate", "partial_sum")
+    grab("minhash_lsh_pairs", em.q_minhash_lsh_pairs(spark, sf), "Exchange")
+    grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
+    grab("cosine_topk", em.q_cosine_topk(spark, sf), "BroadcastNestedLoopJoin")
+
+    lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
+    lines.append("| query | property | holds |")
+    lines.append("|---|---|---|")
+    for title, needle, ok in checks:
+        lines.append(f"| {title} | `{needle}` | {'✅' if ok else '❌'} |")
+    lines.append("")
+    for title, plan in sections:
+        lines.append(f"## {title}\n\n```\n{plan[:4000]}\n```\n")
+    with open("PLANS.md", "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    bad = [c for c in checks if not c[2]]
+    print(f"PLANS.md written; {len(checks)} checks, {len(bad)} failed: {bad}")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
