@@ -1,0 +1,123 @@
+"""End-to-end dedup and similarity-search operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents plus injected exact + near duplicates."""
+    import hashlib
+
+    def words(i: int, n: int = 14) -> str:
+        # distinct pseudo-vocabulary per doc so base docs are NOT near-dups
+        return " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6] for j in range(n)
+        )
+
+    base = [(i, f"doc {i} item begins {words(i)} item ends") for i in range(40)]
+    dups = [(100 + i, base[i][1]) for i in range(10)]  # exact dups of 0..9
+    near = [
+        (200 + i, base[i][1] + " trailing extra") for i in range(5)
+    ]  # near dups of 0..4 (one appended fragment, shingle sets ~88% shared)
+    return spark.createDataFrame(base + dups + near, "doc_id LONG, text STRING")
+
+
+class TestExactDedupe:
+    def test_keeps_min_representative(self, docs_with_dups):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import exact_dedupe
+
+        kept = exact_dedupe(docs_with_dups)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert len(ids) == 45  # 40 uniques + 5 near (not byte-equal)
+        assert all(100 + i not in ids for i in range(10))
+        assert all(i in ids for i in range(40))
+
+
+class TestNearDedupe:
+    def test_minhash_catches_near_dups(self, docs_with_dups):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import near_dupe_pairs
+
+        pairs = near_dupe_pairs(docs_with_dups, min_jaccard=0.5).collect()
+        found = {(r["key_a"], r["key_b"]) for r in pairs}
+        # each near-dup (200+i) should pair with its source i (or its exact dup)
+        hits = sum(1 for i in range(5) if any(a == i and b == 200 + i for a, b in found))
+        assert hits >= 3, found
+
+    def test_near_dedupe_removes_losers_keeps_minima(self, docs_with_dups):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import near_dedupe
+
+        kept = near_dedupe(docs_with_dups, min_jaccard=0.5)
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert all(i in ids for i in range(5))  # cluster minima survive
+        assert not any(100 + i in ids for i in range(5))  # exact dups gone
+
+    def test_bucket_cap_reported_not_silent(self, docs_with_dups):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import near_dupe_pairs
+
+        # cap of 1 disables every bucket → zero pairs (behavior is explicit)
+        pairs = near_dupe_pairs(docs_with_dups, max_bucket=1)
+        assert pairs.count() == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_brute_force_self_excluded_and_ranked(self, emb):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 3)
+        res = brute_force_topk(emb, q, k=5).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in by_q.items():
+            assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+            scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r["neighbor_id"] != qid for r in rows)
+
+    def test_ann_recall_vs_brute_force(self, emb):
+        import __spark_entry__ as em
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            ann_topk,
+            brute_force_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, q, k=10).collect()
+        approx = ann_topk(emb, q, em.PLANES, k=10, probes=2).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recalls = [
+            len(exact_sets[qid] & approx_sets.get(qid, set())) / len(exact_sets[qid])
+            for qid in exact_sets
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        # 4 planes + 2-probe over 16 buckets: moderate recall, way less work
+        assert mean_recall >= 0.5, recalls
+
+    def test_ann_scores_match_exact_for_shared_neighbors(self, emb):
+        import __spark_entry__ as em
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            ann_topk,
+            brute_force_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["score"]
+            for r in brute_force_topk(emb, q, k=10).collect()
+        }
+        for r in ann_topk(emb, q, em.PLANES, k=10, probes=2).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:
+                assert r["score"] == exact[key]
