@@ -547,6 +547,19 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: drop the greater member of every LSH candidate
+    pair (keep cluster minima); survivor counts per lang."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import near_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        near_dedupe(docs, text_col="text", key_col="doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_survivors"))
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_counts": q_host_skew_counts,
         "pricing_summary": q_pricing_summary,
         "window_tumbling_events": q_window_tumbling_events,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -983,6 +997,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "near_dedup_survivors": f"""
+            WITH hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), losers AS (
+                SELECT DISTINCT b.doc_id AS doc_id
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT lang, count(*) AS n_survivors
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            GROUP BY lang
         """,
         "set_ops": """
             (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0
