@@ -547,6 +547,14 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (built-in session_window; 12h gap) — the
+    batch twin of the streaming sessionizer (streaming/sessionize.py)."""
+    from pdf_drawing_ocr_recognition_spark.streaming.sessionize import session_windows
+
+    return session_windows(_t(spark, sf_dir, "events"), "12 hours")
+
+
 def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: drop the greater member of every LSH candidate
     pair (keep cluster minima); survivor counts per lang."""
@@ -659,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_counts": q_host_skew_counts,
         "pricing_summary": q_pricing_summary,
         "window_tumbling_events": q_window_tumbling_events,
+        "session_windows": q_session_windows,
         "near_dedup_survivors": q_near_dedup_survivors,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
@@ -997,6 +1006,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM sess GROUP BY user_id, sid
         """,
         "near_dedup_survivors": f"""
             WITH hashed AS (
