@@ -547,6 +547,31 @@ def q_window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the user's most recent prior click
+    (union-window composition — operators/asof.py; oracle = DuckDB ASOF JOIN)."""
+    from pdf_drawing_ocr_recognition_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_event_id"))
+        .withColumn("click_ts_us", _us(F.col("ts")))
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_event_id", "click_ts_us"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("asof_click_event_id").alias("click_id"),
+        F.col("asof_click_ts_us").alias("click_ts"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (built-in session_window; 12h gap) — the
     batch twin of the streaming sessionizer (streaming/sessionize.py)."""
@@ -667,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_counts": q_host_skew_counts,
         "pricing_summary": q_pricing_summary,
         "window_tumbling_events": q_window_tumbling_events,
+        "asof_join": q_asof_join,
         "session_windows": q_session_windows,
         "near_dedup_survivors": q_near_dedup_survivors,
         "set_ops": q_set_ops,
@@ -1006,6 +1032,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT p.event_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "session_windows": """
             WITH flagged AS (
