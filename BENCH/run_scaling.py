@@ -103,12 +103,15 @@ def main() -> None:
         if f.endswith(".parquet")
     ) / 1e6
 
+    # hardware probes FIRST, on a quiet machine (a shutting-down JVM pollutes
+    # any probe that runs after a Spark session)
+    hw = {lv: max(hw_probe(lv), hw_probe(lv)) for lv in levels}
+
     rows = []
     n_docs = 0
     for lv in levels:
         wall, n_docs = run_at(lv, corpus, args.runs)
-        hw = hw_probe(lv)
-        rows.append({"cpus": lv, "wall_s": wall, "docs_per_s": n_docs / wall, "hw_ops": hw})
+        rows.append({"cpus": lv, "wall_s": wall, "docs_per_s": n_docs / wall, "hw_ops": hw[lv]})
 
     pairs = []
     for a, b in zip(rows, rows[1:]):
