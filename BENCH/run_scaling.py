@@ -50,10 +50,11 @@ def run_at(cpus: int, corpus: str, runs: int) -> tuple[float, int]:
     spark.range(1000).count()
     best = float("inf")
     n_docs = 0
-    for _ in range(runs):
-        t0 = time.time()
+    for i in range(runs + 1):  # first execution = untimed warmup (codegen,
+        t0 = time.time()       # python-worker spawn) — dropped from the stat
         n_docs = extraction_pipeline(spark, corpus, PATTERNS).count()
-        best = min(best, time.time() - t0)
+        if i > 0:
+            best = min(best, time.time() - t0)
     spark.stop()
     return best, n_docs
 
@@ -107,11 +108,28 @@ def main() -> None:
     # any probe that runs after a Spark session)
     hw = {lv: max(hw_probe(lv), hw_probe(lv)) for lv in levels}
 
-    rows = []
+    # interleaved rounds (2,8,32, 2,8,32, ...) so slow host drift hits every
+    # level equally; per-level statistic = median across rounds
+    from statistics import median
+
+    walls: dict[int, list[float]] = {lv: [] for lv in levels}
     n_docs = 0
+    for _ in range(args.runs):
+        for lv in levels:
+            wall, n_docs = run_at(lv, corpus, 1)
+            walls[lv].append(wall)
+    rows = []
     for lv in levels:
-        wall, n_docs = run_at(lv, corpus, args.runs)
-        rows.append({"cpus": lv, "wall_s": wall, "docs_per_s": n_docs / wall, "hw_ops": hw[lv]})
+        med = median(walls[lv])
+        rows.append(
+            {
+                "cpus": lv,
+                "wall_s": med,
+                "wall_all": [round(w, 2) for w in walls[lv]],
+                "docs_per_s": n_docs / med,
+                "hw_ops": hw[lv],
+            }
+        )
 
     pairs = []
     for a, b in zip(rows, rows[1:]):
