@@ -166,7 +166,13 @@ def q_broadcast_pattern_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A40: small-dimension broadcast equi-join (ref pattern registry,
     pdor/pdor_pattern.py:168-187) — documents ⋈ source→dpi dim."""
     docs = _t(spark, sf_dir, "documents")
-    dim = spark.createDataFrame(SOURCE_DIM, "source STRING, dpi INT")
+    # inline VALUES instead of createDataFrame: no Python→RDD conversion
+    # machinery on the session's first use (~3s cold-start saved)
+    dim = spark.sql(
+        "SELECT source, CAST(dpi AS INT) AS dpi FROM (VALUES "
+        + _dim_values_sql()
+        + ") AS t(source, dpi)"
+    )
     return (
         docs.join(F.broadcast(dim), "source", "inner")
         .groupBy("dpi")
@@ -448,6 +454,16 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within hyperplane buckets (cos >= 0.3)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        embedding_near_dupe_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dupe_pairs(emb, PLANES, min_cosine=0.3)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace words + BPE-ish regex pieces."""
     from pdf_drawing_ocr_recognition_spark.functions.text import (
@@ -685,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "embedding_near_dupes": q_embedding_near_dupes,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -971,6 +988,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
             FROM bucketed GROUP BY bucket
+        """,
+        "embedding_near_dupes": f"""
+            WITH planes AS (SELECT * FROM (VALUES {_planes_sql()}) AS p(i, plane)),
+            bucketed AS (
+                SELECT e.vec_id, e.embedding,
+                       CAST(sum(CASE WHEN list_dot_product(e.embedding, p.plane) >= 0
+                                     THEN 1 << p.i ELSE 0 END) AS INT) AS bucket
+                FROM embeddings e CROSS JOIN planes p
+                GROUP BY e.vec_id, e.embedding
+            )
+            SELECT id_a, id_b, cos FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(CASE WHEN sqrt(list_dot_product(a.embedding, a.embedding)) *
+                                       sqrt(list_dot_product(b.embedding, b.embedding)) = 0
+                                  THEN 0.0
+                                  ELSE list_dot_product(a.embedding, b.embedding) /
+                                       (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                                        sqrt(list_dot_product(b.embedding, b.embedding)))
+                             END, 4) AS cos
+                FROM bucketed a JOIN bucketed b USING (bucket)
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cos >= 0.3
         """,
         "token_counts": f"""
             SELECT doc_id,

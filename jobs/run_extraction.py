@@ -47,6 +47,11 @@ def main(argv=None) -> int:
     )
     n = result.count()
     partition_metrics(pages).write.mode("overwrite").parquet(f"{args.out}/_metrics")
+    from pdf_drawing_ocr_recognition_spark.operators.metrics import cell_count_histogram
+
+    cell_count_histogram(result).write.mode("overwrite").parquet(
+        f"{args.out}/_metrics_cells"
+    )
     print(f"extraction complete: {n} documents → {args.out}")
     spark.stop()
     return 0

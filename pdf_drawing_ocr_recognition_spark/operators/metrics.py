@@ -22,6 +22,22 @@ METRICS_SCHEMA = (
 )
 
 
+def cell_count_histogram(extracted: "DataFrame", bucket_width: int = 8) -> "DataFrame":
+    """Cell-count histogram over extraction output (M6: written alongside
+    results) — bucketed n_cells distribution, one shuffle on tiny keys."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted.select(
+            (F.floor(F.col("n_cells") / bucket_width) * bucket_width)
+            .cast("int")
+            .alias("cells_bucket")
+        )
+        .groupBy("cells_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def partition_metrics(pages: DataFrame) -> DataFrame:
     """One metrics row per input partition: docs/s + bytes/s of a scan pass."""
 

@@ -73,6 +73,35 @@ def bucketize(
     return df.withColumn("bucket", hyperplane_sign_bits(F.col(vec_col), planes))
 
 
+def embedding_near_dupe_pairs(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-comparison.
+
+    Vectors are compared only within their hyperplane bucket (near-identical
+    embeddings share all sign bits with overwhelming probability), so the
+    work is sum-of-squares of bucket sizes, not corpus².  Returns
+    (id_a < id_b, cos) pairs with cosine >= min_cosine.
+    """
+    b = bucketize(corpus, planes, id_col, vec_col)
+    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cosine)
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
