@@ -244,10 +244,19 @@ def _grid_payload(h: int) -> bytes:
             subs.append(kv)
         return build_griddoc(name, [build_page_image(pattern, subs)])
     if variant < 7:
-        # single-text collapse rows (ref :278-279)
+        # single-text collapse rows (ref :278-279); a third arrive skewed by a
+        # small deterministic angle (north-star deskew path, kernel/deskew.py)
         name = "fullpage"
         d = {"text": f"t_{h % 99991:05x}"}
-        return build_griddoc(name, [build_page_image(PATTERNS[name], [d])])
+        page = build_page_image(PATTERNS[name], [d])
+        if (h >> 21) % 3 == 0:
+            from ..kernel.deskew import rotate_nn
+
+            angle = (1 + (h >> 25) % 8) * 0.25 * (1 if (h >> 23) & 1 else -1)
+            pad = int(0.05 * max(page.shape)) + 3
+            page = np.pad(page, pad, constant_values=255)
+            page = rotate_nn(page, angle)
+        return build_griddoc(name, [page])
     if variant < 9:
         # multi-page with colliding sub_idx → last-wins merge (ref :270-283)
         name = "grid2"

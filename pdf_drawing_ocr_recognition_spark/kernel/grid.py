@@ -41,7 +41,12 @@ def binarize(gray: np.ndarray) -> np.ndarray:
     return gray < BIN_THRESHOLD
 
 
-def detect_rule_lines(ink: np.ndarray, axis: int) -> list[tuple[int, int]]:
+UNION_FRACTION = 0.93  # pair-union threshold for jittered (deskewed) rasters
+
+
+def detect_rule_lines(
+    ink: np.ndarray, axis: int, pair_union: bool = False
+) -> list[tuple[int, int]]:
     """Projection-profile rule-line detection along *axis*.
 
     axis=1 projects across columns → horizontal lines (returns (y_start, y_end)
@@ -49,23 +54,39 @@ def detect_rule_lines(ink: np.ndarray, axis: int) -> list[tuple[int, int]]:
     whose ink fraction ≥ LINE_FRACTION; consecutive/nearby candidates (gap ≤ 1)
     are merged into one segment — the Hough-style bucket merge of the north
     star, reduced to axis-aligned form.
+
+    ``pair_union=True`` (used after deskew, where NN-rotation jitter spreads a
+    line across adjacent rows) marks index i a candidate when the UNION of
+    rows i and i+1 covers ≥ UNION_FRACTION of the extent: a jittered rule line
+    unions to ~full span while glyph rows cannot exceed ~0.93.
     """
-    profile = ink.sum(axis=axis) if axis == 1 else ink.sum(axis=0)
-    extent = ink.shape[1] if axis == 1 else ink.shape[0]
-    candidates = np.flatnonzero(profile >= LINE_FRACTION * extent)
+    work = ink if axis == 1 else ink.T
+    extent = work.shape[1]
+    if pair_union:
+        union = work[:-1] | work[1:]
+        profile = union.sum(axis=1)
+        candidates = np.flatnonzero(profile >= UNION_FRACTION * extent)
+    else:
+        profile = work.sum(axis=1)
+        candidates = np.flatnonzero(profile >= LINE_FRACTION * extent)
     segments: list[tuple[int, int]] = []
     for idx in candidates:
         if segments and idx - segments[-1][1] <= 1:
             segments[-1] = (segments[-1][0], idx + 1)
         else:
             segments.append((idx, idx + 1))
+    if pair_union:  # candidate i covered rows {i, i+1} — close the span
+        n = work.shape[0]
+        segments = [(s, min(e + 1, n)) for s, e in segments]
     return segments
 
 
-def cell_bboxes(ink: np.ndarray) -> list[tuple[int, int, int, int]]:
+def cell_bboxes(
+    ink: np.ndarray, pair_union: bool = False
+) -> list[tuple[int, int, int, int]]:
     """Detected rule lines → interior cell bounding boxes (y1, y2, x1, x2)."""
-    h_lines = detect_rule_lines(ink, axis=1)
-    v_lines = detect_rule_lines(ink, axis=0)
+    h_lines = detect_rule_lines(ink, axis=1, pair_union=pair_union)
+    v_lines = detect_rule_lines(ink, axis=0, pair_union=pair_union)
     boxes = []
     for (ys, ye), (ys2, _ye2) in zip(h_lines, h_lines[1:]):
         for (xs, xe), (xs2, _xe2) in zip(v_lines, v_lines[1:]):
@@ -97,11 +118,15 @@ def assemble_cells(boxes: list[tuple[int, int, int, int]]) -> list[list[tuple[in
     return [sorted(band, key=lambda b: b[2]) for band in bands]
 
 
-def decode_cell_text(ink: np.ndarray, box: tuple[int, int, int, int]) -> str:
+def decode_cell_text(
+    ink: np.ndarray, box: tuple[int, int, int, int], majority: bool = False
+) -> str:
     """Decode one cell's bit-glyph columns back to its ASCII text.
 
     Vectorized: samples every glyph-block center at once (8 x max_chars
     matrix), packs bit columns to bytes, cuts at the first zero byte.
+    ``majority=True`` (deskewed rasters) votes over the 3x3 neighborhood of
+    each block center, absorbing the ±1 px jitter of NN rotation round-trips.
     """
     y1, y2, x1, x2 = box
     top = y1 + CELL_PAD
@@ -110,7 +135,40 @@ def decode_cell_text(ink: np.ndarray, box: tuple[int, int, int, int]) -> str:
     if max_chars == 0:
         return ""
     # glyph-block centers form a regular lattice → strided views, no copies
-    sub = ink[top + BIT_PX // 2 : y2 : BIT_PX, left + BIT_PX // 2 : x2 : BIT_PX]
+    if majority:
+        # Jittered rasters: the detected line segments overshoot by ±2 px, so
+        # re-anchor the glyph lattice on the LOCAL border-line edges: scan a
+        # few rows/cols around the nominal interior start for the last one
+        # that is ≥90% ink across the cell — that is the border's inner edge.
+        h_img, w_img = ink.shape
+        for y in range(min(y1 + 2, h_img - 1), max(y1 - 4, -1), -1):
+            seg = ink[y, max(x1, 0) : x2]
+            if seg.size and seg.mean() >= 0.9:
+                top = y + 1 + CELL_PAD
+                break
+        for x in range(min(x1 + 2, w_img - 1), max(x1 - 4, -1), -1):
+            seg = ink[max(y1, 0) : y2, x]
+            if seg.size and seg.mean() >= 0.9:
+                left = x + 1 + CELL_PAD
+                break
+        ys = top + BIT_PX // 2 + np.arange(CHAR_BITS) * BIT_PX
+        xs = left + BIT_PX // 2 + np.arange(max_chars) * BIT_PX
+        ys = ys[ys < y2]
+        xs = xs[xs < x2]
+        if len(ys) == 0 or len(xs) == 0:
+            return ""
+        acc = np.zeros((len(ys), len(xs)), dtype=np.int8)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc += ink[
+                    np.ix_(
+                        np.clip(ys + dy, 0, h_img - 1),
+                        np.clip(xs + dx, 0, w_img - 1),
+                    )
+                ]
+        sub = acc >= 5
+    else:
+        sub = ink[top + BIT_PX // 2 : y2 : BIT_PX, left + BIT_PX // 2 : x2 : BIT_PX]
     bits = sub[:CHAR_BITS, :max_chars]
     if bits.shape[0] == 0 or bits.shape[1] == 0:
         return ""
@@ -125,20 +183,30 @@ def decode_cell_text(ink: np.ndarray, box: tuple[int, int, int, int]) -> str:
     return "".join(chr(c) for c in codes)
 
 
-def decode_grid_image(gray: np.ndarray) -> str:
+def decode_grid_image(gray: np.ndarray, jittered: bool = False) -> str:
     """Full sub-image decode: binarize → lines → cells → row-major text.
 
     Returns the raw assembled string: cells tab-joined within a row, rows
     newline-joined (SURVEY.md M3).  The detected boxes are deliberately
     re-ordered column-major first so that ``assemble_cells`` provably performs
     the row-major restoration rather than inheriting scan order.
+    ``jittered=True`` (deskewed pages) switches to pair-union line detection
+    and 3x3-majority bit sampling to absorb NN-rotation pixel jitter.
     """
     ink = binarize(gray)
-    boxes = cell_bboxes(ink)
+    if jittered:
+        # deskewed pages carry white rotation margins; crop to the ink bbox so
+        # rule lines span the full working extent again
+        ys, xs = np.nonzero(ink)
+        if len(ys) == 0:
+            return ""
+        ink = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    boxes = cell_bboxes(ink, pair_union=jittered)
     shuffled = sorted(boxes, key=lambda b: (b[2], b[0]))  # column-major scramble
     rows = assemble_cells(shuffled)
     return "\n".join(
-        "\t".join(decode_cell_text(ink, box) for box in band) for band in rows
+        "\t".join(decode_cell_text(ink, box, majority=jittered) for box in band)
+        for band in rows
     )
 
 

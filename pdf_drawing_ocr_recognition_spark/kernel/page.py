@@ -91,7 +91,29 @@ def decode_sub_image(gray, box) -> str:
     return decode_grid_image(crop(gray, tuple(box)))
 
 
-def attempt_sub_image(gray, box, max_try: int) -> tuple[bool, dict, str, int]:
+def maybe_deskew(gray):
+    """Deskew gate (north-star: render → deskew/binarize → grid detection).
+
+    Straight pages are detected cheaply (axis-aligned rule lines found on the
+    full page) and skip the angle search; otherwise estimate + correct the
+    skew and flag downstream decode as jitter-tolerant.
+
+    Returns (gray, jittered, angle_degrees).
+    """
+    from .grid import binarize, detect_rule_lines
+
+    ink = binarize(gray)
+    if detect_rule_lines(ink, axis=1) and detect_rule_lines(ink, axis=0):
+        return gray, False, 0.0
+    from .deskew import deskew
+
+    fixed, angle = deskew(gray)
+    return fixed, True, angle
+
+
+def attempt_sub_image(
+    gray, box, max_try: int, jittered: bool = False
+) -> tuple[bool, dict, str, int]:
     """Bounded retry loop around the decode leaf (ref pdor/pdor_unit.py:226-260).
 
     Returns (ok, parsed_dict, raw, attempts).  The leaf is deterministic, so a
@@ -102,7 +124,7 @@ def attempt_sub_image(gray, box, max_try: int) -> tuple[bool, dict, str, int]:
     raw = ""
     for attempt in range(1, max_try + 1):
         try:
-            raw = decode_grid_image(crop(gray, tuple(box)))
+            raw = decode_grid_image(crop(gray, tuple(box)), jittered=jittered)
         except Exception:
             continue  # ref :254-256 — any leaf exception retries
         if is_error_result(raw):
@@ -214,8 +236,11 @@ def _extract_grid(
         except Exception:
             n_failed += len(sub_imgs)
             continue
+        gray, jittered, _angle = maybe_deskew(gray)
         for sub_idx, box in enumerate(sub_imgs):
-            ok, parsed, raw, _attempts = attempt_sub_image(gray, box, max_try)
+            ok, parsed, raw, _attempts = attempt_sub_image(
+                gray, box, max_try, jittered=jittered
+            )
             if ok:
                 results.append((sub_idx, parsed))
                 spans.append(

@@ -35,6 +35,7 @@ from ..kernel.page import (
     DEFAULT_MAX_TRY,
     FULL_PAGE_BOX,
     is_grid_payload,
+    maybe_deskew,
     parse_grid_container,
 )
 from ..kernel.parse import is_error_result, parse_literal_result
@@ -95,13 +96,15 @@ def decode_leaf(sub_images: DataFrame, max_try: int = DEFAULT_MAX_TRY) -> DataFr
                 pdf["url"], pdf["page_idx"], pdf["sub_idx"], pdf["png"], pdf["box"]
             ):
                 ok, fields = False, None
+                jittered = False
                 try:
                     gray = decode_png(bytes(png))
+                    gray, jittered, _angle = maybe_deskew(gray)
                 except Exception:
                     gray = None
                 if gray is not None:
                     for _attempt in range(1, max_try + 1):
-                        raw = decode_grid_image(crop(gray, tuple(box)))
+                        raw = decode_grid_image(crop(gray, tuple(box)), jittered=jittered)
                         if is_error_result(raw):
                             continue
                         parsed_ok, parsed = parse_literal_result(raw)
