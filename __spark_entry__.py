@@ -329,35 +329,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: band-key equi-join (4 bands × 4 rows)."""
     from pdf_drawing_ocr_recognition_spark.functions.dedup import (
         lsh_band_keys,
-        window_minima,
+        minhash_sig_fold,
         word_shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # Scale path: 2 salted md5s per word-trigram shingle, materialized across
-    # an exchange, then 8 disjoint hex windows of each digest as the 16
-    # min-hash functions (window_minima docstring).  The repartitions (a) give
-    # the md5 stage full parallelism on a single-file input and (b) stop
-    # Catalyst from inlining the digest arrays into each window/band key.
+    # Scale path: single-fold windowed MinHash (2 md5 per word-trigram shingle,
+    # 8 hex windows each → 16 hash fns; minhash_sig_fold docstring).  The
+    # repartitions (a) give the md5 stage full parallelism on a single-file
+    # input and (b) stop Catalyst from inlining the signature into each of the
+    # band keys downstream.
     par = spark.sparkContext.defaultParallelism
-
-    def salted(salt: str):
-        prefix = F.lit(salt + "|")
-        return F.transform(
-            word_shingles(F.col("text"), 3),
-            lambda x: F.md5(F.encode(F.concat(prefix, x), "utf-8")),
-        )
-
-    hashed = (
+    sigs = (
         docs.repartition(par)
-        .select("doc_id", salted("0").alias("h0"), salted("1").alias("h1"))
+        .select("doc_id", minhash_sig_fold(word_shingles(F.col("text"), 3)).alias("sig"))
         .repartition(par, "doc_id")
-    )
-    sigs = hashed.select(
-        "doc_id",
-        F.concat(
-            window_minima(F.col("h0"), 8, 4), window_minima(F.col("h1"), 8, 4)
-        ).alias("sig"),
     )
     banded = sigs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key")

@@ -84,6 +84,39 @@ def window_minima(hashes: Column, n_windows: int = 8, width: int = 4) -> Column:
     return F.array(*[window_min(j * width + 1) for j in range(n_windows)])
 
 
+def minhash_sig_fold(
+    sh: Column, salts: tuple[str, ...] = ("0", "1"), n_windows: int = 8, width: int = 4
+) -> Column:
+    """Single-pass windowed MinHash signature (the fastest formulation).
+
+    One fold over the shingle array per salt: each step computes ONE md5 and
+    lowers a (n_windows)-wide running-minimum accumulator via zip_with(least).
+    Equivalent output to ``window_minima`` over per-salt digest arrays, but the
+    expression tree is ~10x smaller (one md5 reference instead of n_windows
+    array_min/transform pairs), which matters for codegen time and per-row
+    work.  Returns ARRAY<STRING> of len(salts)*n_windows.
+    """
+    top = F.lit("￿")  # sorts above every hex digest substring
+
+    def fold(salt: str) -> Column:
+        prefix = F.lit(salt + "|")
+        init = F.array_repeat(top, n_windows)
+
+        def step(acc: Column, x: Column) -> Column:
+            h = F.md5(F.encode(F.concat(prefix, x), "utf-8"))
+            windows = F.transform(
+                F.sequence(F.lit(0), F.lit(n_windows - 1)),
+                lambda j: F.substring(h, j * width + 1, width),
+            )
+            return F.zip_with(acc, windows, lambda a, b: F.least(a, b))
+
+        return F.aggregate(sh, init, step)
+
+    sig = F.concat(*[fold(s) for s in salts])
+    # empty shingle set → sentinel values; normalize to NULLs like array_min
+    return F.when(F.size(sh) > 0, sig)
+
+
 def lsh_band_keys(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> Column:
     """LSH banding: hash each r-row slice of the signature to one band key.
 

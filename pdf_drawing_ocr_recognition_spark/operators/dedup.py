@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.dedup import jaccard, lsh_band_keys, window_minima, word_shingles
+from ..functions.dedup import jaccard, lsh_band_keys, minhash_sig_fold, word_shingles
 
 
 def exact_dedupe(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -42,22 +42,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(key, sig ARRAY<STRING>[16]) via the windowed-digest scale path."""
     par = parallelism or docs.sparkSession.sparkContext.defaultParallelism
-
-    def salted(salt: str):
-        prefix = F.lit(salt + "|")
-        return F.transform(
-            word_shingles(F.col(text_col), 3),
-            lambda x: F.md5(F.encode(F.concat(prefix, x), "utf-8")),
-        )
-
-    hashed = (
+    return (
         docs.repartition(par)
-        .select(key_col, salted("0").alias("h0"), salted("1").alias("h1"))
+        .select(
+            key_col,
+            minhash_sig_fold(word_shingles(F.col(text_col), 3)).alias("sig"),
+        )
         .repartition(par, key_col)
-    )
-    return hashed.select(
-        key_col,
-        F.concat(window_minima(F.col("h0")), window_minima(F.col("h1"))).alias("sig"),
     )
 
 
