@@ -92,3 +92,31 @@ def test_explain_has_pushed_filters(spark, pages_small):
     df = read_pages(spark, pages_small, langs=("en",))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan
+
+
+def test_warc_ts_range_pushed_down(spark, pages_small):
+    """Time-range predicates reach the scan too (row-group stat pruning)."""
+    from datetime import datetime
+
+    from pdf_drawing_ocr_recognition_spark.sources.pages import read_pages
+
+    df = read_pages(
+        spark,
+        pages_small,
+        since=datetime(2025, 1, 5),
+        until=datetime(2025, 1, 20),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "warc_ts" in pushed, pushed
+    assert df.count() > 0
+
+
+def test_preflight(spark):
+    """A25 analog: env self-check passes in this runtime (documented intent,
+    not the reference's broken tuple bug — pdor/pdor_utils.py:42)."""
+    from pdf_drawing_ocr_recognition_spark.plans.preflight import check_env
+
+    report = check_env(spark)
+    assert report.ok, report.checks
+    assert report.checks["arrow_enabled"] == "true"
