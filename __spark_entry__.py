@@ -440,6 +440,31 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list assignment + occupancy: centroids = embeddings with vec_id < 16,
+    every vector assigned to its best inner-product centroid (argmax with
+    centroid-id tie-break) — the buildable inverted-file index."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    assigned = ivf_assign(emb, cents, metric_round=4)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (nprobe=4 of 16 lists) for query vectors vec_id < 5."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, cents, k=10, nprobe=4, metric_round=4)
+
+
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within hyperplane buckets (cos >= 0.3)."""
     from pdf_drawing_ocr_recognition_spark.operators.similarity import (
@@ -687,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ivf_assign_counts": q_ivf_assign_counts,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -942,7 +969,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.12
         """,
         "cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
                        FROM embeddings WHERE vec_id < 5),
             scored AS (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -953,7 +980,8 @@ def oracle_sql() -> dict[str, str]:
                                        (sqrt(list_dot_product(q.qvec, q.qvec)) *
                                         sqrt(list_dot_product(e.embedding, e.embedding)))
                              END, 4) AS cos
-                FROM embeddings e CROSS JOIN q
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding
+                      FROM embeddings) e CROSS JOIN q
                 WHERE e.vec_id != q.query_id
             )
             SELECT query_id, rank, neighbor_id, cos FROM (
@@ -967,7 +995,7 @@ def oracle_sql() -> dict[str, str]:
             WITH planes AS (SELECT * FROM (VALUES {_planes_sql()}) AS p(i, plane)),
             bucketed AS (
                 SELECT e.vec_id,
-                       CAST(sum(CASE WHEN list_dot_product(e.embedding, p.plane) >= 0
+                       CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
                                      THEN 1 << p.i ELSE 0 END) AS INT) AS bucket
                 FROM embeddings e CROSS JOIN planes p
                 GROUP BY e.vec_id
@@ -975,14 +1003,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
             FROM bucketed GROUP BY bucket
         """,
+        "ivf_assign_counts": """
+            WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                          FROM embeddings WHERE vec_id < 16),
+            assigned AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            )
+            SELECT centroid_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+            FROM assigned GROUP BY centroid_id
+        """,
+        "ivf_topk": """
+            WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                          FROM embeddings WHERE vec_id < 16),
+            assigned AS (
+                SELECT vec_id, embedding, centroid_id FROM (
+                    SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            probes AS (
+                SELECT query_id, qvec, centroid_id FROM (
+                    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qvec, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY round(list_dot_product(q.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5
+                ) WHERE rn <= 4
+            ),
+            scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       round(CASE WHEN sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.embedding, a.embedding)) = 0 THEN 0.0 ELSE list_dot_product(p.qvec, a.embedding) / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.embedding, a.embedding))) END, 4) AS score
+                FROM assigned a JOIN probes p USING (centroid_id)
+                WHERE a.vec_id != p.query_id
+            )
+            SELECT query_id, rank, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
         "embedding_near_dupes": f"""
             WITH planes AS (SELECT * FROM (VALUES {_planes_sql()}) AS p(i, plane)),
             bucketed AS (
-                SELECT e.vec_id, e.embedding,
-                       CAST(sum(CASE WHEN list_dot_product(e.embedding, p.plane) >= 0
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+                       CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
                                      THEN 1 << p.i ELSE 0 END) AS INT) AS bucket
                 FROM embeddings e CROSS JOIN planes p
-                GROUP BY e.vec_id, e.embedding
+                GROUP BY e.vec_id, e.embedding::DOUBLE[]
             )
             SELECT id_a, id_b, cos FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

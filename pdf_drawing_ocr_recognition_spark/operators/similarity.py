@@ -3,6 +3,10 @@
 - ``brute_force_topk``: exact cosine top-k via broadcast of the (small) query
   set against the full corpus — the correctness baseline.  One pass, no
   shuffle on the corpus side; ranking via per-query window.
+- ``ivf_assign`` / ``ivf_topk``: IVF (inverted-list) ANN — vectors are
+  assigned to their best inner-product centroid (a small broadcast dim);
+  queries probe only their ``nprobe`` best lists.  nprobe = K reproduces
+  the exact brute-force answer.
 - ``ann_topk``: LSH-bucketed approximate search: corpus and queries are
   hashed to hyperplane sign-bit buckets; each query probes its own bucket
   plus every bucket at Hamming distance ≤ ``probes`` (multiprobe), and only
@@ -22,7 +26,7 @@ from itertools import combinations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplane_sign_bits
+from ..functions.vectors import cosine, dot, hyperplane_sign_bits
 
 
 def brute_force_topk(
@@ -99,6 +103,100 @@ def embedding_near_dupe_pairs(
             F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
         )
         .filter(F.col("cos") >= min_cosine)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    metric_round: int = 6,
+) -> DataFrame:
+    """IVF list assignment: each vector joins its best (inner-product) centroid.
+
+    The Faiss-IVF analogue on DataFrames: *centroids* is a small dim table
+    (K ≈ √N lists at scale) broadcast against the corpus; the affinity is the
+    sequential-fold dot product (rounded to ``metric_round`` so the DuckDB
+    twin agrees on near-ties), and the argmax is a per-vector window with
+    centroid-id
+    tie-break — fully deterministic, no iterative k-means state.
+
+    At 10^9+ vectors this is one broadcast join plus a narrow window keyed by
+    the vector id; the assigned corpus is written once, bucketed by
+    ``centroid_id``, and every probe query then touches only its lists.
+
+    Returns (id, vec, centroid_id, affinity).
+    """
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("cvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        centroid_id_col,
+        F.round(dot(F.col(vec_col), F.col("cvec")), metric_round).alias("affinity"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("affinity"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric_round: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` best lists per query.
+
+    Same output schema as ``brute_force_topk``; with nprobe = K (all lists)
+    the result is *exactly* the brute-force answer — the standard IVF
+    recall/latency dial.  Queries are ranked against the centroid dim, then
+    joined to the assigned corpus on ``centroid_id``, so the scored candidate
+    set is the union of the probed inverted lists instead of the whole corpus.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, metric_round=metric_round)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.desc("q_affinity"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            F.round(dot(F.col("qvec"), F.col("cvec")), metric_round).alias("q_affinity"),
+        )
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    cand = assigned.join(probes, "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qvec"), F.col(vec_col)), metric_round).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
     )
 
 

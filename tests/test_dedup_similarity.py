@@ -121,3 +121,73 @@ class TestSimilarity:
             key = (r["query_id"], r["neighbor_id"])
             if key in exact:
                 assert r["score"] == exact[key]
+
+
+class TestIVF:
+    """IVF (inverted-list) ANN: deterministic centroid assignment + nprobe dial."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    @pytest.fixture(scope="class")
+    def cents(self, emb):
+        return emb.filter(F.col("vec_id") < 16)
+
+    def test_assignment_total_and_deterministic(self, emb, cents):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import ivf_assign
+
+        n = emb.count()
+        a = ivf_assign(emb, cents)
+        rows = a.groupBy("centroid_id").count().collect()
+        assert sum(r["count"] for r in rows) == n  # every vector lands in one list
+        assert all(0 <= r["centroid_id"] < 16 for r in rows)
+        # re-running yields the identical assignment (argmax tie-break fixed)
+        first = {r["vec_id"]: r["centroid_id"] for r in a.select("vec_id", "centroid_id").collect()}
+        second = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, cents).select("vec_id", "centroid_id").collect()}
+        assert first == second
+
+    def test_full_probe_equals_brute_force(self, emb, cents):
+        """nprobe = K (all lists) must reproduce the exact answer — the IVF
+        recall dial's boundary condition."""
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 4)
+        exact = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in brute_force_topk(emb, q, k=8).collect()
+        )
+        full = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+            for r in ivf_topk(emb, q, cents, k=8, nprobe=16).collect()
+        )
+        assert full == exact
+
+    def test_nprobe_recall_monotone(self, emb, cents):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 8)
+        exact_sets = {}
+        for r in brute_force_topk(emb, q, k=10).collect():
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        def recall(nprobe):
+            got = {}
+            for r in ivf_topk(emb, q, cents, k=10, nprobe=nprobe).collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            per_q = [
+                len(exact_sets[qid] & got.get(qid, set())) / len(exact_sets[qid])
+                for qid in exact_sets
+            ]
+            return sum(per_q) / len(per_q)
+
+        r4, r16 = recall(4), recall(16)
+        assert r16 == 1.0  # full probe is exhaustive
+        assert r4 <= r16 + 1e-9
+        assert r4 >= 0.2  # 4/16 lists of random centroids: nontrivial recall
