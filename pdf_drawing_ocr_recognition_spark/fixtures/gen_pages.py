@@ -397,6 +397,69 @@ def write_corpus(
     return path
 
 
+def _write_partitioned_shard(args) -> list[str]:
+    path, seed, lo, hi, idx = args
+    import os
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_day: dict[str, list] = defaultdict(list)
+    for row in gen_rows(hi, seed, start=lo):
+        by_day[row[1].strftime("%Y-%m-%d")].append(row)
+    out = []
+    for day, rows in sorted(by_day.items()):
+        urls, tss, htmls, texts, langs = zip(*rows)
+        table = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+        day_dir = os.path.join(path, f"day={day}")
+        os.makedirs(day_dir, exist_ok=True)
+        f = os.path.join(day_dir, f"part-{idx:04d}.parquet")
+        pq.write_table(table, f)
+        out.append(f)
+    return out
+
+
+def write_corpus_partitioned(
+    path: str, n_rows: int, seed: int = SEED, files: int = 8, workers: int | None = None
+) -> str:
+    """Write the corpus Hive-partitioned by ``day=YYYY-MM-DD`` (UTC day of
+    ``warc_ts``) — the plain-parquet analogue of an Iceberg ``days(warc_ts)``
+    hidden partition.  A time-ranged scan then prunes whole day directories
+    (PartitionFilters in the physical plan) before any file is opened, which
+    at 10^12 documents is the difference between touching one day and a year.
+
+    Same purity contract as ``write_corpus``: each (shard, day) file is a pure
+    function of (seed, row-index range), so regeneration is bit-identical.
+    """
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(path, exist_ok=True)
+    per = (n_rows + files - 1) // files
+    shards = [
+        (path, seed, f * per, min((f + 1) * per, n_rows), f)
+        for f in range(files)
+        if f * per < n_rows
+    ]
+    workers = workers or min(len(shards), os.cpu_count() or 8)
+    if workers <= 1:
+        for s in shards:
+            _write_partitioned_shard(s)
+    else:
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(_write_partitioned_shard, shards))
+    return path
+
+
 def write_patterns(path: str) -> str:
     """Write the pattern dimension as JSON (sources/pattern_registry reads it)."""
     import json

@@ -37,3 +37,27 @@ def read_pages(
     if until is not None:
         df = df.filter(F.col("warc_ts") < F.lit(until))
     return df
+
+
+def read_pages_partitioned(
+    spark: SparkSession,
+    path: str,
+    days: tuple[str, ...] | None = None,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Read a ``day=YYYY-MM-DD``-partitioned pages table with partition pruning.
+
+    The ``day`` predicate binds to the Hive partition column, so Catalyst
+    prunes whole directories at planning time (``PartitionFilters`` in the
+    scan node — asserted by tools/explain_plans.py); the ``lang`` predicate
+    is an ordinary pushed data filter.  This is the plain-parquet stand-in
+    for Iceberg's ``days(warc_ts)`` hidden partitioning named in SURVEY.md
+    §1.2 — on Iceberg the same pruning falls out of a ``warc_ts`` range
+    predicate with no explicit ``day`` column.
+    """
+    df = spark.read.schema(PAGES_SCHEMA + ", day STRING").parquet(path)
+    if days:
+        df = df.filter(F.col("day").isin(*days))
+    if langs:
+        df = df.filter(F.col("lang").isin(*langs))
+    return df

@@ -1,0 +1,59 @@
+"""day=-partitioned corpus layout (Iceberg days(warc_ts) analogue) + pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus_pair(tmp_path_factory):
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        write_corpus,
+        write_corpus_partitioned,
+    )
+
+    base = tmp_path_factory.mktemp("partitioned")
+    flat, part = str(base / "flat"), str(base / "bydays")
+    write_corpus(flat, 300, files=2)
+    write_corpus_partitioned(part, 300, files=2)
+    return flat, part
+
+
+def test_partitioned_layout_is_lossless(spark, corpus_pair):
+    """Same 300 rows, same urls, and day always equals the warc_ts UTC day."""
+    from pdf_drawing_ocr_recognition_spark.sources.pages import (
+        read_pages,
+        read_pages_partitioned,
+    )
+
+    flat, part = corpus_pair
+    p = read_pages_partitioned(spark, part)
+    f = read_pages(spark, flat)
+    assert p.count() == f.count() == 300
+    assert {r.url for r in p.select("url").collect()} == {
+        r.url for r in f.select("url").collect()
+    }
+    assert p.filter(F.date_format("warc_ts", "yyyy-MM-dd") != F.col("day")).count() == 0
+
+
+def test_day_filter_prunes_partitions(spark, corpus_pair):
+    """A day predicate must become a PartitionFilter (directory pruning at
+    planning time), not a post-scan filter — at 10^12 docs this is the
+    difference between scanning one day and the whole table."""
+    from pdf_drawing_ocr_recognition_spark.sources.pages import (
+        read_pages,
+        read_pages_partitioned,
+    )
+
+    flat, part = corpus_pair
+    day = "2025-01-03"
+    pruned = read_pages_partitioned(spark, part, days=(day,))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.split("\n") if "PartitionFilters" in l)
+    assert f"day#" in scan.split("PartitionFilters")[-1].split("PushedFilters")[0]
+    assert day in scan
+    expected = (
+        read_pages(spark, flat)
+        .filter(F.date_format("warc_ts", "yyyy-MM-dd") == day)
+        .count()
+    )
+    assert pruned.count() == expected > 0

@@ -48,6 +48,22 @@ def main() -> int:
     text_pruned = all("text" not in l.split("ReadSchema")[-1] for l in scan_line)
     checks.append(("extraction_pipeline", "html-only ReadSchema (text pruned)", text_pruned))
 
+    # day=-partitioned layout: the day predicate must prune directories at
+    # planning time (PartitionFilters), not filter rows after the scan
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        write_corpus_partitioned,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.pages import read_pages_partitioned
+
+    part_dir = tempfile.mkdtemp(prefix="plans_pages_part_")
+    write_corpus_partitioned(part_dir, 300, files=2)
+    grab(
+        "partitioned_day_scan",
+        read_pages_partitioned(spark, part_dir, days=("2025-01-03",)),
+        "PartitionFilters: [isnotnull(day",
+        "day#",
+    )
+
     grab("broadcast_pattern_join", em.q_broadcast_pattern_join(spark, sf), "BroadcastHashJoin")
     grab("anti_join_resume", em.q_anti_join_resume(spark, sf), "BroadcastHashJoin", "LeftAnti")
     # partial_sum below the exchange = map-side combine (codegen markers only
