@@ -528,6 +528,28 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling-hash scheme, SIGMOD'03): k-gram
+    md5s → sliding-window minima → distinct set, exploded to (doc_id, fp)
+    rows.  Hash stage materialized behind an exchange so the window minima
+    reuse it instead of recomputing per window."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        kgram_hashes,
+        winnow_minima,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(par)
+        .select("doc_id", kgram_hashes(F.col("text"), 8).alias("gh"))
+        .repartition(par, "doc_id")
+    )
+    return hashed.select(
+        "doc_id", F.explode(winnow_minima(F.col("gh"), 6)).alias("fp")
+    )
+
+
 def q_host_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4: two-phase salted aggregation under key skew (same result as a
     plain GROUP BY — the salt is an execution detail, which is the point)."""
@@ -556,6 +578,99 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price_cents).alias("sum_base_cents"),
             F.sum(disc_e4).alias("sum_disc_e4"),
         )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join: customer ⋈ orders ⋈ lineitem with
+    segment/date predicates, grouped revenue (exact e4 integer), top-10.
+    The customer side is broadcast (small after the segment filter); the
+    orders⋈lineitem join shuffles on orderkey — the natural key at scale."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_e4).alias("revenue_e4"))
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            _us(F.col("o_orderdate")).alias("orderdate_us"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join (region⋈nation⋈customer⋈orders⋈lineitem⋈
+    supplier, customer and supplier in the same nation) → revenue per nation.
+    Dims (region/nation/supplier) broadcast; the fact-side joins shuffle on
+    their keys and AQE handles any skew."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(disc_e4).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lang × source (rollup's sibling, Table B)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_percentile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of n_chars per lang (Spark `percentile`
+    == DuckDB `quantile_cont`: both (1-g)·a[k] + g·a[k+1] on sorted values)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("p75"),
+        F.max("n_chars").alias("p100"),
     )
 
 
@@ -719,8 +834,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "host_skew_counts": q_host_skew_counts,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "cube_metrics": q_cube_metrics,
+        "percentile_chars": q_percentile_chars,
         "window_tumbling_events": q_window_tumbling_events,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
@@ -1120,6 +1240,27 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
         """,
+        "winnow_fingerprints": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+                FROM documents WHERE doc_id < 100
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(0, length(s) - 7)),
+                           i -> md5(substr(s, i, 8))) AS gh
+                FROM norm
+            ), winnowed AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(0, len(gh) - 5)),
+                           i -> list_min(gh[i:i+5]))) AS fps
+                FROM hashed
+                WHERE len(gh) >= 6
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM winnowed
+        """,
         "host_skew_counts": """
             SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
             FROM documents GROUP BY source
@@ -1131,6 +1272,49 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
                    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, revenue_e4, orderdate_us, o_orderpriority FROM (
+                SELECT l.l_orderkey,
+                       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+                       epoch_us(o.o_orderdate) AS orderdate_us,
+                       o.o_orderpriority
+                FROM customer c
+                JOIN orders o ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+                GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            )
+            ORDER BY revenue_e4 DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+                   count(*) AS n_lineitems
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "cube_metrics": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "percentile_chars": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75,
+                   max(n_chars) AS p100
+            FROM documents GROUP BY lang
         """,
         "window_tumbling_events": """
             SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,

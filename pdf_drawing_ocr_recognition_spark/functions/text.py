@@ -97,3 +97,36 @@ def fingerprint(col: Column) -> Column:
     return F.md5(
         F.encode(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), "utf-8")
     )
+
+
+def kgram_hashes(col: Column, k: int = 8) -> Column:
+    """md5 of every character k-gram of the whitespace-normalized lowercase
+    text — stage 1 of winnowing.  Materialize this column (post-exchange)
+    before applying ``winnow_minima``, or Catalyst inlines the whole hash
+    array into every window's min (the ``window_minima`` caveat)."""
+    s = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    n_grams = F.length(s) - F.lit(k - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: F.md5(F.encode(F.substring(s, i, F.lit(k)), "utf-8")),
+    )
+
+
+def winnow_minima(hashes: Column, w: int = 6) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    scheme): the minimum hash of each sliding window of *w* consecutive k-gram
+    hashes, deduplicated and sorted.
+
+    Guarantees at least one shared fingerprint for any match of length
+    >= w + k - 1 with ~2/(w+1) sampling density — the standard local
+    document-fingerprint set for plagiarism/near-dup detection at corpus
+    scale.  Returns ARRAY<STRING>, empty when there are fewer than w k-grams.
+    """
+    n_windows = F.size(hashes) - F.lit(w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.when(n_windows >= 1, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<string>")
+    )

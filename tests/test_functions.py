@@ -113,3 +113,31 @@ def test_lang_guess_markers(spark):
     )
     got = [r[0] for r in df.select(lang_guess(F.col("text"))).collect()]
     assert got == ["en", "de", "und"]
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    """Winnowing guarantee (SIGMOD'03): any common substring of length
+    >= w + k - 1 (= 13 here) yields at least one shared fingerprint; and
+    unrelated texts share none."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        kgram_hashes,
+        winnow_minima,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "AAAA " + common + " BBBB"),
+        (1, "XXXX " + common + " YYYY"),
+        (2, "zq jv wk pf xd cb nm lr ts gh"),  # disjoint trigrams
+        (3, "shrt"),  # shorter than k: empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_minima(kgram_hashes(F.col("text"), 8), 6).alias("fps")
+        ).collect()
+    }
+    assert out[0] & out[1], "common 43-char substring must share a fingerprint"
+    assert not (out[0] & out[2])
+    assert out[3] == set()
