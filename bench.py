@@ -41,7 +41,8 @@ BENCH_QUERIES = [
 def ensure_corpus(n_rows: int) -> str:
     from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import write_corpus
 
-    path = os.path.join("fixtures_data", f"pages_bench_v2_{n_rows}")
+    # v3: quad (left/right box) pattern rows added to the generator
+    path = os.path.join("fixtures_data", f"pages_bench_v3_{n_rows}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         write_corpus(path, n_rows, files=32)

@@ -58,6 +58,13 @@ PATTERNS: dict[str, dict] = {
               "sub_imgs": _vslice_boxes(4, 4), "slices": 4},
     "fullpage": {"name": "fullpage", "prompt": "grid-ocr", "dpi": 450,
                  "sub_imgs": [], "slices": 1},
+    # 2x2 quadrants: the only pattern with non-trivial left/right bounds, so
+    # the x side of the truncating crop arithmetic (ref pdor/pdor_unit.py:201-202)
+    # is exercised on real pages, not just y slices
+    "quad": {"name": "quad", "prompt": "grid-ocr", "dpi": 900,
+             "sub_imgs": [[0.0, 50.0, 0.0, 50.0], [0.0, 50.0, 50.0, 100.0],
+                          [50.0, 100.0, 0.0, 50.0], [50.0, 100.0, 50.0, 100.0]],
+             "slices": 2, "layout": "quad"},
 }
 
 
@@ -141,6 +148,15 @@ def build_page_image(pattern: dict, sub_dicts: list) -> np.ndarray:
     max_len = max((len(t) for g in grids for r in g for t in r), default=1) or 1
     rasters = [encode_grid_image(g, n_rows, n_cols, max_len) for g in grids]
     slice_h, width = rasters[0].shape
+    if pattern.get("layout") == "quad":
+        # 2x2 tiling: boxes are pct quadrants, and both dims are even
+        # (2*slice_h, 2*width), so int(H*0.5)/int(W*0.5) land exactly on the
+        # tile seams — the x-crop twin of the vertical-slice alignment
+        page = np.full((2 * slice_h, 2 * width), 255, dtype=np.uint8)
+        for i, raster in enumerate(rasters[:n_boxes]):
+            r, c = divmod(i, 2)
+            page[r * slice_h : (r + 1) * slice_h, c * width : (c + 1) * width] = raster
+        return page
     page = np.full((slice_h * slices, width), 255, dtype=np.uint8)
     for i, raster in enumerate(rasters[:n_boxes]):
         page[i * slice_h : (i + 1) * slice_h, :] = raster
@@ -234,8 +250,9 @@ def _grid_payload(h: int) -> bytes:
     """One deterministic GRIDDOC payload; shape keyed off the hash."""
     variant = h % 10
     if variant < 4:
-        # single-page, multi-key dict → sub_{i}_{k} prefixes (ref :280-282)
-        name = ("grid2", "grid4")[h % 2]
+        # single-page, multi-key dict → sub_{i}_{k} prefixes (ref :280-282);
+        # a third use the quad pattern (left/right boxes → x-crop path)
+        name = ("grid2", "grid4", "quad")[h % 3]
         pattern = PATTERNS[name]
         subs = []
         for s in range(len(pattern["sub_imgs"])):
@@ -465,7 +482,7 @@ def write_patterns(path: str) -> str:
     import json
 
     clean = {
-        name: {k: v for k, v in p.items() if k != "slices"}
+        name: {k: v for k, v in p.items() if k not in ("slices", "layout")}
         for name, p in PATTERNS.items()
     }
     with open(path, "w", encoding="utf-8") as f:

@@ -384,3 +384,27 @@ class TestDeterminism:
         r1 = [extract_document(u, h, l, PATTERNS) for u, _, h, _, l in rows]
         r2 = [extract_document(u, h, l, PATTERNS) for u, _, h, _, l in rows]
         assert r1 == r2
+
+
+def test_quad_pattern_exercises_x_crop():
+    """quad pattern: 2x2 left/right boxes — the x side of the truncating crop
+    (ref pdor/pdor_unit.py:201-202) decodes each quadrant independently with
+    row-major sub_idx order (top-left, top-right, bottom-left, bottom-right)."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        PATTERNS,
+        build_griddoc,
+        build_page_image,
+    )
+    from pdf_drawing_ocr_recognition_spark.kernel.page import extract_document
+
+    subs = [{"a": "topleft"}, {"b": "topright"}, {"c": "botleft"}, {"d": "botright", "e": 7}]
+    payload = build_griddoc("quad", [build_page_image(PATTERNS["quad"], subs)])
+    out = extract_document("u", payload, "en", PATTERNS)
+    assert out["status"] == "ok"
+    assert [(s["idx"], s["fields"]) for s in out["spans"]] == [
+        (0, {"a": "topleft"}),
+        (1, {"b": "topright"}),
+        (2, {"c": "botleft"}),
+        (3, {"d": "botright", "e": "7"}),
+    ]
+    assert "sub_3_e: 7" in out["extracted_text"]
