@@ -327,24 +327,16 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: band-key equi-join (4 bands × 4 rows)."""
-    from pdf_drawing_ocr_recognition_spark.functions.dedup import (
-        lsh_band_keys,
-        minhash_sig_fold,
-        word_shingles,
-    )
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import lsh_band_keys
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    # Scale path: single-fold windowed MinHash (2 md5 per word-trigram shingle,
-    # 8 hex windows each → 16 hash fns; minhash_sig_fold docstring).  The
-    # repartitions (a) give the md5 stage full parallelism on a single-file
-    # input and (b) stop Catalyst from inlining the signature into each of the
-    # band keys downstream.
-    par = spark.sparkContext.defaultParallelism
-    sigs = (
-        docs.repartition(par)
-        .select("doc_id", minhash_sig_fold(word_shingles(F.col("text"), 3)).alias("sig"))
-        .repartition(par, "doc_id")
-    )
+    # Scale path: exploded windowed MinHash (one md5 per salt×word-trigram,
+    # hex windows + partial-min agg — all whole-stage codegen; see
+    # operators/dedup.minhash_signatures).  The groupBy exchange doubles as
+    # the barrier that stops Catalyst from inlining the signature expression
+    # into each band key downstream.
+    sigs = minhash_signatures(docs)
     banded = sigs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key")
     )

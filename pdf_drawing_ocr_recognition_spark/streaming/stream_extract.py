@@ -78,3 +78,36 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_windowed_stream_to_memory(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    schema: str = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+) -> None:
+    """Drain a file-source event stream through the watermarked window agg into
+    an append-mode memory sink, one file per micro-batch.
+
+    ``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow`` makes the watermark
+    advance between files, so late rows in later files are dropped exactly as
+    they would be on the live firehose, and only windows finalized by the
+    final watermark are emitted (open windows stay in state) — the
+    bounded-state guarantee the 100 TB/day ingest relies on.
+    """
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    q = (
+        windowed_event_counts(ev, window=window, watermark=watermark)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -62,3 +62,72 @@ class TestStreamingExtraction:
             .collect()
         }
         assert got == want
+
+
+class TestWatermarkLateData:
+    def test_late_rows_dropped_and_open_windows_held(self, spark, tmp_path):
+        """Real streaming watermark semantics: one file per micro-batch, so
+        the watermark advances between files — a row arriving after its
+        window passed the watermark is DROPPED, and windows newer than the
+        final watermark stay in state (never emitted in append mode)."""
+        import os
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_drawing_ocr_recognition_spark.streaming.stream_extract import (
+            run_windowed_stream_to_memory,
+        )
+
+        d = str(tmp_path / "ev_stream")
+        os.makedirs(d)
+
+        def write(name, rows, mtime):
+            ids, tss, users, types, vals = zip(*rows)
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(ids, pa.int64()),
+                        "ts": pa.array(tss, pa.timestamp("us")),
+                        "user_id": pa.array(users, pa.int64()),
+                        "event_type": pa.array(types, pa.string()),
+                        "value": pa.array(vals, pa.float64()),
+                    }
+                ),
+                f"{d}/{name}",
+            )
+            os.utime(f"{d}/{name}", (mtime, mtime))
+
+        t = lambda hh, mm: datetime(2025, 6, 1, hh, mm)
+        # Late-row filtering uses the watermark of the PREVIOUS micro-batch
+        # (one batch of grace; SPARK-40925 watermark propagation), eviction
+        # the current one — so the late row must arrive two batches after
+        # the rows that advanced the watermark past its window.
+        # file1: two rows in W00 ([00:00,01:00)) + one at 05:00
+        #        → watermark after batch0 = 05:00 - 2h = 03:00 (> W00 end)
+        write("f1.parquet", [
+            (1, t(0, 30), 1, "click", 1.0),
+            (2, t(0, 40), 1, "click", 1.0),
+            (3, t(5, 0), 1, "click", 1.0),
+        ], 1_000_000)
+        # file2: advances watermark to 07:00 (batch1 runs with 03:00)
+        write("f2.parquet", [(4, t(9, 0), 1, "click", 1.0)], 1_000_010)
+        # file3: LATE row for W00 — batch2's late filter is batch1's
+        # watermark (03:00) > W00 end → DROPPED; plus one more 09:xx row
+        write("f3.parquet", [
+            (5, t(0, 45), 1, "click", 1.0),
+            (6, t(9, 30), 1, "click", 1.0),
+        ], 1_000_020)
+
+        run_windowed_stream_to_memory(spark, d, "wm_sink")
+        out = {
+            (r["window_start_us"], r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM wm_sink").collect()
+        }
+        import calendar
+
+        us = lambda hh: calendar.timegm(datetime(2025, 6, 1, hh).timetuple()) * 1_000_000
+        assert out[(us(0), "click")] == 2, out  # late row 5 NOT counted
+        assert out[(us(5), "click")] == 1  # finalized once watermark passed 06:00
+        assert (us(9), "click") not in out  # open window held in state
