@@ -399,17 +399,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
-    from pdf_drawing_ocr_recognition_spark.functions.vectors import cosine
+    from pdf_drawing_ocr_recognition_spark.functions.vectors import dot, l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
+    # norms precomputed per vector (not per pair) and the 64-dim dot unrolled
+    # to a flat codegen sum — bit-identical to the fold, JIT-friendly sizes
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding"), 64).alias("_nq"),
     )
-    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    base = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding"), 64).alias("_nc")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    denom = F.col("_nq") * F.col("_nc")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("embedding"), 64) / denom
+    )
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col("embedding")), 4).alias("cos"),
+        F.round(cos, 4).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -440,7 +451,7 @@ def q_ivf_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 16)
-    assigned = ivf_assign(emb, cents, metric_round=4)
+    assigned = ivf_assign(emb, cents, metric_round=4, dim=64)
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("vec_id").alias("min_vec_id"),
@@ -454,7 +465,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 16)
     q = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, cents, k=10, nprobe=4, metric_round=4)
+    return ivf_topk(emb, q, cents, k=10, nprobe=4, metric_round=4, dim=64)
 
 
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +475,7 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dupe_pairs(emb, PLANES, min_cosine=0.3)
+    return embedding_near_dupe_pairs(emb, PLANES, min_cosine=0.3, dim=64)
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,6 +79,13 @@ def main() -> None:
     docs_per_s = n_docs / t_extract
 
     qmap = entrymod.queries()
+    # untimed warmup at sf0.001: compiles every plan's codegen classes and
+    # warms the JIT on the same generated code, so the timed sf0.1 pass
+    # measures execution, not cold compilation (which varies 2-3x on this
+    # host — see BENCH/BASELINE.md methodology)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in BENCH_QUERIES:
+        qmap[name](spark, warm_dir).count()
     for name in BENCH_QUERIES:
         t0 = time.time()
         qmap[name](spark, sf_dir).count()

@@ -13,8 +13,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two ARRAY<FLOAT/DOUBLE> columns."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential dot product of two ARRAY<FLOAT/DOUBLE> columns.
+
+    With *dim* known, unrolls to a flat left-associative sum of
+    ``element_at`` products — bit-identical to the fold (same add order,
+    ``(((0+v1)+v2)+...)``) but whole-stage codegen instead of the
+    interpreted higher-order ``F.aggregate`` path (see
+    memory/spark-graft-hof-jit: interpreted eval runs ~9x slower after any
+    mapInPandas job shared the JVM).  Without *dim*, falls back to the fold.
+    """
+    if dim:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+                "double"
+            )
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -22,7 +37,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            v = F.element_at(a, i).cast("double")
+            out = out + v * v
+        return F.sqrt(out)
     return F.sqrt(
         F.aggregate(
             a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
@@ -30,10 +51,10 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; 0.0 when either norm is zero."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b, dim) / denom)
 
 
 def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
@@ -45,6 +66,6 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(dot(vec, p, dim=len(plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket

@@ -26,7 +26,17 @@ from itertools import combinations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, hyperplane_sign_bits
+from ..functions.vectors import cosine, dot, hyperplane_sign_bits, l2_norm
+
+
+def _scored_cosine(d: "F.Column", na: "F.Column", nb: "F.Column") -> "F.Column":
+    """dot/(na*nb) with the same zero-guard and op order as functions.cosine,
+    but over precomputed norm columns — the norms are computed once per
+    vector instead of once per pair, and each expression stays small enough
+    for the JIT (a fully-unrolled cosine is ~256 element_at terms, whose
+    generated method exceeds the JIT threshold and runs interpreted)."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(d / denom)
 
 
 def brute_force_topk(
@@ -35,18 +45,33 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k of each query against the corpus (query set small)."""
+    """Exact cosine top-k of each query against the corpus (query set small).
+
+    Pass *dim* when the embedding width is known: the scorer unrolls to a
+    flat codegen expression instead of the interpreted fold (same bits).
+    """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col), dim).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col), dim).alias("_nc")
     )
     scored = (
-        corpus.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("score"),
+            F.round(
+                _scored_cosine(
+                    dot(F.col("qvec"), F.col(vec_col), dim), F.col("_nq"), F.col("_nc")
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -83,6 +108,7 @@ def embedding_near_dupe_pairs(
     min_cosine: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-comparison.
 
@@ -91,16 +117,24 @@ def embedding_near_dupe_pairs(
     work is sum-of-squares of bucket sizes, not corpus².  Returns
     (id_a < id_b, cos) pairs with cosine >= min_cosine.
     """
-    b = bucketize(corpus, planes, id_col, vec_col)
-    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    b = bucketize(corpus, planes, id_col, vec_col).withColumn(
+        "_n", l2_norm(F.col(vec_col), dim)
+    )
+    a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                 F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
+    c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                 F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
     return (
         a.join(c, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"),
+            F.round(
+                _scored_cosine(dot(F.col("va"), F.col("vb"), dim),
+                               F.col("_na"), F.col("_nb")),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= min_cosine)
     )
@@ -113,6 +147,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     metric_round: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector joins its best (inner-product) centroid.
 
@@ -136,7 +171,7 @@ def ivf_assign(
         id_col,
         vec_col,
         centroid_id_col,
-        F.round(dot(F.col(vec_col), F.col("cvec")), metric_round).alias("affinity"),
+        F.round(dot(F.col(vec_col), F.col("cvec"), dim), metric_round).alias("affinity"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("affinity"), F.asc(centroid_id_col))
     return (
@@ -155,6 +190,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric_round: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` best lists per query.
 
@@ -164,7 +200,7 @@ def ivf_topk(
     joined to the assigned corpus on ``centroid_id``, so the scored candidate
     set is the union of the probed inverted lists instead of the whole corpus.
     """
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, metric_round=metric_round)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, metric_round=metric_round, dim=dim)
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
@@ -172,25 +208,31 @@ def ivf_topk(
         F.desc("q_affinity"), F.asc("centroid_id")
     )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       l2_norm(F.col(vec_col), dim).alias("_nq"))
         .crossJoin(F.broadcast(c))
         .select(
             "query_id",
             "qvec",
+            "_nq",
             "centroid_id",
-            F.round(dot(F.col("qvec"), F.col("cvec")), metric_round).alias("q_affinity"),
+            F.round(dot(F.col("qvec"), F.col("cvec"), dim), metric_round).alias("q_affinity"),
         )
         .withColumn("_rn", F.row_number().over(qw))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qvec", "centroid_id")
+        .select("query_id", "qvec", "_nq", "centroid_id")
     )
-    cand = assigned.join(probes, "centroid_id").filter(
-        F.col(id_col) != F.col("query_id")
-    )
+    cand = assigned.withColumn("_nc", l2_norm(F.col(vec_col), dim)).join(
+        probes, "centroid_id"
+    ).filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), metric_round).alias("score"),
+        F.round(
+            _scored_cosine(dot(F.col("qvec"), F.col(vec_col), dim),
+                           F.col("_nq"), F.col("_nc")),
+            metric_round,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
