@@ -772,6 +772,27 @@ def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5 of the stable doc key → first
+    two hex nibbles → bucket 0..255 → 80/10/10 by bucket % 10.  The standard
+    leakage-free held-out split for training corpora — hash of content key,
+    never random(), so re-runs and engines agree row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    hexd = "0123456789abcdef"
+    nib1 = F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1
+    nib2 = F.position(F.substring(h, 2, 1), F.lit(hexd)) - 1
+    bucket = (nib1 * 16 + nib2) % 10
+    split = (
+        F.when(bucket == 0, F.lit("test"))
+        .when(bucket == 1, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split")).groupBy(
+        "split", "lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction operator over sf documents (mapInPandas kernel)."""
     from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
@@ -851,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
+        "hash_split": q_hash_split,
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
     }
@@ -1379,6 +1401,19 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": """
             SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "hash_split": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket = 0 THEN 'test'
+                        WHEN bucket = 1 THEN 'val'
+                        ELSE 'train' END AS split,
+                   lang, count(*) AS n_docs
+            FROM b GROUP BY 1, 2
         """,
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents

@@ -70,5 +70,5 @@ class TestRoundTrip:
 
         path = write_patterns(str(tmp_path / "p.json"))
         loaded = load_patterns(path)
-        assert set(loaded) == {"grid11", "grid2", "grid4", "fullpage"}
+        assert set(loaded) == {"grid11", "grid2", "grid4", "fullpage", "quad"}
         assert len(loaded["grid11"]["sub_imgs"]) == 11  # preset shape
