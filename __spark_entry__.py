@@ -468,6 +468,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, cents, k=10, nprobe=4, metric_round=4, dim=64)
 
 
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH multiprobe ANN top-10: each query (vec_id < 5) probes its own
+    hyperplane bucket plus every bucket at Hamming distance <= 2 (11 of 16
+    buckets), scoring only those candidates — the full SQL-checkable twin of
+    operators/similarity.ann_topk."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return ann_topk(emb, q, PLANES, k=10, probes=2, metric_round=4, dim=64)
+
+
 def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within hyperplane buckets (cos >= 0.3)."""
     from pdf_drawing_ocr_recognition_spark.operators.similarity import (
@@ -853,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ivf_assign_counts": q_ivf_assign_counts,
         "ivf_topk": q_ivf_topk,
+        "ann_multiprobe_topk": q_ann_multiprobe_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1192,6 +1205,33 @@ def oracle_sql() -> dict[str, str]:
                        round(CASE WHEN sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.embedding, a.embedding)) = 0 THEN 0.0 ELSE list_dot_product(p.qvec, a.embedding) / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(a.embedding, a.embedding))) END, 4) AS score
                 FROM assigned a JOIN probes p USING (centroid_id)
                 WHERE a.vec_id != p.query_id
+            )
+            SELECT query_id, rank, neighbor_id, score FROM (
+                SELECT query_id, neighbor_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        "ann_multiprobe_topk": f"""
+            WITH planes AS (SELECT * FROM (VALUES {_planes_sql()}) AS p(i, plane)),
+            bucketed AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+                       CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                                     THEN 1 << p.i ELSE 0 END) AS INT) AS bucket
+                FROM embeddings e CROSS JOIN planes p
+                GROUP BY e.vec_id, e.embedding::DOUBLE[]
+            ),
+            qprobe AS (
+                SELECT b.vec_id AS query_id, b.embedding AS qvec,
+                       xor(b.bucket, unnest([0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12])) AS bucket
+                FROM bucketed b WHERE b.vec_id < 5
+            ),
+            scored AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+                       round(CASE WHEN sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.embedding, c.embedding)) = 0 THEN 0.0 ELSE list_dot_product(q.qvec, c.embedding) / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(c.embedding, c.embedding))) END, 4) AS score
+                FROM bucketed c JOIN qprobe q USING (bucket)
+                WHERE c.vec_id != q.query_id
             )
             SELECT query_id, rank, neighbor_id, score FROM (
                 SELECT query_id, neighbor_id, score,

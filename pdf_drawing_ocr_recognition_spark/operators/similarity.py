@@ -250,20 +250,29 @@ def ann_topk(
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric_round: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH multiprobe approximate top-k (same output schema as brute force)."""
     n_planes = len(planes)
-    c = bucketize(corpus, planes, id_col, vec_col)
+    c = bucketize(corpus, planes, id_col, vec_col).withColumn(
+        "_nc", l2_norm(F.col(vec_col), dim)
+    )
     q = bucketize(queries, planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col), dim).alias("_nq"),
         F.explode(_probe_buckets(F.col("bucket"), n_planes, probes)).alias("bucket"),
     )
     cand = c.join(q, "bucket").filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("qvec"), F.col(vec_col)), 6).alias("score"),
+        F.round(
+            _scored_cosine(dot(F.col("qvec"), F.col(vec_col), dim),
+                           F.col("_nq"), F.col("_nc")),
+            metric_round,
+        ).alias("score"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
