@@ -118,15 +118,43 @@ def assemble_cells(boxes: list[tuple[int, int, int, int]]) -> list[list[tuple[in
     return [sorted(band, key=lambda b: b[2]) for band in bands]
 
 
+def majority_ink(ink: np.ndarray) -> np.ndarray:
+    """3x3-majority-voted ink mask (whole image, one pass).
+
+    Each pixel becomes the majority vote of its 3x3 neighborhood (edge pixels
+    vote over their clipped neighborhood against the same ≥5 threshold, like
+    the per-cell np.clip sampling this replaces — clipped rows/cols count
+    their edge pixel twice).  Computed ONCE per sub-image so the per-cell
+    decode is a plain strided lookup; the previous per-cell 9-way ``np.ix_``
+    accumulation dominated the deskewed-page profile.
+    """
+    h, w = ink.shape
+    padded = np.empty((h + 2, w + 2), dtype=np.int8)
+    padded[1:-1, 1:-1] = ink
+    padded[0, 1:-1] = ink[0]
+    padded[-1, 1:-1] = ink[-1]
+    padded[:, 0] = padded[:, 1]
+    padded[:, -1] = padded[:, -2]
+    acc = np.zeros((h, w), dtype=np.int8)
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            acc += padded[dy : dy + h, dx : dx + w]
+    return acc >= 5
+
+
 def decode_cell_text(
-    ink: np.ndarray, box: tuple[int, int, int, int], majority: bool = False
+    ink: np.ndarray,
+    box: tuple[int, int, int, int],
+    majority: bool = False,
+    maj: np.ndarray | None = None,
 ) -> str:
     """Decode one cell's bit-glyph columns back to its ASCII text.
 
     Vectorized: samples every glyph-block center at once (8 x max_chars
     matrix), packs bit columns to bytes, cuts at the first zero byte.
-    ``majority=True`` (deskewed rasters) votes over the 3x3 neighborhood of
-    each block center, absorbing the ±1 px jitter of NN rotation round-trips.
+    ``majority=True`` (deskewed rasters) samples the 3x3-majority-voted mask
+    (*maj*, precomputed per image via ``majority_ink``), absorbing the ±1 px
+    jitter of NN rotation round-trips.
     """
     y1, y2, x1, x2 = box
     top = y1 + CELL_PAD
@@ -143,30 +171,17 @@ def decode_cell_text(
         h_img, w_img = ink.shape
         for y in range(min(y1 + 2, h_img - 1), max(y1 - 4, -1), -1):
             seg = ink[y, max(x1, 0) : x2]
-            if seg.size and seg.mean() >= 0.9:
+            if seg.size and np.count_nonzero(seg) >= 0.9 * seg.size:
                 top = y + 1 + CELL_PAD
                 break
         for x in range(min(x1 + 2, w_img - 1), max(x1 - 4, -1), -1):
             seg = ink[max(y1, 0) : y2, x]
-            if seg.size and seg.mean() >= 0.9:
+            if seg.size and np.count_nonzero(seg) >= 0.9 * seg.size:
                 left = x + 1 + CELL_PAD
                 break
-        ys = top + BIT_PX // 2 + np.arange(CHAR_BITS) * BIT_PX
-        xs = left + BIT_PX // 2 + np.arange(max_chars) * BIT_PX
-        ys = ys[ys < y2]
-        xs = xs[xs < x2]
-        if len(ys) == 0 or len(xs) == 0:
-            return ""
-        acc = np.zeros((len(ys), len(xs)), dtype=np.int8)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                acc += ink[
-                    np.ix_(
-                        np.clip(ys + dy, 0, h_img - 1),
-                        np.clip(xs + dx, 0, w_img - 1),
-                    )
-                ]
-        sub = acc >= 5
+        if maj is None:
+            maj = majority_ink(ink)
+        sub = maj[top + BIT_PX // 2 : y2 : BIT_PX, left + BIT_PX // 2 : x2 : BIT_PX]
     else:
         sub = ink[top + BIT_PX // 2 : y2 : BIT_PX, left + BIT_PX // 2 : x2 : BIT_PX]
     bits = sub[:CHAR_BITS, :max_chars]
@@ -204,8 +219,11 @@ def decode_grid_image(gray: np.ndarray, jittered: bool = False) -> str:
     boxes = cell_bboxes(ink, pair_union=jittered)
     shuffled = sorted(boxes, key=lambda b: (b[2], b[0]))  # column-major scramble
     rows = assemble_cells(shuffled)
+    maj = majority_ink(ink) if jittered and rows else None
     return "\n".join(
-        "\t".join(decode_cell_text(ink, box, majority=jittered) for box in band)
+        "\t".join(
+            decode_cell_text(ink, box, majority=jittered, maj=maj) for box in band
+        )
         for band in rows
     )
 

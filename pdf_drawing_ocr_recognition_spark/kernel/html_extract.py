@@ -87,10 +87,15 @@ class _BlockTokenizer:
         self._anchor_depth = 0
 
     def _flush(self) -> None:
-        done = self._cur.finish()
+        cur = self._cur
+        in_boiler = self._boiler_depth > 0
+        if not cur.text_parts:  # nothing buffered: reuse the block object
+            cur.in_boiler = in_boiler
+            return
+        done = cur.finish()
         if done is not None:
             self.blocks.append(done)
-        self._cur = Block(in_boiler=self._boiler_depth > 0)
+        self._cur = Block(in_boiler=in_boiler)
 
     def _start(self, tag: str) -> None:
         if tag in _DROP_TAGS:
