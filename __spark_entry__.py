@@ -784,6 +784,43 @@ def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal (Rae et al. 2021 §A1.1):
+    top-bigram fraction per document — the standard repetitious-text filter
+    for training corpora (the documents fixture is single-line, so the
+    line-dup variant is degenerate here)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(words)
+    # top-bigram fraction via exploded bigrams + window max over counts
+    w = Window.partitionBy("doc_id").orderBy("_pos")
+    bigrams = (
+        docs.select("doc_id", F.posexplode(words).alias("_pos", "_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_w"), F.lead("_w", 1).over(w)).alias("bg"),
+            F.lead("_w", 1).over(w).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    base = docs.select("doc_id", n_words.alias("n_words"))
+    return base.join(bigrams, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(F.col("top_bigram_count") / F.col("n_bigrams")),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: md5 of the stable doc key → first
     two hex nibbles → bucket 0..255 → 80/10/10 by bucket % 10.  The standard
@@ -886,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
         "hash_split": q_hash_split,
+        "repetition_signals": q_repetition_signals,
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
     }
@@ -1441,6 +1479,28 @@ def oracle_sql() -> dict[str, str]:
         "distinct_counts": """
             SELECT source, count(DISTINCT lang) AS n_langs, count(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        "repetition_signals": """
+            WITH w AS (
+                SELECT doc_id, len(string_split(lower(text), ' ')) AS n_words,
+                       string_split(lower(text), ' ') AS words
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       words[i] || ' ' || words[i + 1] AS bg
+                FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)
+            ), counts AS (
+                SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+            ), agg AS (
+                SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+                FROM counts GROUP BY doc_id
+            )
+            SELECT w.doc_id, w.n_words,
+                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                   round(CASE WHEN COALESCE(agg.n_bigrams, 0) = 0 THEN 0.0
+                              ELSE agg.top_bigram_count / agg.n_bigrams END, 4)
+                       AS top_bigram_frac
+            FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
         """,
         "hash_split": """
             WITH b AS (
