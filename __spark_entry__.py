@@ -468,6 +468,18 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, cents, k=10, nprobe=4, metric_round=4, dim=64)
 
 
+def q_ivf_refined_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One relational Lloyd (k-means) iteration over the IVF lists: assign →
+    per-(centroid, position) rounded mean → reassign; list occupancy before
+    and after.  Fixed-iteration-count keeps the float means deterministic
+    enough (round 4) to oracle-check an *iterative* algorithm."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import ivf_refine_once
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    return ivf_refine_once(emb, cents, dim=64)
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH multiprobe ANN top-10: each query (vec_id < 5) probes its own
     hyperplane bucket plus every bucket at Hamming distance <= 2 (11 of 16
@@ -903,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign_counts": q_ivf_assign_counts,
         "ivf_topk": q_ivf_topk,
         "ann_multiprobe_topk": q_ann_multiprobe_topk,
+        "ivf_refined_counts": q_ivf_refined_counts,
         "embedding_near_dupes": q_embedding_near_dupes,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1250,6 +1263,49 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY score DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 10
+        """,
+        "ivf_refined_counts": """
+            WITH cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                          FROM embeddings WHERE vec_id < 16),
+            a0 AS (
+                SELECT vec_id, embedding, centroid_id FROM (
+                    SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            means AS (
+                SELECT centroid_id, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM a0
+            ),
+            m AS (
+                SELECT centroid_id, pos, round(avg(v), 4) AS mv
+                FROM means GROUP BY centroid_id, pos
+            ),
+            refined AS (
+                SELECT centroid_id, list(mv ORDER BY pos) AS cvec
+                FROM m GROUP BY centroid_id
+            ),
+            a1 AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT e.vec_id, r.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(e.embedding::DOUBLE[], r.cvec), 4) DESC,
+                                        r.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN refined r
+                ) WHERE rn = 1
+            ),
+            n0 AS (SELECT centroid_id, count(*) AS n_initial FROM a0 GROUP BY centroid_id),
+            n1 AS (SELECT centroid_id, count(*) AS n_refined FROM a1 GROUP BY centroid_id)
+            SELECT COALESCE(n0.centroid_id, n1.centroid_id) AS centroid_id,
+                   COALESCE(n0.n_initial, 0) AS n_initial,
+                   COALESCE(n1.n_refined, 0) AS n_refined
+            FROM n0 FULL OUTER JOIN n1 ON n0.centroid_id = n1.centroid_id
         """,
         "ann_multiprobe_topk": f"""
             WITH planes AS (SELECT * FROM (VALUES {_planes_sql()}) AS p(i, plane)),

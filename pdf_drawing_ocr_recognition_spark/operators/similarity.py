@@ -280,3 +280,56 @@ def ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def ivf_refine_once(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    mean_round: int = 4,
+) -> DataFrame:
+    """One Lloyd (k-means) iteration over the IVF lists, fully relational.
+
+    assign → per-(centroid, position) mean via posexplode + avg (map-side
+    partial aggregation; the classic MapReduce k-means step) → rebuild the
+    refined centroid vectors → reassign.  Means are rounded to *mean_round*
+    so the distributed float sum (whose addition order is partition-
+    dependent at ~1e-13 relative) collapses to one deterministic value on
+    every engine — which is what makes a *fixed number* of Lloyd iterations
+    oracle-checkable, unlike run-to-convergence.
+
+    Returns (centroid_id, n_initial, n_refined): list occupancy before and
+    after the refinement step.  At 10^9+ vectors each iteration is one
+    broadcast join + one narrow explode/agg — the standard scalable k-means.
+    """
+    a0 = ivf_assign(corpus, centroids, id_col, vec_col, metric_round=mean_round, dim=dim)
+    means = (
+        a0.select("centroid_id", F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+        .groupBy("centroid_id", "_pos")
+        .agg(F.round(F.avg(F.col("_v").cast("double")), mean_round).alias("_m"))
+    )
+    refined = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+        ).alias("cvec")
+    )
+    a1 = ivf_assign(
+        corpus,
+        refined.select(F.col("centroid_id").alias(id_col), F.col("cvec").alias(vec_col)),
+        id_col,
+        vec_col,
+        metric_round=mean_round,
+        dim=dim,
+    )
+    n0 = a0.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_initial"))
+    n1 = a1.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_refined"))
+    return (
+        n0.join(n1, "centroid_id", "full")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_initial"), F.lit(0)).alias("n_initial"),
+            F.coalesce(F.col("n_refined"), F.lit(0)).alias("n_refined"),
+        )
+    )

@@ -191,3 +191,17 @@ class TestIVF:
         assert r16 == 1.0  # full probe is exhaustive
         assert r4 <= r16 + 1e-9
         assert r4 >= 0.2  # 4/16 lists of random centroids: nontrivial recall
+
+    def test_lloyd_refinement_reassigns_all_vectors(self, emb, cents):
+        """One relational Lloyd step: every vector stays assigned (totals
+        conserved) and the refined lists actually move (first-K seed
+        centroids are far from the list means for random data)."""
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            ivf_refine_once,
+        )
+
+        n = emb.count()
+        rows = ivf_refine_once(emb, cents, dim=64).collect()
+        assert sum(r["n_initial"] for r in rows) == n
+        assert sum(r["n_refined"] for r in rows) == n
+        assert any(r["n_initial"] != r["n_refined"] for r in rows)
