@@ -871,6 +871,44 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages, PATTERNS).select("url", "status", "extracted_text")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling end-to-end in Spark (rows-only): build a
+    3-frame GRIDDOC container per document inside mapInPandas (real PNG
+    encode), then sample every 2nd frame (real parse + decode) — the
+    video-keyframe plumbing with true dimensions."""
+    import pandas as pd
+
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    def build(batches):
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            build_griddoc,
+            build_page_image,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pages = [
+                    build_page_image(
+                        PATTERNS["fullpage"], [{"text": f"d{doc_id}_f{i}"}]
+                    )
+                    for i in range(3)
+                ]
+                rows.append(
+                    {"doc_id": doc_id, "payload": build_griddoc("fullpage", pages)}
+                )
+            yield pd.DataFrame(rows)
+
+    blobs = docs.select("doc_id").mapInPandas(build, "doc_id LONG, payload BINARY")
+    return sample_frames(blobs, every_n=2).select(
+        "doc_id", "frame_idx", "width", "height"
+    )
+
+
 def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → typed metadata via mapInPandas
     (decode stubbed deterministically; schema/batching/partitioning real)."""
@@ -939,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 

@@ -25,6 +25,11 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "cosine_topk",
+    "ivf_topk",
+    "winnow_fingerprints",
+    "hash_split",
+    "shipping_priority",
+    "repetition_signals",
     "token_counts",
     "quality_scores",
     "lang_id",

@@ -74,3 +74,93 @@ def decode_metadata(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(run, META_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id LONG, orig_w INT, orig_h INT, new_w INT, new_h INT, payload BINARY"
+)
+
+
+def resize_images(blobs: DataFrame, max_side: int = 64) -> DataFrame:
+    """(doc_id, payload) → nearest-neighbor-downsampled PNG payloads.
+
+    REAL image processing (no stub): payloads from our PNG codec are decoded,
+    NN-resampled so the longer side is ≤ *max_side* (aspect preserved,
+    deterministic integer grid), and re-encoded.  Non-PNG payloads pass
+    through unchanged with zero new dims — the caller filters on them.
+    Arrow-batched mapInPandas; at scale this is the classic narrow
+    media-preprocessing stage (no shuffle, output smaller than input).
+    """
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+                    rows.append({"doc_id": doc_id, "orig_w": 0, "orig_h": 0,
+                                 "new_w": 0, "new_h": 0, "payload": payload})
+                    continue
+                img = decode_png(bytes(payload))
+                h, w = img.shape
+                scale = max(h, w) / max_side
+                if scale <= 1:
+                    nh, nw = h, w
+                    small = img
+                else:
+                    nh = max(1, int(h / scale))
+                    nw = max(1, int(w / scale))
+                    ys = (np.arange(nh) * (h / nh)).astype(int)
+                    xs = (np.arange(nw) * (w / nw)).astype(int)
+                    small = img[np.ix_(ys, xs)]
+                rows.append({"doc_id": doc_id, "orig_w": w, "orig_h": h,
+                             "new_w": nw, "new_h": nh,
+                             "payload": encode_png(small)})
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, width INT, height INT, frame BINARY"
+
+
+def sample_frames(containers: DataFrame, every_n: int = 2) -> DataFrame:
+    """(doc_id, payload GRIDDOC) → every n-th page/frame as its own row.
+
+    Frame sampling over our multi-page container format (the video-keyframe
+    analogue): parse the container, keep frames 0, n, 2n, ..., emit one row
+    per kept frame with true dimensions.  Non-container payloads yield no
+    rows.  This is the explode-shaped multimodal stage — row counts grow, so
+    it runs before any keyed shuffle.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.page import is_grid_payload, parse_grid_container
+        from ..kernel.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or not is_grid_payload(bytes(payload)):
+                    continue
+                try:
+                    _, frames = parse_grid_container(bytes(payload))
+                except Exception:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    img = decode_png(frames[idx])
+                    h, w = img.shape
+                    rows.append({"doc_id": doc_id, "frame_idx": idx,
+                                 "width": w, "height": h, "frame": frames[idx]})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "frame"],
+            )
+
+    return containers.mapInPandas(run, FRAME_SCHEMA)
