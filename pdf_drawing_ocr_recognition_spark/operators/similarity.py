@@ -173,11 +173,21 @@ def ivf_assign(
         centroid_id_col,
         F.round(dot(F.col(vec_col), F.col("cvec"), dim), metric_round).alias("affinity"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("affinity"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # argmax as max_by over a unique (affinity, -centroid_id) key: a hash
+    # aggregation with map-side partials instead of a sort-based window over
+    # the full (vectors x K) cross product — same deterministic winner
+    # (affinity desc, centroid_id asc), one less sort+shuffle of K copies
+    best = F.max_by(
+        F.struct(
+            F.col(centroid_id_col), F.col("affinity"), F.col(vec_col).alias("_v")
+        ),
+        F.struct(F.col("affinity"), (-F.col(centroid_id_col)).alias("_neg")),
+    ).alias("_b")
+    return scored.groupBy(id_col).agg(best).select(
+        id_col,
+        F.col(f"_b._v").alias(vec_col),
+        F.col(f"_b.{centroid_id_col}").alias(centroid_id_col),
+        F.col("_b.affinity").alias("affinity"),
     )
 
 
