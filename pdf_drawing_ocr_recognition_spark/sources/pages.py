@@ -61,3 +61,35 @@ def read_pages_partitioned(
     if langs:
         df = df.filter(F.col("lang").isin(*langs))
     return df
+
+
+def read_raw_files(
+    spark: SparkSession,
+    path_glob: str,
+    default_lang: str = "en",
+) -> DataFrame:
+    """Raw-file source: ``binaryFile`` datasource → the pages-table schema.
+
+    The reference consumes loose files by path (existence-guarded open,
+    pdor/pdor_unit.py:97-109); the Spark analogue is the built-in
+    ``binaryFile`` format, which scans a directory/glob into
+    (path, modificationTime, length, content) with partition-parallel reads
+    and pushable path filters.  Rows are mapped onto the input_hint schema —
+    ``url`` = file URI, ``warc_ts`` = file mtime, ``html`` = raw bytes — so
+    the same extraction pipeline runs unchanged over a parquet corpus or a
+    directory of scraped files.
+
+    Caveat (measured): the binaryFile datasource SKIPS zero-length files
+    (they yield no scan splits), so empty files never reach the pipeline's
+    'empty'-status path — unlike a parquet corpus row with empty ``html``.
+    The reference would raise PdorPDFReadError for such a file
+    (pdor/pdor_unit.py:104-109); audit missing-file expectations upstream.
+    """
+    raw = spark.read.format("binaryFile").load(path_glob)
+    return raw.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit("").alias("text"),
+        F.lit(default_lang).alias("lang"),
+    )

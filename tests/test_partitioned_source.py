@@ -57,3 +57,39 @@ def test_day_filter_prunes_partitions(spark, corpus_pair):
         .count()
     )
     assert pruned.count() == expected > 0
+
+
+def test_raw_binaryfile_source_feeds_extraction(spark, tmp_path):
+    """Loose files on disk (binaryFile datasource) run through the SAME
+    extraction pipeline as the parquet corpus — the reference's file-path
+    ingestion (pdor/pdor_unit.py:97-109) as a Spark scan."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        PATTERNS,
+        build_griddoc,
+        build_page_image,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+    from pdf_drawing_ocr_recognition_spark.sources.pages import read_raw_files
+
+    d = tmp_path / "rawfiles"
+    d.mkdir()
+    (d / "a.html").write_bytes(
+        b"<html><body><p>"
+        + b"alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu "
+        * 3
+        + b"</p></body></html>"
+    )
+    (d / "b.grid").write_bytes(
+        build_griddoc(
+            "fullpage",
+            [build_page_image(PATTERNS["fullpage"], [{"text": "rawfile"}])],
+        )
+    )
+    pages = read_raw_files(spark, str(d))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    out = {r["url"].rsplit("/", 1)[-1]: r for r in
+           extract_pages(pages, PATTERNS).collect()}
+    assert out["a.html"]["status"] == "ok"
+    assert "alpha beta gamma" in out["a.html"]["extracted_text"]
+    assert out["b.grid"]["status"] == "ok"
+    assert "sub_0: rawfile" in out["b.grid"]["extracted_text"]
