@@ -871,6 +871,47 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages, PATTERNS).select("url", "status", "extracted_text")
 
 
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix (explicit value list so the
+    output schema is static — the scalable form; unbounded pivots need a
+    distinct-values pass first)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+def q_map_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions end-to-end: build MAP<event_type, count> per user via
+    map_from_entries, then project sorted "k=v" entries through
+    map_keys/map_entries — MapType exercised for real, output canonical."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    entries = F.transform(
+        F.sort_array(F.map_entries(F.col("m"))),
+        lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+    )
+    return m.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).alias("n_kinds"),
+        F.concat_ws(",", entries).alias("stats"),
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling end-to-end in Spark (rows-only): build a
     3-frame GRIDDOC container per document inside mapInPandas (real PNG
@@ -975,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_docs": q_topk_docs,
         "hash_split": q_hash_split,
         "repetition_signals": q_repetition_signals,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "map_event_stats": q_map_event_stats,
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
         "multimodal_frames": q_multimodal_frames,
@@ -1596,6 +1639,25 @@ def oracle_sql() -> dict[str, str]:
                               ELSE agg.top_bigram_count / agg.n_bigrams END, 4)
                        AS top_bigram_frac
             FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        """,
+        "pivot_event_matrix": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "map_event_stats": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, count(*) AS n_kinds,
+                   array_to_string(list(event_type || '=' || CAST(c AS VARCHAR)
+                                        ORDER BY event_type), ',') AS stats
+            FROM c GROUP BY user_id
         """,
         "hash_split": """
             WITH b AS (
