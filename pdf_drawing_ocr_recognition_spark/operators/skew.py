@@ -44,3 +44,27 @@ def salted_host_counts(pages: DataFrame, salt_buckets: int = 16) -> DataFrame:
     )
     partial = salted.groupBy("host", "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy("host").agg(F.sum("_c").alias("n_pages"))
+
+
+def write_bucketed(
+    df,
+    table: str,
+    n_buckets: int = 32,
+    bucket_col: str = "url",
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a Hive-bucketed (+optionally sorted) managed table.
+
+    Bucketing is the write-once answer to repeated joins/aggregations on the
+    same key (task brief: "bucketing for co-located joins"): both sides of a
+    join bucketed by the key with equal bucket counts scan pre-hashed files,
+    so the join plans with NO Exchange on either side — at 100 TB that is
+    the difference between re-shuffling the corpus per query and never
+    shuffling it again.  Sorting within buckets additionally removes the
+    per-task sort of a sort-merge join.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

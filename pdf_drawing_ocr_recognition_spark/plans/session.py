@@ -43,6 +43,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # metastore artifacts (bucketed saveAsTable) stay out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/pdor_spark_warehouse"))
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/pdor_spark_metastore")
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

@@ -244,3 +244,30 @@ class TestMultimodal:
         assert {r["doc_id"] for r in rows} == {7}
         assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4]
         assert all(r["width"] > 0 and r["height"] > 0 for r in rows)
+
+
+class TestBucketedJoin:
+    def test_bucket_join_plans_without_exchange(self, spark, sf_dir):
+        """Two tables bucketed on the join key with equal bucket counts must
+        join with NO Exchange on either side (co-located join) — the
+        write-once / shuffle-never layout for repeated keyed joins."""
+        from pdf_drawing_ocr_recognition_spark.operators.skew import write_bucketed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_bucketed(
+            docs.select("doc_id", "lang"), "bkt_lang", 8, "doc_id", "doc_id"
+        )
+        write_bucketed(
+            docs.select("doc_id", "n_chars"), "bkt_chars", 8, "doc_id", "doc_id"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = spark.table("bkt_lang").join(spark.table("bkt_chars"), "doc_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS bkt_lang")
+            spark.sql("DROP TABLE IF EXISTS bkt_chars")
