@@ -93,3 +93,27 @@ def test_raw_binaryfile_source_feeds_extraction(spark, tmp_path):
     assert "alpha beta gamma" in out["a.html"]["extracted_text"]
     assert out["b.grid"]["status"] == "ok"
     assert "sub_0: rawfile" in out["b.grid"]["extracted_text"]
+
+
+def test_partitioned_corpus_extracts_identically(spark, corpus_pair):
+    """Extraction over the day=-partitioned layout is byte-identical to the
+    flat layout (partitioning is a storage detail, never a semantic one)."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
+    from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+    from pdf_drawing_ocr_recognition_spark.sources.pages import (
+        read_pages,
+        read_pages_partitioned,
+    )
+
+    flat, part = corpus_pair
+    a = {
+        r["url"]: (r["status"], r["extracted_text"])
+        for r in extract_pages(read_pages(spark, flat), PATTERNS).collect()
+    }
+    b = {
+        r["url"]: (r["status"], r["extracted_text"])
+        for r in extract_pages(
+            read_pages_partitioned(spark, part).drop("day"), PATTERNS
+        ).collect()
+    }
+    assert a == b and len(a) == 300
