@@ -72,6 +72,12 @@ def main() -> int:
     grab("minhash_lsh_pairs", em.q_minhash_lsh_pairs(spark, sf), "Exchange")
     grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
     grab("cosine_topk", em.q_cosine_topk(spark, sf), "BroadcastNestedLoopJoin")
+    # IVF argmax must be an aggregate (max_by), not a sort-based window
+    ivf_plan_df = em.q_ivf_assign_counts(spark, sf)
+    grab("ivf_assign_counts", ivf_plan_df, "max_by", "BroadcastNestedLoopJoin")
+    ivf_plan = sections[-1][1]
+    checks.append(("ivf_assign_counts", "no Window (argmax is an agg)", "Window" not in ivf_plan))
+    grab("pivot_event_matrix", em.q_pivot_event_matrix(spark, sf), "HashAggregate", "partial_pivotfirst")
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
