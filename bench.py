@@ -59,7 +59,9 @@ def ensure_corpus(n_rows: int) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES_ROWS", "20000"))
+    # 60k pages: large enough that worker spin-up (~4-6s) stops dominating
+    # the docs/s headline (scaling runs use 160k; see BENCH/BASELINE.md)
+    n_pages = int(os.environ.get("BENCH_PAGES_ROWS", "60000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     corpus = ensure_corpus(n_pages)
