@@ -871,6 +871,28 @@ def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages, PATTERNS).select("url", "status", "extracted_text")
 
 
+def q_json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions end-to-end: from_json with an explicit schema →
+    struct field math → to_json round-trip (the normalized relational twin
+    of the reference's Python-literal parse, SURVEY.md A16)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod10"),
+        # NULL k (malformed / missing key) must round-trip to NULL on both
+        # engines (Spark's to_json would emit '{}', DuckDB's concat NULL)
+        F.when(
+            F.col("p.k").isNotNull(),
+            F.to_json(F.struct(F.col("p.k").alias("k"))),
+        ).alias("rt"),
+    )
+
+
 def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix (explicit value list so the
     output schema is static — the scalable form; unbounded pivots need a
@@ -982,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": q_anti_join_resume,
         "sub_key_prefix": q_sub_key_prefix,
         "flatten_dotted": q_flatten_dotted,
+        "json_struct_extract": q_json_struct_extract,
         "cell_row_assembly": q_cell_row_assembly,
         "exact_dedup": q_exact_dedup,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
@@ -1639,6 +1662,15 @@ def oracle_sql() -> dict[str, str]:
                               ELSE agg.top_bigram_count / agg.n_bigrams END, 4)
                        AS top_bigram_frac
             FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        """,
+        "json_struct_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INT) AS k,
+                   CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod10,
+                   CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                        THEN '{"k":' || json_extract(props, '$.k') || '}'
+                   END AS rt
+            FROM events
         """,
         "pivot_event_matrix": """
             SELECT user_id,
