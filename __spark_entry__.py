@@ -741,6 +741,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (Table B hash/sort-merge/RANGE/as-of row): lineitems shipped
+    within 30 days of their order's date — an equi-join on the key carrying a
+    non-equi date-range predicate (plans as SMJ/BHJ with the range as a
+    post-join condition; at scale the equi key keeps it shuffle-bounded)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 30)),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipped_30d"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents_30d"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (built-in session_window; 12h gap) — the
     batch twin of the streaming sessionizer (streaming/sessionize.py)."""
@@ -1032,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_chars": q_percentile_chars,
         "window_tumbling_events": q_window_tumbling_events,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "session_windows": q_session_windows,
         "near_dedup_survivors": q_near_dedup_survivors,
         "set_ops": q_set_ops,
@@ -1591,6 +1611,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_shipped_30d,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents_30d
+            FROM lineitem l
+            JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+            GROUP BY o.o_orderpriority
         """,
         "session_windows": """
             WITH flagged AS (
