@@ -752,7 +752,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (F.col("l_orderkey") == F.col("o_orderkey"))
         & (F.col("l_shipdate") >= F.col("o_orderdate"))
-        & (F.col("l_shipdate") < F.date_add(F.col("o_orderdate"), 30)),
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_shipped_30d"),
@@ -948,7 +951,7 @@ def q_map_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "user_id",
-        F.size(F.map_keys(F.col("m"))).alias("n_kinds"),
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_kinds"),
         F.concat_ws(",", entries).alias("stats"),
     )
 
@@ -1188,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "broadcast_pattern_join": f"""
-            SELECT dim.dpi, count(*) AS n_docs, sum(d.n_chars) AS total_chars
+            SELECT dim.dpi, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
             FROM documents d
             JOIN (VALUES {_dim_values_sql()}) AS dim(source, dpi)
               ON d.source = dim.source
@@ -1209,7 +1212,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "rollup_doc_metrics": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "posexplode_tokens": """
@@ -1527,7 +1530,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": """
             WITH norm AS (
                 SELECT doc_id,
-                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
                 FROM documents WHERE doc_id < 100
             ), hashed AS (
                 SELECT doc_id,
@@ -1546,21 +1549,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, unnest(fps) AS fp FROM winnowed
         """,
         "host_skew_counts": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
                    count(*) AS count_order,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "shipping_priority": """
             SELECT l_orderkey, revenue_e4, orderdate_us, o_orderpriority FROM (
                 SELECT l.l_orderkey,
-                       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+                       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                        epoch_us(o.o_orderdate) AS orderdate_us,
                        o.o_orderpriority
                 FROM customer c
@@ -1576,7 +1579,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "local_supplier_volume": """
             SELECT n.n_name,
-                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS revenue_e4,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
                    count(*) AS n_lineitems
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -1589,7 +1592,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n.n_name
         """,
         "cube_metrics": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY CUBE(lang, source)
         """,
         "percentile_chars": """
@@ -1603,7 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "window_tumbling_events": """
             SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "asof_join": """
@@ -1615,7 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": """
             SELECT o.o_orderpriority,
                    count(*) AS n_shipped_30d,
-                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents_30d
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_30d
             FROM lineitem l
             JOIN orders o
               ON l.l_orderkey = o.o_orderkey
@@ -1638,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, epoch_us(min(ts)) AS session_start_us,
                    count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM sess GROUP BY user_id, sid
         """,
         "near_dedup_survivors": f"""
@@ -1684,7 +1687,8 @@ def oracle_sql() -> dict[str, str]:
             ), counts AS (
                 SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
             ), agg AS (
-                SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+                SELECT doc_id, max(c) AS top_bigram_count,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams
                 FROM counts GROUP BY doc_id
             )
             SELECT w.doc_id, w.n_words,

@@ -106,9 +106,14 @@ def kgram_hashes(col: Column, k: int = 8) -> Column:
     array into every window's min (the ``window_minima`` caveat)."""
     s = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
     n_grams = F.length(s) - F.lit(k - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: F.md5(F.encode(F.substring(s, i, F.lit(k)), "utf-8")),
+    # Guard: sequence(1, 0) evaluates DESCENDING to [1, 0] in Spark, which
+    # would emit two spurious hashes for text shorter than k; the DuckDB twin's
+    # generate_series(1, 0) is empty, so short texts must yield [] here too.
+    return F.when(n_grams < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.encode(F.substring(s, i, F.lit(k)), "utf-8")),
+        )
     )
 
 

@@ -88,6 +88,23 @@ def main() -> int:
             failures.append((name, f"rowcount {len(sdf)} vs {len(ddf)}"))
             print(f"FAIL  {name}: rowcount {len(sdf)} vs {len(ddf)}")
             continue
+        # Driver-hash hazard: DuckDB widens integer SUMs to HUGEINT (int128),
+        # which pandas fetches as float64/object while Spark gives int64 — the
+        # driver's value hash (unlike normalize() below) does NOT bridge that.
+        # Flag any column whose dtype *kind* differs between the two engines.
+        hazards = [
+            c
+            for c in sdf.columns
+            if sdf[c].dtype.kind in "iu" and ddf[c].dtype.kind not in "iu"
+        ]
+        if hazards:
+            failures.append((name, f"dtype hazard {hazards}"))
+            print(
+                f"FAIL  {name}: int-vs-{[str(ddf[c].dtype) for c in hazards]} dtype "
+                f"hazard on {hazards} (likely uncast DuckDB HUGEINT sum — wrap the "
+                f"outer aggregate in CAST(... AS BIGINT))"
+            )
+            continue
         a, b = normalize(sdf), normalize(ddf)
         if a != b:
             diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
