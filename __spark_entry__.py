@@ -398,35 +398,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
-    from pdf_drawing_ocr_recognition_spark.functions.vectors import dot, l2_norm
+    """Brute-force cosine top-10 for query vectors (vec_id < 5) — Arrow-batched
+    NumPy scorer with map-side partial top-k (bit-identical to the Column
+    fold; the 64-dim unrolled codegen twin exceeded the JIT method-size
+    threshold and cost ~24 s cold on the driver bench)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    # norms precomputed per vector (not per pair) and the 64-dim dot unrolled
-    # to a flat codegen sum — bit-identical to the fold, JIT-friendly sizes
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        l2_norm(F.col("embedding"), 64).alias("_nq"),
-    )
-    base = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding"), 64).alias("_nc")
-    )
-    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    denom = F.col("_nq") * F.col("_nc")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        dot(F.col("qvec"), F.col("embedding"), 64) / denom
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cos, 4).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "rank", "neighbor_id", "cos")
+    return brute_force_topk_arrow(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        round_to=4,
+        score_col="cos",
     )
 
 

@@ -69,3 +69,50 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
         bit = F.when(dot(vec, p, dim=len(plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + F.shiftleft(bit, i)
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# NumPy twins of the sequential folds — used by the Arrow-batched scorers in
+# operators/similarity.py.  np.cumsum accumulates strictly left-to-right
+# (out[i] = out[i-1] + x[i]), so its last element is BITWISE identical to the
+# left-associative fold above and to DuckDB's list_dot_product (asserted in
+# tests/test_dedup_similarity.py).  This matters because the big unrolled
+# codegen expressions (64-dim dot = ~192-op generated methods) exceed the
+# JVM JIT's compile threshold and run interpreted on cold sessions — the
+# NumPy kernel is compile-free and vectorized instead.
+# ---------------------------------------------------------------------------
+
+
+def seq_dot_np(a, b):
+    """Sequential-fold dot of two (n, d) float64 matrices → (n,) float64.
+
+    Bit-identical to ``dot`` (the Column fold/unroll) per row.
+    """
+    import numpy as np
+
+    if a.shape[0] == 0:
+        return np.zeros(0, dtype=np.float64)
+    if a.shape[1] == 0:
+        return np.zeros(a.shape[0], dtype=np.float64)
+    return np.cumsum(a * b, axis=1)[:, -1]
+
+
+def seq_norm_np(a):
+    """Sequential-fold L2 norm of an (n, d) float64 matrix → (n,) float64.
+
+    Bit-identical to ``l2_norm`` per row.
+    """
+    import numpy as np
+
+    return np.sqrt(seq_dot_np(a, a))
+
+
+def half_up_round_np(x, digits: int):
+    """Round-half-away-from-zero, the same direction as Spark's F.round and
+    DuckDB's round().  Used only for *candidate selection* inside Arrow
+    scorers (with slack); authoritative output rounding always happens in
+    Spark so engine semantics stay identical to the pre-Arrow plans."""
+    import numpy as np
+
+    scale = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale

@@ -25,8 +25,77 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 
-from ..functions.vectors import cosine, dot, hyperplane_sign_bits, l2_norm
+from ..functions.vectors import (
+    cosine,
+    dot,
+    half_up_round_np,
+    hyperplane_sign_bits,
+    l2_norm,
+    seq_dot_np,
+    seq_norm_np,
+)
+
+
+def _stack_f64(series):
+    """Column of ARRAY<FLOAT/DOUBLE> (pandas Series of np arrays) → (n, d)
+    float64 matrix.  float32→float64 widening is exact, matching the
+    per-element cast in the Column fold and ``embedding::DOUBLE[]`` in the
+    DuckDB twins."""
+    import numpy as np
+
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _with_seq_dot(df: DataFrame, a_col: str, b_col: str, out_col: str) -> DataFrame:
+    """Append the RAW sequential-fold dot(a, b) as *out_col* via an
+    Arrow-batched NumPy kernel (mapInPandas).
+
+    Bit-identical to ``functions.vectors.dot`` (cumsum is a strict
+    left-to-right accumulation) but compile-free: the 64-dim unrolled Column
+    expression generates a ~192-op method that exceeds the JVM JIT threshold
+    and runs interpreted on cold sessions (24 s on the driver's cold bench vs
+    <1 s here).  Authoritative rounding stays in Spark (F.round downstream),
+    so engine round semantics are unchanged."""
+    schema = StructType(df.schema.fields + [StructField(out_col, DoubleType())])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf[out_col] = seq_dot_np(_stack_f64(pdf[a_col]), _stack_f64(pdf[b_col]))
+            yield pdf
+
+    return df.mapInPandas(score, schema)
+
+
+def _with_pair_scores(
+    df: DataFrame, a_col: str, b_col: str, dot_col: str, na_col: str, nb_col: str
+) -> DataFrame:
+    """Append raw dot(a,b) plus the two L2 norms in ONE Arrow pass — the
+    candidate-scoring kernel shared by the IVF/LSH top-k operators."""
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField(dot_col, DoubleType()),
+            StructField(na_col, DoubleType()),
+            StructField(nb_col, DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = _stack_f64(pdf[a_col])
+            b = _stack_f64(pdf[b_col])
+            pdf[dot_col] = seq_dot_np(a, b)
+            pdf[na_col] = seq_norm_np(a)
+            pdf[nb_col] = seq_norm_np(b)
+            yield pdf
+
+    return df.mapInPandas(score, schema)
 
 
 def _scored_cosine(d: "F.Column", na: "F.Column", nb: "F.Column") -> "F.Column":
@@ -79,6 +148,82 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    score_col: str = "score",
+    slack: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-batched NumPy scorer (the cold-fast twin of
+    ``brute_force_topk`` — same bits, no giant codegen classes).
+
+    The query set is collected to the driver (same smallness premise as the
+    broadcast in ``brute_force_topk``) and closed over by a mapInPandas
+    kernel that scores each corpus batch against every query and emits only
+    each batch's top (k + slack) candidates per query — the map-side partial
+    top-k that keeps the final per-query window over batches·(k+slack) rows
+    instead of the whole corpus.  Selection inside the kernel orders by
+    half-away-rounded score (the same direction Spark/DuckDB round), with
+    *slack* guarding the astronomically-unlikely ulp edge where NumPy's
+    rounding of a boundary value disagrees with Spark's BigDecimal rounding;
+    the emitted score is RAW and the authoritative F.round happens in Spark,
+    so the output bits match ``brute_force_topk`` exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qnorm = seq_norm_np(qmat)
+    keep = k + slack
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            e = _stack_f64(pdf[vec_col])
+            nc = seq_norm_np(e)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                d = seq_dot_np(e, np.broadcast_to(qmat[j], e.shape))
+                denom = qnorm[j] * nc
+                cos = np.where(denom == 0, 0.0, d / np.where(denom == 0, 1.0, denom))
+                mask = ids != qids[j]
+                cand_ids, cand_cos = ids[mask], cos[mask]
+                order = np.lexsort(
+                    (cand_ids, -half_up_round_np(cand_cos, round_to))
+                )[:keep]
+                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                out_n.append(cand_ids[order])
+                out_s.append(cand_cos[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "_raw": np.concatenate(out_s),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, _raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(score_col), F.asc("neighbor_id"))
+    return (
+        partial.select(
+            "query_id", "neighbor_id", F.round(F.col("_raw"), round_to).alias(score_col)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", score_col)
     )
 
 
@@ -167,11 +312,18 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("cvec")
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
+    # raw dot via the Arrow NumPy kernel (bit-identical to the unrolled fold,
+    # compile-free — see _with_seq_dot); authoritative rounding stays F.round
+    scored = _with_seq_dot(
+        corpus.select(id_col, vec_col).crossJoin(F.broadcast(c)),
+        vec_col,
+        "cvec",
+        "_rawdot",
+    ).select(
         id_col,
         vec_col,
         centroid_id_col,
-        F.round(dot(F.col(vec_col), F.col("cvec"), dim), metric_round).alias("affinity"),
+        F.round(F.col("_rawdot"), metric_round).alias("affinity"),
     )
     # argmax as max_by over a unique (affinity, -centroid_id) key: a hash
     # aggregation with map-side partials instead of a sort-based window over
@@ -218,29 +370,33 @@ def ivf_topk(
         F.desc("q_affinity"), F.asc("centroid_id")
     )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       l2_norm(F.col(vec_col), dim).alias("_nq"))
-        .crossJoin(F.broadcast(c))
+        _with_seq_dot(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            ).crossJoin(F.broadcast(c)),
+            "qvec",
+            "cvec",
+            "_rawq",
+        )
         .select(
             "query_id",
             "qvec",
-            "_nq",
             "centroid_id",
-            F.round(dot(F.col("qvec"), F.col("cvec"), dim), metric_round).alias("q_affinity"),
+            F.round(F.col("_rawq"), metric_round).alias("q_affinity"),
         )
         .withColumn("_rn", F.row_number().over(qw))
         .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "qvec", "_nq", "centroid_id")
+        .select("query_id", "qvec", "centroid_id")
     )
-    cand = assigned.withColumn("_nc", l2_norm(F.col(vec_col), dim)).join(
-        probes, "centroid_id"
-    ).filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.select(
+    cand = assigned.join(probes, "centroid_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    # one Arrow pass computes the raw dot and both norms for every candidate
+    scored = _with_pair_scores(cand, "qvec", vec_col, "_rawdot", "_nq", "_nc").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            _scored_cosine(dot(F.col("qvec"), F.col(vec_col), dim),
-                           F.col("_nq"), F.col("_nc")),
+            _scored_cosine(F.col("_rawdot"), F.col("_nq"), F.col("_nc")),
             metric_round,
         ).alias("score"),
     )

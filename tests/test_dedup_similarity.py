@@ -205,3 +205,93 @@ class TestIVF:
         assert sum(r["n_initial"] for r in rows) == n
         assert sum(r["n_refined"] for r in rows) == n
         assert any(r["n_initial"] != r["n_refined"] for r in rows)
+
+
+class TestArrowScorers:
+    """The Arrow/NumPy scorers must be BITWISE twins of the Column folds."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_seq_dot_np_is_bitwise_sequential_fold(self):
+        import numpy as np
+
+        from pdf_drawing_ocr_recognition_spark.functions.vectors import (
+            seq_dot_np,
+            seq_norm_np,
+        )
+
+        rng = np.random.default_rng(42)
+        a = rng.standard_normal((50, 64)).astype(np.float32).astype(np.float64)
+        b = rng.standard_normal((50, 64)).astype(np.float32).astype(np.float64)
+        d = seq_dot_np(a, b)
+        n = seq_norm_np(a)
+        for i in range(50):
+            acc = 0.0
+            for v in a[i] * b[i]:
+                acc = acc + v
+            assert d[i] == acc  # bitwise, not approx
+            acc2 = 0.0
+            for v in a[i] * a[i]:
+                acc2 = acc2 + v
+            assert n[i] == acc2**0.5
+
+    def test_arrow_topk_bitwise_matches_codegen_topk(self, emb):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            brute_force_topk,
+            brute_force_topk_arrow,
+        )
+
+        q = emb.filter(F.col("vec_id") < 5)
+        a = sorted(
+            tuple(r) for r in brute_force_topk_arrow(emb, q, k=10).collect()
+        )
+        b = sorted(
+            tuple(r) for r in brute_force_topk(emb, q, k=10, dim=64).collect()
+        )
+        assert a == b  # exact float equality: same fold bits, same rounding
+
+
+class TestMinhashShortDocs:
+    def test_driver_corpora_have_no_sub_trigram_docs(self, spark, sf_dir):
+        """minhash_signatures drops docs with <3 words (no shingles) while the
+        fold path gives them a NULL sig — the docstring's claim that no driver
+        corpus contains such a doc, asserted here."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_short = docs.filter(
+            F.size(F.split(F.lower(F.col("text")), " ")) < 3
+        ).count()
+        assert n_short == 0
+
+    def test_exploded_signature_equals_fold_signature(self, spark):
+        from pdf_drawing_ocr_recognition_spark.functions.dedup import (
+            minhash_sig_fold,
+            word_shingles,
+        )
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "one two three"),
+                (3, "the quick brown fox jumps over the lazy dog"),
+                (4, "ab"),  # <3 words: absent from exploded, NULL in fold
+            ],
+            "doc_id LONG, text STRING",
+        )
+        exploded = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in minhash_signatures(docs).collect()
+        }
+        fold = {
+            r["doc_id"]: (tuple(r["sig"]) if r["sig"] is not None else None)
+            for r in docs.select(
+                "doc_id", minhash_sig_fold(word_shingles(F.col("text"))).alias("sig")
+            ).collect()
+        }
+        assert 4 not in exploded and fold[4] is None
+        for k in (1, 2, 3):
+            assert exploded[k] == fold[k], k

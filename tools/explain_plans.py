@@ -71,7 +71,14 @@ def main() -> int:
     grab("pricing_summary", em.q_pricing_summary(spark, sf), "HashAggregate", "partial_sum")
     grab("minhash_lsh_pairs", em.q_minhash_lsh_pairs(spark, sf), "Exchange")
     grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
-    grab("cosine_topk", em.q_cosine_topk(spark, sf), "BroadcastNestedLoopJoin")
+    # Arrow scorer: corpus is mapInPandas-scored against driver-collected
+    # queries (no join at all), partial top-k map-side, final window tiny
+    grab("cosine_topk", em.q_cosine_topk(spark, sf), "MapInPandas")
+    cos_plan = sections[-1][1]
+    checks.append(
+        ("cosine_topk", "no per-pair join (scores in Arrow kernel)",
+         "NestedLoopJoin" not in cos_plan)
+    )
     # IVF argmax must be an aggregate (max_by), not a sort-based window
     ivf_plan_df = em.q_ivf_assign_counts(spark, sf)
     grab("ivf_assign_counts", ivf_plan_df, "max_by", "BroadcastNestedLoopJoin")
