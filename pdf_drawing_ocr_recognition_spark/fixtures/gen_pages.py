@@ -65,6 +65,43 @@ PATTERNS: dict[str, dict] = {
              "sub_imgs": [[0.0, 50.0, 0.0, 50.0], [0.0, 50.0, 50.0, 100.0],
                           [50.0, 100.0, 0.0, 50.0], [50.0, 100.0, 50.0, 100.0]],
              "slices": 2, "layout": "quad"},
+    # ---- exact shipped-preset geometries (box coordinates and dpi ARE the
+    # reference's spec — the heaviest real workloads; prompts are ours) ----
+    # 11 irregular boxes, dpi 1390 (ref pdor/pdor_pattern.py:229-245); note
+    # box idx 7 is strictly CONTAINED in box idx 8 — the overlap is part of
+    # the shipped geometry and is exercised as-is (the uncovered outer box
+    # fails its decode deterministically, like an unreadable crop would).
+    "preset11_lcp": {
+        "name": "preset11_lcp", "prompt": "grid-ocr breaker-panel wiring",
+        "dpi": 1390, "layout": "preset",
+        "sub_imgs": [
+            [34.45, 54.57, 7.44, 12.09],
+            [34.45, 67.89, 16.44, 21.48],
+            [34.45, 58.30, 25.41, 30.48],
+            [34.45, 67.89, 34.71, 39.72],
+            [34.45, 67.89, 43.71, 48.72],
+            [34.45, 64.16, 52.58, 57.62],
+            [34.45, 64.16, 61.58, 66.62],
+            [34.45, 58.84, 80.65, 85.43],
+            [34.45, 60.30, 79.58, 86.62],
+            [34.45, 44.64, 88.68, 93.64],
+            [47.73, 53.67, 88.68, 93.64],
+        ],
+    },
+    # 2 boxes, dpi 450 (ref pdor/pdor_pattern.py:280-285)
+    "preset2_tag": {
+        "name": "preset2_tag", "prompt": "grid-ocr terminal tags",
+        "dpi": 450, "layout": "preset",
+        "sub_imgs": [[5.60, 45.20, 47.52, 64.93],
+                     [5.60, 93.90, 74.45, 91.76]],
+    },
+    # 2 boxes, dpi 1200 (ref pdor/pdor_pattern.py:311-317)
+    "preset2_term": {
+        "name": "preset2_term", "prompt": "grid-ocr terminal strip left",
+        "dpi": 1200, "layout": "preset",
+        "sub_imgs": [[6.85, 81.44, 45.64, 48.94],
+                     [6.85, 86.81, 53.06, 56.39]],
+    },
 }
 
 
@@ -160,6 +197,96 @@ def build_page_image(pattern: dict, sub_dicts: list) -> np.ndarray:
     page = np.full((slice_h * slices, width), 255, dtype=np.uint8)
     for i, raster in enumerate(rasters[:n_boxes]):
         page[i * slice_h : (i + 1) * slice_h, :] = raster
+    return page
+
+
+def encode_grid_image_sized(
+    token_rows: list[list[str]], target_h: int, target_w: int
+) -> np.ndarray:
+    """Window-exact grid raster: like ``encode_grid_image`` but exactly
+    (target_h, target_w), distributing the slack into the LAST row's height
+    and LAST column's width.
+
+    The decoder reads glyphs from each cell's top-left + CELL_PAD and stops
+    at the first all-white glyph column, so oversize trailing cells decode
+    identically — which lets a raster fill an arbitrary crop window from the
+    truncating pct arithmetic (ref pdor/pdor_unit.py:199-204) with every rule
+    line spanning the window's full extent (LINE_FRACTION detection).
+    """
+    n_rows = len(token_rows)
+    n_cols = max(len(r) for r in token_rows)
+    max_len = max((len(t) for row in token_rows for t in row), default=1) or 1
+    cell_w = 2 * CELL_PAD + max_len * BIT_PX + BIT_PX
+    cell_h = 2 * CELL_PAD + GLYPH_H
+    nat_h = n_rows * cell_h + (n_rows + 1) * LINE_PX
+    nat_w = n_cols * cell_w + (n_cols + 1) * LINE_PX
+    if nat_h > target_h or nat_w > target_w:
+        raise ValueError(
+            f"grid {nat_h}x{nat_w} does not fit window {target_h}x{target_w}"
+        )
+    # line start offsets: regular lattice, final line flush with the far edge
+    ys = [i * (cell_h + LINE_PX) for i in range(n_rows)] + [target_h - LINE_PX]
+    xs = [j * (cell_w + LINE_PX) for j in range(n_cols)] + [target_w - LINE_PX]
+    img = np.full((target_h, target_w), 255, dtype=np.uint8)
+    for y in ys:
+        img[y : y + LINE_PX, :] = 0
+    for x in xs:
+        img[:, x : x + LINE_PX] = 0
+    for r, row in enumerate(token_rows):
+        cy = ys[r] + LINE_PX + CELL_PAD
+        for c, token in enumerate(row):
+            cx = xs[c] + LINE_PX + CELL_PAD
+            for j, ch in enumerate(token):
+                code = ord(ch)
+                if not 1 <= code <= 126:
+                    raise ValueError(f"token char out of range: {ch!r}")
+                for i in range(CHAR_BITS):
+                    if code & (1 << (CHAR_BITS - 1 - i)):
+                        y0 = cy + i * BIT_PX
+                        x0 = cx + j * BIT_PX
+                        img[y0 : y0 + BIT_PX, x0 : x0 + BIT_PX] = 0
+    return img
+
+
+def build_page_image_preset(
+    pattern: dict, sub_dicts: list, page_h: int, page_w: int
+) -> np.ndarray:
+    """Page for an IRREGULAR preset pattern: one window-exact grid raster per
+    box, pasted at the box's truncating-crop pixel window.
+
+    ``sub_dicts[i] = None`` leaves box *i*'s window unpainted (used for the
+    outer member of preset11_lcp's contained box pair, whose crop then fails
+    its decode deterministically — same behavior as an unreadable region).
+    Crop windows are computed with the SAME kernel arithmetic the extractor
+    uses (kernel/crop.crop_box), so each decode sees exactly its raster.
+    """
+    from ..kernel.crop import crop_box
+
+    page = np.full((page_h, page_w), 255, dtype=np.uint8)
+    # drawing-sheet frame: full-span border lines let the straight-page gate
+    # (kernel/page.maybe_deskew) see axis-aligned rule lines and skip the
+    # deskew estimate, like every other straight fixture page.  No preset box
+    # touches the page edge, so no crop window sees the frame.
+    page[:LINE_PX, :] = 0
+    page[-LINE_PX:, :] = 0
+    page[:, :LINE_PX] = 0
+    page[:, -LINE_PX:] = 0
+    for box, d in zip(pattern["sub_imgs"], sub_dicts):
+        if d is None:
+            continue
+        y1, y2, x1, x2 = crop_box(page_h, page_w, tuple(box))
+        tokens = d if isinstance(d, list) else dict_to_tokens(d)
+        try:
+            raster = encode_grid_image_sized(tokens, y2 - y1, x2 - x1)
+        except ValueError:
+            if isinstance(d, list):
+                raise
+            # narrow window (e.g. preset2_term's 3.3%-wide strips): fall back
+            # to one token per row — tall instead of wide, same literal
+            raster = encode_grid_image_sized(
+                dict_to_tokens(d, n_cols=1), y2 - y1, x2 - x1
+            )
+        page[y1:y2, x1:x2] = raster
     return page
 
 

@@ -133,12 +133,68 @@ def render_yaml(data: Dict[str, Any]) -> str:
     return yaml.dump(data, allow_unicode=True, default_flow_style=False)
 
 
+_TOML_ESCAPES = {
+    "\\": "\\\\", '"': '\\"', "\b": "\\b", "\t": "\\t",
+    "\n": "\\n", "\f": "\\f", "\r": "\\r",
+}
+
+
+def _toml_str(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in _TOML_ESCAPES:
+            out.append(_TOML_ESCAPES[ch])
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return '"' + "".join(out) + '"'
+
+
+def _toml_key(k: str) -> str:
+    return k if k and all(c.isalnum() or c in "_-" for c in k) and k.isascii() else _toml_str(k)
+
+
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return _toml_str(v)
+    if isinstance(v, list):
+        return "[" + "".join(f" {_toml_value(x)}," for x in v) + "]"
+    raise NotImplementedError(f"TOML value type {type(v).__name__}")
+
+
+def _toml_dumps(data: Dict[str, Any], prefix: str = "") -> str:
+    """Minimal TOML emitter in the layout of ``toml.dumps`` (scalars before
+    tables, ``[ a, b,]`` inline arrays, dotted section headers).  Covers the
+    value shapes the merge fold produces (str/int/float/bool/list/dict)."""
+    lines = []
+    tables = []
+    for k, v in data.items():
+        if isinstance(v, dict):
+            tables.append((k, v))
+        else:
+            lines.append(f"{_toml_key(k)} = {_toml_value(v)}")
+    out = "\n".join(lines) + ("\n" if lines else "")
+    for k, v in tables:
+        path = f"{prefix}.{_toml_key(k)}" if prefix else _toml_key(k)
+        out += f"[{path}]\n" + _toml_dumps(v, path)
+    return out
+
+
 def render_toml(data: Dict[str, Any]) -> str:
-    """TOML render (ref pdor/pdor_out.py:104-113); gated: toml may be absent."""
+    """TOML render (ref pdor/pdor_out.py:104-113).
+
+    Uses the ``toml`` package's ``dumps`` when importable (byte parity with
+    the reference); otherwise the built-in emitter above, whose output is
+    asserted to ``tomllib``-round-trip back to the same data (test_sinks)."""
     try:
         import toml
-    except ImportError as e:  # pragma: no cover - environment without toml
-        raise NotImplementedError("toml not installed in this environment") from e
+    except ImportError:
+        return _toml_dumps(data)
     return toml.dumps(data)
 
 

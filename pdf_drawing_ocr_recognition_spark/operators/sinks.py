@@ -6,8 +6,10 @@ dispatch becomes a writer registry; the recursive per-document formatters
 batch pass as extraction, so "write results as markdown/json/plaintext" is
 just ``df.write`` on the chosen column — no driver-side loops, no second scan.
 
-The simpsave INI sink is not ported (SURVEY.md non-goals); YAML/TOML are
-import-gated like the kernel renderers.
+The simpsave INI sink is not ported (SURVEY.md non-goals).  YAML requires
+pyyaml (present in this environment); TOML uses the toml package when
+importable and the kernel's built-in tomllib-round-trip-verified emitter
+otherwise — all 7 remaining reference formats dispatch for real.
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ from ..kernel.render import (
     render_markdown,
     render_plaintext,
     render_python,
+    render_toml,
     render_xml,
+    render_yaml,
 )
 
 RENDERERS = {
@@ -33,6 +37,8 @@ RENDERERS = {
     "markdown": render_markdown,
     "python": render_python,
     "xml": render_xml,
+    "yaml": render_yaml,
+    "toml": render_toml,
 }
 
 RENDER_SCHEMA_PREFIX = "url STRING"

@@ -70,5 +70,13 @@ class TestRoundTrip:
 
         path = write_patterns(str(tmp_path / "p.json"))
         loaded = load_patterns(path)
-        assert set(loaded) == {"grid11", "grid2", "grid4", "fullpage", "quad"}
+        assert set(loaded) == {
+            "grid11", "grid2", "grid4", "fullpage", "quad",
+            "preset11_lcp", "preset2_tag", "preset2_term",
+        }
         assert len(loaded["grid11"]["sub_imgs"]) == 11  # preset shape
+        # exact shipped-preset geometries (ref pdor/pdor_pattern.py:229-317)
+        assert len(loaded["preset11_lcp"]["sub_imgs"]) == 11
+        assert loaded["preset11_lcp"]["dpi"] == 1390
+        assert loaded["preset2_tag"]["dpi"] == 450
+        assert loaded["preset2_term"]["dpi"] == 1200

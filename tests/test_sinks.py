@@ -56,3 +56,54 @@ def test_write_results_layout(spark, extracted, tmp_path):
     renders = spark.read.parquet(f"{out}/renders")
     assert renders.columns == ["url", "render_json"]
     assert renders.count() == 40
+
+
+def test_yaml_render_reference_args_roundtrip(spark, extracted):
+    """A29: yaml.dump(allow_unicode=True, default_flow_style=False) — ref
+    pdor/pdor_out.py:83-92 — and safe_load round-trips the merged dict."""
+    import yaml
+
+    from pdf_drawing_ocr_recognition_spark.operators.sinks import render_results
+
+    ok = extracted.filter(F.col("status") == "ok").limit(30)
+    rows = render_results(ok, ("yaml", "json")).collect()
+    assert rows
+    for r in rows:
+        data = json.loads(r["render_json"])
+        assert yaml.safe_load(r["render_yaml"]) == data
+        # allow_unicode=True: non-ASCII must appear raw, never \x-escaped
+        assert "\\x" not in r["render_yaml"]
+        # default_flow_style=False: block style, no top-level inline mapping
+        assert not r["render_yaml"].startswith("{")
+
+
+def test_toml_render_tomllib_roundtrip(spark, extracted):
+    """A31: the TOML sink produces valid TOML carrying the same data
+    (tomllib is the stdlib parser; the toml writer package may be absent)."""
+    import tomllib
+
+    from pdf_drawing_ocr_recognition_spark.operators.sinks import render_results
+
+    ok = extracted.filter(F.col("status") == "ok").limit(30)
+    rows = render_results(ok, ("toml", "json")).collect()
+    assert rows
+    for r in rows:
+        assert tomllib.loads(r["render_toml"]) == json.loads(r["render_json"])
+
+
+def test_toml_emitter_shapes():
+    """Built-in emitter: nested tables, inline arrays, escapes, quoted keys."""
+    import tomllib
+
+    from pdf_drawing_ocr_recognition_spark.kernel.render import _toml_dumps
+
+    data = {
+        "a": 1,
+        "s": 'he said "hi"\nline2',
+        "识别": "结果",
+        "arr": [1, "two", 3.5, True],
+        "tbl": {"x": "y", "inner": {"z": 9}},
+    }
+    text = _toml_dumps(data)
+    assert tomllib.loads(text) == data
+    assert "[tbl]" in text and "[tbl.inner]" in text
