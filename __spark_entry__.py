@@ -375,7 +375,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup on a deterministic sample (3-gram sets)."""
+    """SAMPLED-CONFIRM stage only — n-gram Jaccard over a deterministic 1/25
+    sample via an all-pairs nested-loop join.  This shape is O(sample²) BY
+    CONSTRUCTION and must never run unsampled: the scale path computes the
+    same `functions.dedup.jaccard` over PRE-BANDED LSH candidates
+    (operators/dedup.near_dupe_pairs(min_jaccard=...), which joins on band
+    keys and is the operator a pipeline should call)."""
     from pdf_drawing_ocr_recognition_spark.functions.dedup import jaccard
 
     docs = (
@@ -862,6 +867,63 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data prep — the composition a 100-TB corpus run
+    actually executes, as ONE declarative plan: target-lang filter → quality
+    gate (composite score ≥ 0.5) → exact dedup (min doc_id per md5 digest)
+    → LSH near-dedup survivors → leakage-free hash split; per (split, lang)
+    doc counts + total chars.  Every stage is the library operator the
+    standalone queries exercise individually; Catalyst fuses the filters into
+    the scan and the whole thing shuffles only on digest, band_key and the
+    final group keys."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import quality_score
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        exact_dedupe,
+        near_dedupe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    passed = docs.filter(F.col("lang").isin("en", "zh", "de")).filter(
+        quality_score(F.col("text")) >= 0.5
+    )
+    survivors = near_dedupe(exact_dedupe(passed))
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    hexd = "0123456789abcdef"
+    nib1 = F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1
+    nib2 = F.position(F.substring(h, 2, 1), F.lit(hexd)) - 1
+    bucket = (nib1 * 16 + nib2) % 10
+    split = (
+        F.when(bucket == 0, F.lit("test"))
+        .when(bucket == 1, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        survivors.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — the EXISTS shape (TPC-H Q4 family): orders per
+    priority having at least one late-shipping discounted lineitem.  Plans as
+    a semi SMJ/BHJ on the order key with the range predicate post-join; the
+    semi form never duplicates the left side, so the count needs no DISTINCT
+    (the all-too-common inner-join + distinct anti-pattern at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.05)
+    hit = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def q_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction operator over sf documents (mapInPandas kernel)."""
     from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
@@ -1047,6 +1109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
         "hash_split": q_hash_split,
+        "training_prep": q_training_prep,
+        "semi_join_priority": q_semi_join_priority,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1712,6 +1776,54 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY event_type), ',') AS stats
             FROM c GROUP BY user_id
         """,
+        "training_prep": f"""
+            WITH passed AS (
+                SELECT doc_id, text, lang, n_chars
+                FROM (SELECT doc_id, text, lang, n_chars,
+                             ' ' || lower(text) || ' ' AS p
+                      FROM documents WHERE lang IN ('en', 'zh', 'de'))
+                WHERE round((
+                       (CASE WHEN {wc} >= 20 THEN 1.0 ELSE {wc} / 20.0 END) +
+                       (CASE WHEN {punct} <= 0.2 THEN 1.0
+                             ELSE greatest(0.0, 1.0 - ({punct} - 0.2) * 5) END) +
+                       (CASE WHEN {stop_ratio} >= 0.05 THEN 1.0
+                             ELSE {stop_ratio} / 0.05 END)
+                   ) / 3.0, 4) >= 0.5
+            ), base AS (
+                SELECT * FROM passed
+                WHERE doc_id IN (SELECT min(doc_id) FROM passed GROUP BY md5(text))
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM base)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), losers AS (
+                SELECT DISTINCT b.doc_id AS doc_id
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), survivors AS (
+                SELECT doc_id, lang, n_chars FROM base
+                WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            ), bkt AS (
+                SELECT lang, n_chars,
+                       ((strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10
+                           AS bucket
+                FROM survivors
+            )
+            SELECT CASE WHEN bucket = 0 THEN 'test'
+                        WHEN bucket = 1 THEN 'val'
+                        ELSE 'train' END AS split,
+                   lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM bkt GROUP BY 1, 2
+        """,
         "hash_split": """
             WITH b AS (
                 SELECT doc_id, lang,
@@ -1728,5 +1840,16 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "semi_join_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_discount >= 0.05
+                  AND l.l_shipdate > o.o_orderdate
+            )
+            GROUP BY o_orderpriority
         """,
     }

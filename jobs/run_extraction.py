@@ -24,6 +24,18 @@ def main(argv=None) -> int:
     parser.add_argument("--langs", default="en,zh,de")
     parser.add_argument("--master", default=None)
     parser.add_argument("--max-try", type=int, default=5)
+    parser.add_argument(
+        "--concurrency",
+        type=int,
+        default=1,
+        help="bucket jobs submitted concurrently from a bounded driver pool",
+    )
+    parser.add_argument(
+        "--iceberg",
+        action="store_true",
+        help="--pages is an Iceberg catalog table (requires the runtime jar "
+        "+ catalog confs; see ICEBERG.md), not a parquet path",
+    )
     args = parser.parse_args(argv)
 
     from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
@@ -37,13 +49,21 @@ def main(argv=None) -> int:
     patterns = load_patterns(args.patterns)
     langs = tuple(x for x in args.langs.split(",") if x)
 
-    pages = read_pages(spark, args.pages, langs=langs)
+    if args.iceberg:
+        from pdf_drawing_ocr_recognition_spark.sources.iceberg import (
+            read_pages_iceberg,
+        )
+
+        pages = read_pages_iceberg(spark, args.pages, langs=langs)
+    else:
+        pages = read_pages(spark, args.pages, langs=langs)
     result = run_with_manifest(
         spark,
         pages,
         lambda df: extract_pages(df, patterns, max_try=args.max_try),
         args.out,
         n_buckets=args.buckets,
+        max_concurrency=args.concurrency,
     )
     n = result.count()
     partition_metrics(pages).write.mode("overwrite").parquet(f"{args.out}/_metrics")

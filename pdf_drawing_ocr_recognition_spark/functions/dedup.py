@@ -190,7 +190,12 @@ def hamming16(a: Column, b: Column) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard of two string arrays: |a∩b| / |a∪b| (distinct semantics)."""
+    """Set Jaccard of two string arrays: |a∩b| / |a∪b| (distinct semantics).
+
+    Pairing discipline: only ever evaluate this over a CANDIDATE pair set
+    (LSH band-key join — operators/dedup.near_dupe_pairs — or an explicit
+    small sample).  An unbanded self-join scored with this function is a
+    cartesian product and will not survive any real corpus size."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

@@ -47,12 +47,36 @@ FULL_PAGE_BOX = [0.0, 100.0, 0.0, 100.0]  # ref pdor/pdor_pattern.py:73 default
 
 PLAINTEXT_HEADER = PLAINTEXT_TITLE + "\n" + "=" * 50 + "\n\n"
 
-# Exception-taxonomy analog (ref pdor/pdor_exception.py:10-171) as status enums.
+# Exception-taxonomy parity (ref pdor/pdor_exception.py:10-171).  All ten
+# reference classes, mapped to where each lives in this engine:
+#
+# | ref class                        | engine analogue                        |
+# |----------------------------------|----------------------------------------|
+# | PdorException (base)             | row-level status/error_kind columns    |
+# | PdorPDFNotExistError             | ERR_EMPTY_PAYLOAD (null/0-byte row);   |
+# |                                  |   missing input PATH → reader error    |
+# | PdorPDFReadError                 | ERR_PAGE_DECODE (every page raster     |
+# |                                  |   unreadable)                          |
+# | PdorImagifyError                 | ERR_BAD_CONTAINER (corrupt container)  |
+# | PdorUnparsedError                | manifest 'pending' state — reading     |
+# |                                  |   uncommitted buckets is impossible by |
+# |                                  |   construction (atomic dir rename)     |
+# | PdorParsedError                  | anti-join resume: re-parse is a NO-OP  |
+# |                                  |   by design (documented intent, A21)   |
+# | PdorOutUnsupportedTypeError      | ValueError('unsupported output type')  |
+# |                                  |   in operators/sinks.render_results    |
+# | PdorAttributeModificationError   | free: DataFrames/rows are immutable    |
+# | PdorMissingConfigError           | sources.pattern_registry.              |
+# |                                  |   MissingConfigError (load_patterns)   |
+# | PdorInvalidPatternError          | registry InvalidPatternError (build    |
+# |                                  |   time) + ERR_UNKNOWN_PATTERN (row)    |
+# | PdorLLMError                     | ERR_LLM (all sub-image decodes failed) |
 STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
 STATUS_FAILED = "failed"
 ERR_NONE = ""
-ERR_EMPTY_PAYLOAD = "EmptyPayload"      # ~ PdorPDFNotExistError/PDFReadError
+ERR_EMPTY_PAYLOAD = "EmptyPayload"      # ~ PdorPDFNotExistError
+ERR_PAGE_DECODE = "PageDecodeError"     # ~ PdorPDFReadError (no page readable)
 ERR_BAD_CONTAINER = "ImagifyError"      # ~ PdorImagifyError
 ERR_LLM = "LLMError"                    # ~ PdorLLMError (all sub-images failed)
 ERR_UNKNOWN_PATTERN = "InvalidPattern"  # ~ PdorInvalidPatternError
@@ -230,11 +254,13 @@ def _extract_grid(
     spans: list[dict] = []
     n_cells = 0
     n_failed = 0
+    n_pages_unreadable = 0
     for page_idx, png in enumerate(page_pngs):
         try:
             gray = decode_png(png)
         except Exception:
             n_failed += len(sub_imgs)
+            n_pages_unreadable += 1
             continue
         gray, jittered, _angle = maybe_deskew(gray)
         for sub_idx, box in enumerate(sub_imgs):
@@ -255,11 +281,18 @@ def _extract_grid(
                 n_failed += 1
 
     if not results:
-        # all sub-images failed → the reference raises PdorLLMError (ref :262-268)
+        # every page raster unreadable → PdorPDFReadError analogue
+        # (ref pdor/pdor_exception.py:48-59); otherwise all sub-images failed
+        # their decode/parse → PdorLLMError (ref pdor/pdor_unit.py:262-268)
+        kind = (
+            ERR_PAGE_DECODE
+            if page_pngs and n_pages_unreadable == len(page_pngs)
+            else ERR_LLM
+        )
         return {
             "url": url,
             "status": STATUS_FAILED,
-            "error_kind": ERR_LLM,
+            "error_kind": kind,
             "spans": [],
             "extracted_text": "",
             "n_cells": 0,

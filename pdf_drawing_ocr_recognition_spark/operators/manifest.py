@@ -86,12 +86,45 @@ def _commit_bucket(output_dir: str, bucket: int, n_rows: int, n_failed: int, wal
     os.replace(tmp, final)
 
 
+def _process_bucket(todo: DataFrame, bucket: int, extract_fn, output_dir: str) -> None:
+    """One restartable unit of work: filter → extract → write → commit.
+
+    Row/failure stats are collected DURING the write via ``Observation``
+    (accumulator-backed query metrics), so the bucket's data is scanned
+    exactly once — no post-write re-read of the parquet.
+    """
+    from pyspark.sql import Observation
+
+    t0 = time.time()
+    part = todo.filter(F.col("bucket") == bucket).drop("bucket")
+    result = extract_fn(part)
+    obs = Observation(f"bucket_{bucket}")
+    observed = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("status") == "failed").cast("long")).alias("nf"),
+    )
+    tmp_dir = os.path.join(output_dir, f".bucket={bucket}.tmp")
+    final_dir = os.path.join(output_dir, f"bucket={bucket}")
+    observed.write.mode("overwrite").parquet(tmp_dir)
+    stats = obs.get
+    if os.path.isdir(final_dir):
+        import shutil
+
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    _commit_bucket(
+        output_dir, bucket, stats["n"], stats["nf"] or 0, time.time() - t0
+    )
+
+
 def run_with_manifest(
     spark: SparkSession,
     pages: DataFrame,
     extract_fn,
     output_dir: str,
     n_buckets: int = 8,
+    max_concurrency: int = 1,
 ) -> DataFrame:
     """Run extraction bucket-by-bucket with manifest commits; returns results.
 
@@ -100,33 +133,30 @@ def run_with_manifest(
     committed buckets untouched; the next invocation processes only the
     left-anti remainder.  Bucket results land via directory rename so readers
     never observe half-written buckets.
+
+    ``max_concurrency > 1`` submits bucket jobs from a bounded driver thread
+    pool — Spark's scheduler interleaves their stages across the executors,
+    so stragglers in one bucket no longer serialize the whole run (the fix
+    for the driver-side sequential-loop scalability note).  Each bucket's
+    write + manifest commit stays independent and atomic, so kill/resume
+    semantics are unchanged at any concurrency.
     """
     manifest = read_manifest(spark, output_dir)
     todo = pending_inputs(pages, manifest, n_buckets)
-    buckets = [r["bucket"] for r in todo.select("bucket").distinct().collect()]
-    for bucket in sorted(buckets):
-        t0 = time.time()
-        part = todo.filter(F.col("bucket") == bucket).drop("bucket")
-        result = extract_fn(part)
-        tmp_dir = os.path.join(output_dir, f".bucket={bucket}.tmp")
-        final_dir = os.path.join(output_dir, f"bucket={bucket}")
-        result.write.mode("overwrite").parquet(tmp_dir)
-        stats = (
-            spark.read.parquet(tmp_dir)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum((F.col("status") == "failed").cast("long")).alias("nf"),
-            )
-            .collect()[0]
-        )
-        if os.path.isdir(final_dir):
-            import shutil
+    buckets = sorted(r["bucket"] for r in todo.select("bucket").distinct().collect())
+    if max_concurrency <= 1:
+        for bucket in buckets:
+            _process_bucket(todo, bucket, extract_fn, output_dir)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-            shutil.rmtree(final_dir)
-        os.replace(tmp_dir, final_dir)
-        _commit_bucket(
-            output_dir, bucket, stats["n"], stats["nf"] or 0, time.time() - t0
-        )
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            futures = [
+                pool.submit(_process_bucket, todo, b, extract_fn, output_dir)
+                for b in buckets
+            ]
+            for f in futures:
+                f.result()  # surface the first failure, after all complete
     return spark.read.option("basePath", output_dir).parquet(
         os.path.join(output_dir, "bucket=*")
     )

@@ -247,6 +247,21 @@ def bucketize(
     return df.withColumn("bucket", hyperplane_sign_bits(F.col(vec_col), planes))
 
 
+def expected_bucket_occupancy(n_vectors: int, n_planes: int) -> float:
+    """Expected vectors per hyperplane bucket: N / 2**planes (uniform model).
+
+    The inverse sizing rule: ``planes_for(N, target) = ceil(log2(N/target))``.
+    """
+    return n_vectors / float(2**n_planes)
+
+
+def planes_for_corpus(n_vectors: int, target_bucket: int = 1000) -> int:
+    """Plane count that keeps expected bucket occupancy ≤ *target_bucket*."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(1.0, n_vectors / target_bucket))))
+
+
 def embedding_near_dupe_pairs(
     corpus: DataFrame,
     planes: list[list[float]],
@@ -254,6 +269,8 @@ def embedding_near_dupe_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_vectors: int | None = None,
+    max_expected_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucketed self-comparison.
 
@@ -261,7 +278,25 @@ def embedding_near_dupe_pairs(
     embeddings share all sign bits with overwhelming probability), so the
     work is sum-of-squares of bucket sizes, not corpus².  Returns
     (id_a < id_b, cos) pairs with cosine >= min_cosine.
+
+    SIZING RULE (do not scale the plane count naively): expected bucket
+    occupancy is N / 2**len(planes), and per-bucket compare cost is
+    occupancy², so pick ``len(planes) ≈ log2(N / target_bucket)`` with
+    target_bucket in the 10²–10³ range — e.g. 10⁹ vectors want ~20–27 planes,
+    NOT the 4-plane/16-bucket default that fits the 10³-row test corpus.
+    ``expected_bucket_occupancy`` computes the estimate; the constructor
+    refuses plane sets whose expected occupancy exceeds ``max_expected_bucket``
+    so an under-planed call fails loudly instead of going quadratic.
     """
+    if n_vectors is not None:
+        occ = expected_bucket_occupancy(n_vectors, len(planes))
+        if occ > max_expected_bucket:
+            raise ValueError(
+                f"{len(planes)} planes give expected bucket occupancy "
+                f"{occ:.0f} > {max_expected_bucket} for {n_vectors} vectors — "
+                f"use >= {planes_for_corpus(n_vectors, max_expected_bucket)} "
+                f"planes (see sizing rule in the docstring)"
+            )
     b = bucketize(corpus, planes, id_col, vec_col).withColumn(
         "_n", l2_norm(F.col(vec_col), dim)
     )

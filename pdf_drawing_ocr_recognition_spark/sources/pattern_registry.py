@@ -16,7 +16,13 @@ FULL_PAGE = [0.0, 100.0, 0.0, 100.0]
 
 
 class InvalidPatternError(ValueError):
-    """Analog of PdorInvalidPatternError (ref pdor/pdor_exception.py)."""
+    """Analog of PdorInvalidPatternError (ref pdor/pdor_exception.py:146-157)."""
+
+
+class MissingConfigError(FileNotFoundError):
+    """Analog of PdorMissingConfigError (ref pdor/pdor_exception.py:132-143):
+    the pattern registry (the engine's config) is absent at the given path.
+    Subclasses FileNotFoundError so existing handlers keep working."""
 
 
 def validate_pattern(p: dict) -> dict:
@@ -48,9 +54,16 @@ def validate_pattern(p: dict) -> dict:
 
 
 def load_patterns(path: str) -> dict[str, dict]:
-    """Load + validate the registry JSON → {name: pattern}."""
-    with open(path, "r", encoding="utf-8") as f:
-        raw = json.load(f)
+    """Load + validate the registry JSON → {name: pattern}.
+
+    A missing registry file raises :class:`MissingConfigError` (ref
+    PdorMissingConfigError semantics: config absence is its own failure kind,
+    distinct from an invalid pattern)."""
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            raw = json.load(f)
+    except FileNotFoundError as e:
+        raise MissingConfigError(f"pattern registry not found: {path}") from e
     return {name: validate_pattern(p) for name, p in raw.items()}
 
 

@@ -295,3 +295,34 @@ class TestMinhashShortDocs:
         assert 4 not in exploded and fold[4] is None
         for k in (1, 2, 3):
             assert exploded[k] == fold[k], k
+
+
+class TestPlaneSizing:
+    def test_sizing_rule_tracks_corpus(self):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            expected_bucket_occupancy,
+            planes_for_corpus,
+        )
+
+        # 10^9 vectors / 1000-target → ~20 planes, and the chosen plane count
+        # actually achieves the target occupancy
+        for n in (10**6, 10**9, 10**12):
+            p = planes_for_corpus(n, 1000)
+            assert expected_bucket_occupancy(n, p) <= 1000
+            assert expected_bucket_occupancy(n, p - 1) > 1000 or p == 1
+        assert planes_for_corpus(10**9, 1000) == 20
+
+    def test_under_planed_call_fails_loudly(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            embedding_near_dupe_pairs,
+        )
+
+        df = spark.range(1).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        planes = [[1.0, 0.0], [0.0, 1.0]]  # 4 buckets
+        with pytest.raises(ValueError, match="planes"):
+            embedding_near_dupe_pairs(df, planes, n_vectors=10**9)
+        # adequate planing passes the guard (plan builds fine)
+        embedding_near_dupe_pairs(df, planes, n_vectors=1000).schema

@@ -408,3 +408,87 @@ def test_quad_pattern_exercises_x_crop():
         (3, {"d": "botright", "e": "7"}),
     ]
     assert "sub_3_e: 7" in out["extracted_text"]
+
+
+class TestErrorTaxonomyParity:
+    """A39: the ten reference exception classes (ref pdor/pdor_exception.py:
+    10-171) each have a live engine analogue — one fault-injection per kind
+    that has row/runtime semantics (the mapping table lives in kernel/page.py).
+    """
+
+    def test_page_decode_error_all_pages_unreadable(self):
+        # ~ PdorPDFReadError: valid container, every page PNG corrupt
+        import struct
+
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
+        from pdf_drawing_ocr_recognition_spark.kernel import extract_document
+        from pdf_drawing_ocr_recognition_spark.kernel.page import GRID_MAGIC
+
+        bad_png = b"\x89PNG-not-really"
+        name = b"fullpage"
+        doc = (GRID_MAGIC + struct.pack(">H", len(name)) + name
+               + struct.pack(">I", 2)
+               + (struct.pack(">I", len(bad_png)) + bad_png) * 2)
+        r = extract_document("u", doc, "en", PATTERNS)
+        assert r["status"] == "failed"
+        assert r["error_kind"] == "PageDecodeError"
+        assert r["n_subs_failed"] == 2
+
+    def test_mixed_unreadable_page_stays_llm_semantics(self):
+        # one good page + one corrupt page: results exist → ok; all-subs-fail
+        # with a READABLE page stays LLMError, not PageDecodeError
+        import struct
+
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            build_griddoc,
+            build_page_image,
+        )
+        from pdf_drawing_ocr_recognition_spark.kernel import extract_document
+        from pdf_drawing_ocr_recognition_spark.kernel.page import GRID_MAGIC
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+
+        good = build_page_image(PATTERNS["fullpage"], [{"text": "x"}])
+        png = encode_png(good)
+        bad = b"broken"
+        name = b"fullpage"
+        doc = (GRID_MAGIC + struct.pack(">H", len(name)) + name
+               + struct.pack(">I", 2)
+               + struct.pack(">I", len(png)) + png
+               + struct.pack(">I", len(bad)) + bad)
+        r = extract_document("u", doc, "en", PATTERNS)
+        assert r["status"] == "ok" and r["n_subs_failed"] == 1
+
+        err_img = build_page_image(PATTERNS["fullpage"], [[["Error:", "x"]]])
+        doc2 = build_griddoc("fullpage", [err_img])
+        r2 = extract_document("u", doc2, "en", PATTERNS)
+        assert r2["error_kind"] == "LLMError"
+
+    def test_missing_config_error(self):
+        # ~ PdorMissingConfigError; still catchable as FileNotFoundError
+        import pytest
+
+        from pdf_drawing_ocr_recognition_spark.sources.pattern_registry import (
+            MissingConfigError,
+            load_patterns,
+        )
+
+        with pytest.raises(MissingConfigError):
+            load_patterns("/nonexistent/patterns.json")
+        with pytest.raises(FileNotFoundError):
+            load_patterns("/nonexistent/patterns.json")
+
+    def test_taxonomy_enumerates_all_ten_reference_classes(self):
+        # the mapping table in kernel/page.py names every reference class
+        import inspect
+
+        from pdf_drawing_ocr_recognition_spark.kernel import page
+
+        src = inspect.getsource(page)
+        for cls in (
+            "PdorException", "PdorPDFNotExistError", "PdorPDFReadError",
+            "PdorImagifyError", "PdorUnparsedError", "PdorParsedError",
+            "PdorOutUnsupportedTypeError", "PdorAttributeModificationError",
+            "PdorMissingConfigError", "PdorInvalidPatternError", "PdorLLMError",
+        ):
+            assert cls in src, cls

@@ -117,6 +117,45 @@ class TestManifestResume:
         assert len(calls) == 1  # only the lost bucket re-ran
         assert got == want
 
+    def test_concurrent_buckets_match_sequential(self, spark, tmp_path):
+        """max_concurrency=4: same results, same manifest, same resume — the
+        pool only changes WHEN jobs run, never what they write."""
+        from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+        from pdf_drawing_ocr_recognition_spark.operators.manifest import (
+            read_manifest,
+            run_with_manifest,
+        )
+
+        pages = self._pages(spark, tmp_path)
+        fn = lambda df: extract_pages(df, PATTERNS)
+        seq_dir = str(tmp_path / "seq")
+        con_dir = str(tmp_path / "con")
+        seq = run_with_manifest(spark, pages, fn, seq_dir, n_buckets=4)
+        con = run_with_manifest(
+            spark, pages, fn, con_dir, n_buckets=4, max_concurrency=4
+        )
+        a = {r["url"]: r["extracted_text"] for r in seq.collect()}
+        b = {r["url"]: r["extracted_text"] for r in con.collect()}
+        assert a == b
+        m = {r["bucket"]: r for r in read_manifest(spark, con_dir).collect()}
+        assert len(m) == 4
+        # Observation-collected stats agree with the written data
+        for bucket, row in m.items():
+            n = spark.read.parquet(f"{con_dir}/bucket={bucket}").count()
+            assert row["n_rows"] == n
+
+        # fully-committed concurrent dir resumes to a no-op
+        calls = []
+
+        def counting_fn(df):
+            calls.append(1)
+            return fn(df)
+
+        run_with_manifest(
+            spark, pages, counting_fn, con_dir, n_buckets=4, max_concurrency=4
+        ).count()
+        assert len(calls) == 0
+
 
 class TestSkew:
     def test_salted_host_counts_equal_plain_groupby(self, spark, pages_small):
