@@ -79,6 +79,21 @@ def main() -> int:
         ("cosine_topk", "no per-pair join (scores in Arrow kernel)",
          "NestedLoopJoin" not in cos_plan)
     )
+    # end-to-end corpus-prep composition: lang+quality filters must reach the
+    # scan (pushed/fused, no separate Filter-over-everything stage), dedup
+    # joins stay semi/anti (never inner+distinct), one plan end to end
+    grab("training_prep", em.q_training_prep(spark, sf), "LeftSemi", "LeftAnti")
+    tp_plan = sections[-1][1]
+    checks.append(
+        ("training_prep", "lang filter pushed to scan",
+         "PushedFilters: [" in tp_plan and "lang" in tp_plan.split("PushedFilters:")[1][:200])
+    )
+    grab("semi_join_priority", em.q_semi_join_priority(spark, sf), "LeftSemi")
+    sj_plan = sections[-1][1]
+    checks.append(
+        ("semi_join_priority", "no distinct (semi join dedups by construction)",
+         "Distinct" not in sj_plan)
+    )
     # IVF argmax must be an aggregate (max_by), not a sort-based window
     ivf_plan_df = em.q_ivf_assign_counts(spark, sf)
     grab("ivf_assign_counts", ivf_plan_df, "max_by", "BroadcastNestedLoopJoin")
