@@ -151,7 +151,7 @@ def main() -> None:
                       "match_rate": f"{matched}/{total}"}, default=float))
 
     lines = [
-        "# BENCH/BASELINE.md — measured runs (SURVEY.md §6 targets)",
+        "# BENCH/scaling_latest.md — latest scaling run (fold into BASELINE.md by hand)",
         "",
         f"Job: extraction_pipeline (read pages → lang filter → mapInPandas kernel) over",
         f"{args.rows} synthesized pages ({size_mb:.1f} MB parquet, {n_docs} docs extracted),",
@@ -183,7 +183,9 @@ def main() -> None:
         "meets it raw; at 8→32 the HOST caps any process scale-up below the target",
         "(see hw ceiling) and the job tracks that ceiling.",
     ]
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    # latest-run report only — BASELINE.md is curated by hand (it keeps the
+    # cross-run median history, which a single run must never clobber)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_latest.md")
     with open(out, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
