@@ -907,6 +907,38 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word-rarity scoring — the two-pass shape of LM/perplexity
+    quality filters: pass 1 aggregates the corpus unigram frequency dim,
+    pass 2 joins it back onto the exploded words and scores each doc by its
+    rare-word count and mean word commonness.  All cross-row aggregation is
+    INTEGER (exact sums; one final division) so the score is deterministic
+    under any partitioning — no float sum-order dependence.  At scale the
+    frequency dim is vocabulary-sized (Zipf: ~10^6-10^7 rows even at 10^12
+    docs), so the scoring join broadcasts; the only big shuffles are the two
+    word-keyed aggregations, both with map-side partials."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    scored = words.join(F.broadcast(freq), "word")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum((F.col("n") <= 2).cast("long")).alias("n_rare"),
+            F.sum("n").alias("_sum_n"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_rare",
+            F.round(F.col("_sum_n") / F.col("n_words"), 4).alias("mean_word_freq"),
+        )
+    )
+
+
 def q_semi_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join — the EXISTS shape (TPC-H Q4 family): orders per
     priority having at least one late-shipping discounted lineitem.  Plans as
@@ -1111,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "training_prep": q_training_prep,
         "semi_join_priority": q_semi_join_priority,
+        "word_rarity_scores": q_word_rarity_scores,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1840,6 +1873,21 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "word_rarity_scores": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), f AS (
+                SELECT word, count(*) AS n FROM w GROUP BY word
+            )
+            SELECT doc_id, count(*) AS n_words,
+                   CAST(sum(CASE WHEN f.n <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare,
+                   round(CAST(sum(f.n) AS BIGINT) / count(*), 4)
+                       AS mean_word_freq
+            FROM w JOIN f USING (word)
+            GROUP BY doc_id
         """,
         "semi_join_priority": """
             SELECT o_orderpriority, count(*) AS n_orders

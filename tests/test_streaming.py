@@ -131,3 +131,77 @@ class TestWatermarkLateData:
         assert out[(us(0), "click")] == 2, out  # late row 5 NOT counted
         assert out[(us(5), "click")] == 1  # finalized once watermark passed 06:00
         assert (us(9), "click") not in out  # open window held in state
+
+
+class TestStreamingDedup:
+    def test_within_watermark_dropped_after_eviction_reemitted(self, spark, tmp_path):
+        """Bounded-state streaming dedup contract, under real micro-batches:
+        a duplicate within the watermark delay is DROPPED; once the watermark
+        evicts the digest's state, a later duplicate re-emits (the tradeoff
+        the downstream batch compaction cleans up)."""
+        import os
+        from datetime import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            run_dedup_stream_to_memory,
+        )
+
+        d = str(tmp_path / "docs_stream")
+        os.makedirs(d)
+
+        def write(name, rows, mtime):
+            urls, tss, texts = zip(*rows)
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array(urls, pa.string()),
+                        "warc_ts": pa.array(tss, pa.timestamp("us")),
+                        "text": pa.array(texts, pa.string()),
+                    }
+                ),
+                f"{d}/{name}",
+            )
+            os.utime(f"{d}/{name}", (mtime, mtime))
+
+        t = lambda hh, mm=0: datetime(2025, 6, 1, hh, mm)
+        # batch0: A, B seed the digest state; watermark stays early
+        write("f1.parquet", [
+            ("u/a1", t(0, 30), "content A"),
+            ("u/b1", t(0, 40), "content B"),
+        ], 1_000_000)
+        # batch1: duplicate of A arrives 50 min later — WITHIN the 2h delay
+        # of the kept row → dropped; the 12:00 row advances the watermark to
+        # 10:00, which evicts A's and B's digest state at batch end
+        write("f2.parquet", [
+            ("u/a2", t(1, 20), "content A"),
+            ("u/e1", t(12, 0), "content E"),
+        ], 1_000_010)
+        # batch2: filler keeps the stream moving (eviction certain by now)
+        write("f3.parquet", [("u/f1", t(12, 10), "content F")], 1_000_020)
+        # batch3: duplicate of B AFTER eviction → re-emitted (bounded state)
+        write("f4.parquet", [("u/b2", t(12, 30), "content B")], 1_000_030)
+
+        run_dedup_stream_to_memory(spark, d, "dedup_sink")
+        urls = sorted(
+            r["url"] for r in spark.sql("SELECT url FROM dedup_sink").collect()
+        )
+        assert "u/a2" not in urls           # in-watermark duplicate dropped
+        assert "u/b2" in urls               # post-eviction duplicate re-emits
+        assert {"u/a1", "u/b1", "u/e1", "u/f1"} <= set(urls)
+
+    def test_batch_compaction_cleans_streaming_residue(self, spark, tmp_path):
+        """Stream-ingest + batch-compact: exact_dedupe over the landed stream
+        output removes the post-eviction re-emits, one keeper per digest."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import exact_dedupe
+
+        landed = spark.createDataFrame(
+            [("u/a1", "content A"), ("u/b1", "content B"), ("u/b2", "content B")],
+            "url STRING, text STRING",
+        )
+        kept = sorted(
+            r["url"] for r in exact_dedupe(landed, key_col="url").collect()
+        )
+        assert kept == ["u/a1", "u/b1"]
