@@ -907,6 +907,30 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the corpus-MIXING primitive (keep
+    X% of each language/source stratum to hit a target data mix).  Rates are
+    hash-gated per row (md5 bucket < rate), never random(): re-runs, resumed
+    jobs and both engines keep the exact same rows, and the gate composes
+    with the train/val/test hash split without leakage (independent hash
+    salts).  One narrow filter, no shuffle until the audit count."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 50, "zh": 100, "de": 100, "fr": 25, "es": 25}
+    h = F.md5(F.encode(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")), "utf-8"))
+    hexd = "0123456789abcdef"
+    nib1 = F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1
+    nib2 = F.position(F.substring(h, 2, 1), F.lit(hexd)) - 1
+    bucket = (nib1 * 16 + nib2) % 100
+    rate = F.lit(0)
+    for lang, r in rates.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    kept = docs.filter(bucket < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_word_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word-rarity scoring — the two-pass shape of LM/perplexity
     quality filters: pass 1 aggregates the corpus unigram frequency dim,
@@ -1144,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": q_training_prep,
         "semi_join_priority": q_semi_join_priority,
         "word_rarity_scores": q_word_rarity_scores,
+        "stratified_sample": q_stratified_sample,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1873,6 +1898,22 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       ((strpos('0123456789abcdef',
+                                substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 100
+                           AS bucket,
+                       CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 100
+                                 WHEN 'de' THEN 100 WHEN 'fr' THEN 25
+                                 WHEN 'es' THEN 25 ELSE 0 END AS rate
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_kept, min(doc_id) AS min_doc_id
+            FROM b WHERE bucket < rate GROUP BY lang
         """,
         "word_rarity_scores": """
             WITH w AS (

@@ -205,3 +205,54 @@ class TestStreamingDedup:
             r["url"] for r in exact_dedupe(landed, key_col="url").collect()
         )
         assert kept == ["u/a1", "u/b1"]
+
+
+class TestStreamManifestLanding:
+    def test_stream_lands_atomically_and_rerun_is_idempotent(
+        self, spark, pages_small, tmp_path
+    ):
+        """foreachBatch + atomic batch commit: streamed output equals the
+        batch pipeline; re-draining the same input into the same output dir
+        (fresh checkpoint → same deterministic batch ids) overwrites in
+        place — row count and content unchanged, no duplicates."""
+        from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+        from pdf_drawing_ocr_recognition_spark.operators.manifest import read_manifest
+        from pdf_drawing_ocr_recognition_spark.streaming.stream_extract import (
+            run_stream_with_manifest,
+        )
+
+        out = str(tmp_path / "landed")
+        run_stream_with_manifest(
+            spark, pages_small, PATTERNS, out, str(tmp_path / "ckpt1")
+        )
+        landed = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+        first = {
+            r["url"]: r["extracted_text"]
+            for r in landed.select("url", "extracted_text").collect()
+        }
+        pages = spark.read.parquet(pages_small).filter(
+            F.col("lang").isin("en", "zh", "de")
+        )
+        batch = {
+            r["url"]: r["extracted_text"]
+            for r in extract_pages(pages, PATTERNS)
+            .select("url", "extracted_text")
+            .collect()
+        }
+        assert first == batch
+        m = read_manifest(spark, out)
+        assert m.count() >= 1
+        assert m.agg(F.sum("n_rows")).collect()[0][0] == len(first)
+
+        # replay: same input, same out dir, fresh checkpoint → idempotent
+        run_stream_with_manifest(
+            spark, pages_small, PATTERNS, out, str(tmp_path / "ckpt2")
+        )
+        again = {
+            r["url"]: r["extracted_text"]
+            for r in spark.read.option("basePath", out)
+            .parquet(f"{out}/batch=*")
+            .select("url", "extracted_text")
+            .collect()
+        }
+        assert again == first
