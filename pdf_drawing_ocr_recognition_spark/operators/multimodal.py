@@ -164,3 +164,51 @@ def sample_frames(containers: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return containers.mapInPandas(run, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id LONG, media_kind STRING, embedding ARRAY<DOUBLE>"
+
+
+def image_feature_vectors(blobs: DataFrame, bins: int = 16) -> DataFrame:
+    """(doc_id, payload) → an 18-dim feature embedding per image: [mean/255,
+    std/255, normalized *bins*-bin intensity histogram].
+
+    REAL feature extraction for our PNG codec's payloads (decode → NumPy
+    stats); opaque payloads get a deterministic digest-derived vector (the
+    stub contract of this module).  The output column plugs straight into the
+    similarity stack — ``embedding_near_dupe_pairs`` / ``ann_topk`` /
+    ``brute_force_topk_arrow`` — giving image near-dup detection over the
+    same bucketed-join machinery as text embeddings.  Narrow Arrow stage,
+    no shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append({"doc_id": doc_id, "media_kind": "empty",
+                                 "embedding": [0.0] * (2 + bins)})
+                    continue
+                payload = bytes(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(payload).astype(np.float64)
+                    hist, _ = np.histogram(img, bins=bins, range=(0, 256))
+                    hist = hist / img.size
+                    vec = [float(img.mean() / 255.0), float(img.std() / 255.0)]
+                    vec += [float(round(x, 8)) for x in hist]
+                    rows.append({"doc_id": doc_id, "media_kind": "png",
+                                 "embedding": vec})
+                else:
+                    d = hashlib.sha1(payload).digest()
+                    vec = [round(b / 255.0, 6) for b in d[: 2 + bins]]
+                    rows.append({"doc_id": doc_id, "media_kind": "opaque",
+                                 "embedding": vec})
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, FEATURE_SCHEMA)

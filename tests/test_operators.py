@@ -353,3 +353,59 @@ class TestAQESkewJoin:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+
+
+class TestImageFeatures:
+    def test_feature_vectors_feed_the_similarity_stack(self, spark):
+        """image features → embedding column → embedding_near_dupe_pairs:
+        duplicate rasters pair at cosine 1.0, distinct ones don't."""
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            build_page_image,
+        )
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            image_feature_vectors,
+        )
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            embedding_near_dupe_pairs,
+        )
+
+        img_a = encode_png(build_page_image(PATTERNS["fullpage"], [{"text": "aaaa"}]))
+        img_b = encode_png(
+            build_page_image(PATTERNS["fullpage"], [{"k1": "totally", "k2": "other"}])
+        )
+        blobs = spark.createDataFrame(
+            [(1, bytearray(img_a)), (2, bytearray(img_a)), (3, bytearray(img_b))],
+            "doc_id LONG, payload BINARY",
+        )
+        feats = image_feature_vectors(blobs)
+        rows = {r["doc_id"]: r for r in feats.collect()}
+        assert rows[1]["media_kind"] == "png"
+        assert len(rows[1]["embedding"]) == 18
+        assert rows[1]["embedding"] == rows[2]["embedding"]  # same bytes
+        assert rows[1]["embedding"] != rows[3]["embedding"]
+
+        planes = [[1.0] + [0.0] * 17, [0.0, 1.0] + [0.0] * 16]
+        pairs = embedding_near_dupe_pairs(
+            feats.select("doc_id", "embedding"),
+            planes,
+            min_cosine=0.9999,
+            id_col="doc_id",
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert (1, 3) not in found and (2, 3) not in found
+
+    def test_opaque_payloads_get_deterministic_features(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            image_feature_vectors,
+        )
+
+        blobs = spark.createDataFrame(
+            [(1, bytearray(b"not a png")), (2, bytearray(b"not a png"))],
+            "doc_id LONG, payload BINARY",
+        )
+        rows = {r["doc_id"]: r for r in image_feature_vectors(blobs).collect()}
+        assert rows[1]["media_kind"] == "opaque"
+        assert rows[1]["embedding"] == rows[2]["embedding"]
