@@ -907,6 +907,55 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap check every training
+    corpus runs before release: flag corpus docs sharing any 5-word shingle
+    with the held-out 'benchmark' set (deterministic 10% sample here).  The
+    benchmark shingle set is small by construction → broadcast hash join
+    against the exploded corpus shingles; one narrow explode + one shuffle
+    for the per-doc count, never any pairwise comparison."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 10 == 7
+    bench_sh = (
+        docs.filter(is_bench)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
+        .distinct()
+    )
+    corp = docs.filter(~is_bench).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh")
+    )
+    return (
+        corp.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for training: each doc's whitespace tokens split
+    into fixed 64-token windows at stride 48 (16-token overlap) — the
+    standard packing precursor.  A computed-offsets explode (sequence →
+    slice), no UDF; chunk fingerprints via md5 so downstream chunk-level
+    dedup composes with the same digest machinery."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.split(F.lower(F.col("text")), " ")
+    k_max = F.floor((F.size(words) - 1) / F.lit(48)).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(F.sequence(F.lit(0), k_max)).alias("k"),
+    )
+    chunk = F.slice(F.col("words"), F.col("k") * 48 + 1, 64)
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_fp"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling — the corpus-MIXING primitive (keep
     X% of each language/source stratum to hit a target data mix).  Rates are
@@ -1169,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_priority": q_semi_join_priority,
         "word_rarity_scores": q_word_rarity_scores,
         "stratified_sample": q_stratified_sample,
+        "decontamination": q_decontamination,
+        "chunk_documents": q_chunk_documents,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1898,6 +1949,38 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "decontamination": """
+            WITH sh5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split(lower(text), ' ')) - 4)),
+                           i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+4], ' ')))
+                           AS sh
+                FROM documents
+            ), b AS (
+                SELECT DISTINCT sh FROM sh5 WHERE doc_id % 10 = 7
+            )
+            SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared
+            FROM (SELECT * FROM sh5 WHERE doc_id % 10 != 7) c
+            JOIN b USING (sh)
+            GROUP BY c.doc_id
+        """,
+        "chunk_documents": """
+            WITH w AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS words
+                FROM documents WHERE doc_id < 200
+            ), c AS (
+                SELECT doc_id, t.k,
+                       words[1 + t.k * 48 : t.k * 48 + 64] AS chunk
+                FROM w, unnest(generate_series(0, (len(words) - 1) // 48)) AS t(k)
+            )
+            SELECT doc_id, k AS chunk_idx,
+                   CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+                   md5(array_to_string(chunk, ' ')) AS chunk_fp
+            FROM c
         """,
         "stratified_sample": """
             WITH b AS (
