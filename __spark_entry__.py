@@ -907,6 +907,39 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — emails and long digit runs replaced by placeholder
+    tokens, counts audited per doc.  Deterministic synthetic PII is APPENDED
+    to every row (derived from doc_id, never random) so the scrubber is
+    exercised on 100% of rows in both engines; the md5 of the scrubbed text
+    proves the redaction is byte-identical.  Pure regexp column expressions
+    (whole-stage codegen) — the shape that scans 100 TB without a UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num_re = r"[0-9]{7,}"
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555"),
+            (F.col("doc_id") % 10000 + 10000).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email_re, "<EMAIL>"), num_re, "<NUM>"
+    )
+    return salted.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email_re)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(F.col("t"), email_re, "<EMAIL>"), F.lit(num_re)
+        ).cast("long").alias("n_numbers"),
+        F.md5(F.encode(scrubbed, "utf-8")).alias("scrubbed_fp"),
+    )
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the n-gram-overlap check every training
     corpus runs before release: flag corpus docs sharing any 5-word shingle
@@ -1220,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
         "chunk_documents": q_chunk_documents,
+        "pii_scrub": q_pii_scrub,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1949,6 +1983,30 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "pii_scrub": """
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com tel 555'
+                            || CAST(doc_id % 10000 + 10000 AS VARCHAR) AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{7,}')) AS BIGINT) AS n_numbers,
+                   md5(regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_fp
+            FROM s
         """,
         "decontamination": """
             WITH sh5 AS (
