@@ -422,12 +422,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path: hyperplane sign-bit buckets + occupancy."""
-    from pdf_drawing_ocr_recognition_spark.functions.vectors import hyperplane_sign_bits
+    """LSH-bucketed ANN scale path: hyperplane sign-bit buckets + occupancy
+    (Arrow bucketizer — bitwise twin of functions.vectors.hyperplane_sign_bits)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import bucketize
 
     emb = _t(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
-        "vec_id", hyperplane_sign_bits(F.col("embedding"), PLANES).alias("bucket")
+    bucketed = bucketize(emb.select("vec_id", "embedding"), PLANES).select(
+        "vec_id", "bucket"
     )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")

@@ -25,13 +25,11 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from ..functions.vectors import (
-    cosine,
     dot,
     half_up_round_np,
-    hyperplane_sign_bits,
     l2_norm,
     seq_dot_np,
     seq_norm_np,
@@ -243,8 +241,30 @@ def _probe_buckets(bucket_col, n_planes: int, probes: int):
 def bucketize(
     df: DataFrame, planes: list[list[float]], id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Attach the hyperplane sign-bit bucket (the writable 'inverted list' key)."""
-    return df.withColumn("bucket", hyperplane_sign_bits(F.col(vec_col), planes))
+    """Attach the hyperplane sign-bit bucket (the writable 'inverted list' key).
+
+    Arrow path: the per-plane dots are cumsum-sequential NumPy folds, bitwise
+    identical to the `hyperplane_sign_bits` Column expression (whose unrolled
+    64-term-per-plane codegen paid seconds of cold compile per distinct
+    query); the sign-bit packing is integer arithmetic either way."""
+    import numpy as np
+
+    pmat = np.array(planes, dtype=np.float64)
+    schema = StructType(df.schema.fields + [StructField("bucket", IntegerType())])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _stack_f64(pdf[vec_col])
+            bucket = np.zeros(len(pdf), dtype=np.int32)
+            for i in range(pmat.shape[0]):
+                d = seq_dot_np(v, np.broadcast_to(pmat[i], v.shape))
+                bucket |= (d >= 0).astype(np.int32) << i
+            pdf["bucket"] = bucket
+            yield pdf
+
+    return df.mapInPandas(run, schema)
 
 
 def expected_bucket_occupancy(n_vectors: int, n_planes: int) -> float:
@@ -297,23 +317,19 @@ def embedding_near_dupe_pairs(
                 f"use >= {planes_for_corpus(n_vectors, max_expected_bucket)} "
                 f"planes (see sizing rule in the docstring)"
             )
-    b = bucketize(corpus, planes, id_col, vec_col).withColumn(
-        "_n", l2_norm(F.col(vec_col), dim)
-    )
+    b = bucketize(corpus, planes, id_col, vec_col)
     a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"),
-                 F.col(vec_col).alias("va"), F.col("_n").alias("_na"))
+                 F.col(vec_col).alias("va"))
     c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"),
-                 F.col(vec_col).alias("vb"), F.col("_n").alias("_nb"))
+                 F.col(vec_col).alias("vb"))
+    cand = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _with_pair_scores(cand, "va", "vb", "_rawdot", "_na", "_nb")
         .select(
             "id_a",
             "id_b",
             F.round(
-                _scored_cosine(dot(F.col("va"), F.col("vb"), dim),
-                               F.col("_na"), F.col("_nb")),
-                4,
+                _scored_cosine(F.col("_rawdot"), F.col("_na"), F.col("_nb")), 4
             ).alias("cos"),
         )
         .filter(F.col("cos") >= min_cosine)
@@ -456,22 +472,18 @@ def ann_topk(
 ) -> DataFrame:
     """LSH multiprobe approximate top-k (same output schema as brute force)."""
     n_planes = len(planes)
-    c = bucketize(corpus, planes, id_col, vec_col).withColumn(
-        "_nc", l2_norm(F.col(vec_col), dim)
-    )
+    c = bucketize(corpus, planes, id_col, vec_col)
     q = bucketize(queries, planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        l2_norm(F.col(vec_col), dim).alias("_nq"),
         F.explode(_probe_buckets(F.col("bucket"), n_planes, probes)).alias("bucket"),
     )
     cand = c.join(q, "bucket").filter(F.col(id_col) != F.col("query_id"))
-    scored = cand.select(
+    scored = _with_pair_scores(cand, "qvec", vec_col, "_rawdot", "_nq", "_nc").select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            _scored_cosine(dot(F.col("qvec"), F.col(vec_col), dim),
-                           F.col("_nq"), F.col("_nc")),
+            _scored_cosine(F.col("_rawdot"), F.col("_nq"), F.col("_nc")),
             metric_round,
         ).alias("score"),
     ).dropDuplicates(["query_id", "neighbor_id"])
