@@ -877,35 +877,13 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     standalone queries exercise individually; Catalyst fuses the filters into
     the scan and the whole thing shuffles only on digest, band_key and the
     final group keys."""
-    from pdf_drawing_ocr_recognition_spark.functions.text import quality_score
-    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
-        exact_dedupe,
-        near_dedupe,
+    from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+        prep_audit,
+        prepare_corpus,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    passed = docs.filter(F.col("lang").isin("en", "zh", "de")).filter(
-        quality_score(F.col("text")) >= 0.5
-    )
-    survivors = near_dedupe(exact_dedupe(passed))
-    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
-    hexd = "0123456789abcdef"
-    nib1 = F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1
-    nib2 = F.position(F.substring(h, 2, 1), F.lit(hexd)) - 1
-    bucket = (nib1 * 16 + nib2) % 10
-    split = (
-        F.when(bucket == 0, F.lit("test"))
-        .when(bucket == 1, F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
-    return (
-        survivors.select("doc_id", "lang", "n_chars", split.alias("split"))
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
+    return prep_audit(prepare_corpus(docs))
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -409,3 +409,33 @@ class TestImageFeatures:
         rows = {r["doc_id"]: r for r in image_feature_vectors(blobs).collect()}
         assert rows[1]["media_kind"] == "opaque"
         assert rows[1]["embedding"] == rows[2]["embedding"]
+
+
+class TestCorpusPrep:
+    def test_prepared_equals_entry_audit_and_mix_composes(self, spark, sf_dir):
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            prep_audit,
+            prepare_corpus,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        prepared = prepare_corpus(docs)
+        audit = {
+            (r["split"], r["lang"]): r["n_docs"]
+            for r in prep_audit(prepared).collect()
+        }
+        assert sum(audit.values()) == prepared.count()
+        assert {s for s, _ in audit} <= {"train", "val", "test"}
+        # mixing only ever removes rows, en at 50% removes roughly half
+        mixed = prepare_corpus(docs, mix_rates={"en": 50, "zh": 100, "de": 100})
+        full_en = prepared.filter(F.col("lang") == "en").count()
+        mixed_en = mixed.filter(F.col("lang") == "en").count()
+        assert 0 < mixed_en < full_en
+        assert mixed.filter(F.col("lang") == "zh").count() == (
+            prepared.filter(F.col("lang") == "zh").count()
+        )
+        # mixing gate is salt-independent of the split gate: the kept en
+        # rows keep their original split assignment
+        kept = {r["doc_id"]: r["split"] for r in mixed.select("doc_id", "split").collect()}
+        orig = {r["doc_id"]: r["split"] for r in prepared.select("doc_id", "split").collect()}
+        assert all(orig[k] == v for k, v in kept.items())
