@@ -144,7 +144,7 @@ def _toml_str(s: str) -> str:
     for ch in s:
         if ch in _TOML_ESCAPES:
             out.append(_TOML_ESCAPES[ch])
-        elif ord(ch) < 0x20:
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:  # control chars incl. DEL
             out.append(f"\\u{ord(ch):04X}")
         else:
             out.append(ch)

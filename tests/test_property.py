@@ -91,3 +91,100 @@ def test_html_extract_never_raises(s):
 
     out = extract_main_text(s)
     assert isinstance(out, str)
+
+
+# ---- round-2 kernels ----
+
+_toml_scalars = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.booleans(),
+    st.text(max_size=40),
+)
+_toml_values = st.recursive(
+    st.one_of(_toml_scalars, st.lists(_toml_scalars, max_size=5)),
+    lambda children: st.dictionaries(
+        st.text(min_size=1, max_size=12), children, max_size=4
+    ),
+    max_leaves=12,
+)
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=12), _toml_values, max_size=5))
+@settings(max_examples=150, deadline=None)
+def test_toml_emitter_always_roundtrips(data):
+    import tomllib
+
+    from pdf_drawing_ocr_recognition_spark.kernel.render import _toml_dumps
+
+    assert tomllib.loads(_toml_dumps(data)) == data
+
+
+@given(
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=1, max_value=96),
+)
+@settings(max_examples=120, deadline=None)
+def test_seq_dot_np_bitwise_fold_any_shape(n, d):
+    from pdf_drawing_ocr_recognition_spark.functions.vectors import (
+        seq_dot_np,
+        seq_norm_np,
+    )
+
+    rng = np.random.default_rng(n * 1000 + d)
+    a = rng.standard_normal((min(n, 8), d)).astype(np.float32).astype(np.float64)
+    b = rng.standard_normal((min(n, 8), d)).astype(np.float32).astype(np.float64)
+    dd = seq_dot_np(a, b)
+    nn = seq_norm_np(a)
+    for i in range(a.shape[0]):
+        acc = 0.0
+        for v in a[i] * b[i]:
+            acc = acc + v
+        assert dd[i] == acc
+        acc2 = 0.0
+        for v in a[i] * a[i]:
+            acc2 = acc2 + v
+        assert nn[i] == acc2**0.5
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                st.characters(min_codepoint=33, max_codepoint=126),
+                min_size=0,
+                max_size=6,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=100, deadline=None)
+def test_window_exact_raster_decodes_for_any_slack(token_rows, extra_h, extra_w):
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        encode_grid_image_sized,
+    )
+    from pdf_drawing_ocr_recognition_spark.kernel.grid import decode_grid_image
+    from pdf_drawing_ocr_recognition_spark.kernel.grid import (
+        BIT_PX,
+        CELL_PAD,
+        CHAR_BITS,
+        GLYPH_H,
+        LINE_PX,
+    )
+
+    n_rows = len(token_rows)
+    n_cols = max(len(r) for r in token_rows)
+    max_len = max((len(t) for row in token_rows for t in row), default=1) or 1
+    nat_h = n_rows * (2 * CELL_PAD + GLYPH_H) + (n_rows + 1) * LINE_PX
+    nat_w = n_cols * (2 * CELL_PAD + max_len * BIT_PX + BIT_PX) + (n_cols + 1) * LINE_PX
+    img = encode_grid_image_sized(token_rows, nat_h + extra_h, nat_w + extra_w)
+    decoded = decode_grid_image(img)
+    want = "\n".join(
+        "\t".join(row + [""] * (n_cols - len(row))) for row in token_rows
+    )
+    assert decoded == want
