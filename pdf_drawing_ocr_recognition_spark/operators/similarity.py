@@ -459,6 +459,47 @@ def ivf_topk(
     )
 
 
+def write_ann_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_files: int | None = None,
+) -> None:
+    """Persist the LSH-bucketed corpus ONCE as a Hive-bucketed table keyed by
+    the sign-bit bucket — the materialized inverted-list index.
+
+    Every later probe query (``ann_topk_indexed``) scans pre-hashed bucket
+    files and joins on ``bucket`` with NO corpus-side Exchange: at 10^9+
+    vectors this is the difference between re-shuffling the corpus per query
+    batch and never shuffling it again (the write-once/probe-many contract
+    of a vector index).  Bucket-file count = 2**len(planes) (one per list).
+    """
+    from .skew import write_bucketed
+
+    b = bucketize(corpus, planes, id_col, vec_col)
+    write_bucketed(b, table, n_files or 2 ** len(planes), "bucket")
+
+
+def ann_topk_indexed(
+    indexed_corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric_round: int = 6,
+) -> DataFrame:
+    """Multiprobe top-k over a persisted index (``spark.table`` of
+    ``write_ann_index``) — identical results to ``ann_topk``, zero
+    corpus-side shuffle (asserted in tests)."""
+    return _ann_score_bucketed(
+        indexed_corpus, queries, planes, k, probes, id_col, vec_col, metric_round
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -471,8 +512,24 @@ def ann_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """LSH multiprobe approximate top-k (same output schema as brute force)."""
-    n_planes = len(planes)
     c = bucketize(corpus, planes, id_col, vec_col)
+    return _ann_score_bucketed(
+        c, queries, planes, k, probes, id_col, vec_col, metric_round
+    )
+
+
+def _ann_score_bucketed(
+    c: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    probes: int,
+    id_col: str,
+    vec_col: str,
+    metric_round: int,
+) -> DataFrame:
+    """Probe + score a bucket-keyed corpus (fresh or persisted)."""
+    n_planes = len(planes)
     q = bucketize(queries, planes, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

@@ -326,3 +326,45 @@ class TestPlaneSizing:
             embedding_near_dupe_pairs(df, planes, n_vectors=10**9)
         # adequate planing passes the guard (plan builds fine)
         embedding_near_dupe_pairs(df, planes, n_vectors=1000).schema
+
+
+class TestPersistedAnnIndex:
+    def test_indexed_probe_matches_fresh_and_skips_corpus_shuffle(self, spark, sf_dir):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            ann_topk,
+            ann_topk_indexed,
+            bucketize,
+            write_ann_index,
+        )
+
+        PLANES = [
+            [(1.0 if i == j else 0.0) for i in range(64)] for j in range(4)
+        ]
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        q = emb.filter(F.col("vec_id") < 3)
+        try:
+            write_ann_index(emb, PLANES, "ann_idx")
+            indexed = spark.table("ann_idx")
+            a = sorted(map(tuple, ann_topk(emb, q, PLANES, k=5, probes=1).collect()))
+            b = sorted(
+                map(tuple, ann_topk_indexed(indexed, q, PLANES, k=5, probes=1).collect())
+            )
+            assert a == b and len(a) > 0
+
+            # corpus side must NOT shuffle: candidate join has exactly the
+            # probe-side Exchange, none between the bucketed scan and the join
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                probes_df = bucketize(q, PLANES).select(
+                    F.col("vec_id").alias("query_id"), "bucket"
+                )
+                cand = indexed.join(probes_df, "bucket")
+                plan = cand._jdf.queryExecution().executedPlan().toString()
+                assert plan.count("Exchange") == 1, plan
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ann_idx")
