@@ -94,6 +94,18 @@ def main() -> int:
         ("semi_join_priority", "no distinct (semi join dedups by construction)",
          "Distinct" not in sj_plan)
     )
+    # decontamination: benchmark shingle set broadcast against the corpus
+    # explode — never a shuffle of the big exploded side for the join itself
+    grab("decontamination", em.q_decontamination(spark, sf), "BroadcastHashJoin")
+    # PII scrubbing: pure regexp projection — whole-stage codegen, no
+    # Python/Arrow stage anywhere in the plan
+    # "*(1)" = whole-stage-codegen stage marker in executedPlan.toString()
+    grab("pii_scrub", em.q_pii_scrub(spark, sf), "*(1) Project")
+    pii_plan = sections[-1][1]
+    checks.append(
+        ("pii_scrub", "no Python stage (regexp stays JVM-side)",
+         "InPandas" not in pii_plan and "ArrowEvalPython" not in pii_plan)
+    )
     # IVF argmax must be an aggregate (max_by), not a sort-based window
     ivf_plan_df = em.q_ivf_assign_counts(spark, sf)
     grab("ivf_assign_counts", ivf_plan_df, "max_by", "BroadcastNestedLoopJoin")
