@@ -439,3 +439,26 @@ class TestCorpusPrep:
         kept = {r["doc_id"]: r["split"] for r in mixed.select("doc_id", "split").collect()}
         orig = {r["doc_id"]: r["split"] for r in prepared.select("doc_id", "split").collect()}
         assert all(orig[k] == v for k, v in kept.items())
+
+
+class TestCompaction:
+    def test_compacts_small_files_and_preserves_rows(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.operators.compaction import (
+            compact_parquet_dir,
+            plan_compaction,
+        )
+
+        path = str(tmp_path / "landed")
+        spark.range(10000).selectExpr(
+            "id", "repeat('x', 50) AS pad"
+        ).repartition(24).write.parquet(path)
+        before = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(before) == 24
+        want = spark.read.parquet(path).count()
+
+        n = compact_parquet_dir(spark, path, target_mb=256)
+        after = [f for f in os.listdir(path) if f.startswith("part-")]
+        assert len(after) == n == plan_compaction(path, 256) == 1
+        assert spark.read.parquet(path).count() == want
+        # already-compact dir is a no-op
+        assert compact_parquet_dir(spark, path, target_mb=256) == 1
