@@ -886,6 +886,23 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded attribution join (batch twin of the watermarked
+    stream-stream join in streaming/stream_extract.py): every click of the
+    same user within 2h before each purchase.  The two-sided time bound is
+    what lets the streaming form evict join state — asserted equal to this
+    batch plan under real micro-batches in test_streaming."""
+    from pdf_drawing_ocr_recognition_spark.streaming.stream_extract import (
+        purchase_attribution_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return purchase_attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction — emails and long digit runs replaced by placeholder
     tokens, counts audited per doc.  Deterministic synthetic PII is APPENDED
@@ -1233,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
+        "attribution_join": q_attribution_join,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -1962,6 +1980,15 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "attribution_join": """
+            SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+                   epoch_us(p.ts) AS purchase_ts_us, epoch_us(c.ts) AS click_ts_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL 2 HOUR
         """,
         "pii_scrub": """
             WITH s AS (

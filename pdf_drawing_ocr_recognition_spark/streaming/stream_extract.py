@@ -174,3 +174,53 @@ def run_stream_with_manifest(
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each purchase joined to the
+    clicks of the same user in the preceding *attribution_window*.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    the click time against the purchase time from BOTH directions, so Spark
+    can evict buffered rows from each side's state once the other side's
+    watermark passes the bound — the state-bounding contract that makes a
+    stream-stream join survive an unbounded firehose (without the time
+    bound, both sides buffer forever).  Works identically on batch frames
+    (the tests cross-check against a plain join).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    # explicit renames: both sides usually derive from the SAME source
+    # lineage (one stream filtered twice), where p["user_id"] == c["user_id"]
+    # silently resolves to a trivially-true self-reference
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")
+            ),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
+            F.unix_micros(F.col("c_ts")).alias("click_ts_us"),
+        )
+    )

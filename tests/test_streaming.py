@@ -256,3 +256,51 @@ class TestStreamManifestLanding:
             .collect()
         }
         assert again == first
+
+
+class TestStreamStreamJoin:
+    def test_streaming_attribution_equals_batch_join(self, spark, sf_dir, tmp_path):
+        """Stream-stream inner join under AvailableNow equals the batch join
+        over the same events — and only in-window clicks attribute."""
+        from pdf_drawing_ocr_recognition_spark.streaming.stream_extract import (
+            purchase_attribution_join,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        want = sorted(
+            map(
+                tuple,
+                purchase_attribution_join(
+                    ev.filter(F.col("event_type") == "purchase"),
+                    ev.filter(F.col("event_type") == "click"),
+                ).collect(),
+            )
+        )
+        assert want, "no attributed purchases in fixture"
+
+        schema = (
+            "event_id LONG, ts TIMESTAMP, user_id LONG, "
+            "event_type STRING, value DOUBLE"
+        )
+        src = str(tmp_path / "ev")
+        ev.select(*[c.strip().split()[0] for c in schema.split(",")]).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        joined = purchase_attribution_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "click"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attrib_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM attrib_sink").collect())
+        )
+        assert got == want
+        # every attributed click is within the window, on the correct user
+        for _pid, _uid, _cid, p_us, c_us in got:
+            assert 0 <= p_us - c_us <= 2 * 3600 * 1_000_000
