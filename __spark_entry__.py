@@ -971,17 +971,25 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     words = F.split(F.lower(F.col("text")), " ")
     k_max = F.floor((F.size(words) - 1) / F.lit(48)).cast("int")
-    chunks = docs.select(
-        "doc_id",
-        words.alias("words"),
-        F.explode(F.sequence(F.lit(0), k_max)).alias("k"),
+    # slice INSIDE the generator (array of per-chunk structs, exploded) so an
+    # output row never carries the whole words array: per-doc intermediate
+    # bytes are sum-of-chunk-sizes ≈ 1.33n — LINEAR.  The explode-k-then-
+    # slice formulation would copy the full array into every chunk row,
+    # O(n²/stride) bytes for outlier docs — a memory amplifier at 100 TB.
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), k_max),
+        lambda k: F.struct(
+            k.alias("k"), F.slice(words, k * 48 + 1, 64).alias("chunk")
+        ),
     )
-    chunk = F.slice(F.col("words"), F.col("k") * 48 + 1, 64)
+    chunks = docs.select("doc_id", F.explode(chunk_structs).alias("c"))
     return chunks.select(
         "doc_id",
-        F.col("k").cast("long").alias("chunk_idx"),
-        F.size(chunk).cast("long").alias("n_chunk_tokens"),
-        F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8")).alias("chunk_fp"),
+        F.col("c.k").cast("long").alias("chunk_idx"),
+        F.size(F.col("c.chunk")).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", F.col("c.chunk")), "utf-8")).alias(
+            "chunk_fp"
+        ),
     )
 
 
