@@ -683,12 +683,31 @@ def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of n_chars per lang (Spark `percentile`
-    == DuckDB `quantile_cont`: both (1-g)·a[k] + g·a[k+1] on sorted values)."""
+    == DuckDB `quantile_cont`: both (1-g)·a[k] + g·a[k+1] on sorted values).
+
+    SCALE NOTE: exact percentile buffers every group value on one reducer —
+    fine for the gate, a memory wall at 10^12 rows with 5 lang groups.  The
+    scale path is ``q_approx_percentile_chars`` (GK sketch, mergeable
+    partials, bounded error — tested against this exact query)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
         F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("p75"),
+        F.max("n_chars").alias("p100"),
+    )
+
+
+def q_approx_percentile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path percentiles: Greenwald-Khanna sketch (`percentile_approx`),
+    whose partials merge map-side — constant memory per group regardless of
+    corpus size.  No SQL oracle by contract (sketch internals differ across
+    engines); tests bound its error against the exact query instead."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("n_chars", F.lit(0.75), F.lit(10000)).alias("p75"),
         F.max("n_chars").alias("p100"),
     )
 
@@ -1259,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "attribution_join": q_attribution_join,
+        "approx_percentile_chars": q_approx_percentile_chars,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,

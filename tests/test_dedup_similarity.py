@@ -368,3 +368,40 @@ class TestPersistedAnnIndex:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_idx")
+
+
+class TestApproxPercentiles:
+    def test_sketch_bounds_error_vs_exact(self, spark, sf_dir):
+        """GK sketch (mergeable, constant memory) lands within rank-error of
+        the exact single-reducer percentile — the documented scale path."""
+        import __spark_entry__ as em
+
+        exact = {r["lang"]: r for r in em.q_percentile_chars(spark, sf_dir).collect()}
+        approx = {
+            r["lang"]: r
+            for r in em.q_approx_percentile_chars(spark, sf_dir).collect()
+        }
+        assert set(exact) == set(approx)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        values = {
+            lang: sorted(
+                r["n_chars"]
+                for r in docs.filter(F.col("lang") == lang)
+                .select("n_chars")
+                .collect()
+            )
+            for lang in exact
+        }
+        for lang in exact:
+            assert approx[lang]["p100"] == exact[lang]["p100"]
+            vals, n = values[lang], len(values[lang])
+            for p, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+                v = approx[lang][p]
+                # GK guarantee is on RANK, not value: the sketch returns an
+                # actual element whose empirical rank is within eps (=1e-4
+                # at accuracy=10000) + one position of the target quantile
+                assert v in vals, (lang, p, v)
+                lo = sum(1 for x in vals if x < v) / n
+                hi = sum(1 for x in vals if x <= v) / n
+                tol = 1e-4 + 1.5 / n
+                assert lo - tol <= q <= hi + tol, (lang, p, v, lo, hi, n)
