@@ -98,3 +98,20 @@ def write_results(
         render_results(extracted, formats).write.mode(mode).parquet(
             f"{out_dir}/renders"
         )
+
+
+def write_jsonl_corpus(
+    extracted: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    columns: tuple[str, ...] = ("url", "extracted_text"),
+) -> None:
+    """One JSON document per line — the standard LLM training-corpus
+    interchange format (what a tokenizer/packing stage ingests).
+
+    ``df.write.json`` IS JSONL (one object per line per part-file); column
+    subset keeps the lines lean.  Pair with
+    ``operators/compaction.compact_parquet_dir``'s sizing rule if the
+    upstream wrote many small parts.
+    """
+    extracted.select(*columns).write.mode(mode).json(path)

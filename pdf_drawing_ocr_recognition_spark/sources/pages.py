@@ -93,3 +93,48 @@ def read_raw_files(
         F.lit("").alias("text"),
         F.lit(default_lang).alias("lang"),
     )
+
+
+def read_pages_jsonl(
+    spark: SparkSession,
+    path: str,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """JSONL pages source (the WARC-sidecar / CC-index interchange shape):
+    one JSON object per line with the input-hint fields, ``html`` carried as
+    base64 (JSON cannot hold raw bytes).
+
+    An explicit schema keeps the reader single-pass (no sampling/inference
+    job over 100 TB) and makes malformed lines surface as nulls instead of
+    schema drift; lang filtering is a pushed data filter like the parquet
+    path.  Decodes to the exact ``PAGES_SCHEMA`` shape so every downstream
+    operator runs unchanged.
+    """
+    raw = spark.read.schema(
+        "url STRING, warc_ts TIMESTAMP, html_b64 STRING, text STRING, lang STRING"
+    ).json(path)
+    df = raw.select(
+        "url",
+        "warc_ts",
+        F.unbase64(F.col("html_b64")).alias("html"),
+        "text",
+        "lang",
+    )
+    if langs:
+        df = df.filter(F.col("lang").isin(*langs))
+    return df
+
+
+def write_pages_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Inverse of ``read_pages_jsonl``: pages rows → JSONL with base64 html."""
+    (
+        df.select(
+            "url",
+            "warc_ts",
+            F.base64(F.col("html")).alias("html_b64"),
+            "text",
+            "lang",
+        )
+        .write.mode(mode)
+        .json(path)
+    )

@@ -107,3 +107,42 @@ def test_toml_emitter_shapes():
     text = _toml_dumps(data)
     assert tomllib.loads(text) == data
     assert "[tbl]" in text and "[tbl.inner]" in text
+
+
+def test_jsonl_roundtrip_and_corpus_lines(spark, extracted, tmp_path):
+    """JSONL source/sink round-trip preserves bytes (base64 html) and the
+    corpus sink emits one parseable JSON object per line."""
+    from pdf_drawing_ocr_recognition_spark.operators.sinks import write_jsonl_corpus
+    from pdf_drawing_ocr_recognition_spark.sources.pages import (
+        read_pages_jsonl,
+        write_pages_jsonl,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("u/1", None, bytearray(b"\x89PNG\r\n\x1a\nraw\x00bytes"), "", "en"),
+            ("u/2", None, bytearray(b"<html>x</html>"), "", "zh"),
+        ],
+        "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING",
+    )
+    p = str(tmp_path / "pages_jsonl")
+    write_pages_jsonl(pages, p)
+    back = {r["url"]: bytes(r["html"]) for r in read_pages_jsonl(spark, p).collect()}
+    assert back == {
+        "u/1": b"\x89PNG\r\n\x1a\nraw\x00bytes",
+        "u/2": b"<html>x</html>",
+    }
+    assert read_pages_jsonl(spark, p, langs=("en",)).count() == 1
+
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl_corpus(extracted.filter(F.col("status") == "ok").limit(20), out)
+    import glob
+
+    lines = []
+    for f in glob.glob(f"{out}/part-*"):
+        with open(f, "r", encoding="utf-8") as fh:
+            lines += [l for l in fh.read().splitlines() if l]
+    assert len(lines) == 20
+    for l in lines:
+        obj = json.loads(l)
+        assert set(obj) <= {"url", "extracted_text"} and "url" in obj
