@@ -462,3 +462,56 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == want
         # already-compact dir is a no-op
         assert compact_parquet_dir(spark, path, target_mb=256) == 1
+
+
+class TestSequencePacking:
+    def _chunks(self, spark):
+        import __spark_entry__ as em
+
+        return em.q_chunk_documents(spark, "/root/testdata/sf0.001")
+
+    def test_bins_respect_budget_and_cover_all_chunks(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            pack_chunks,
+            packing_stats,
+        )
+
+        chunks = self._chunks(spark)
+        packed = pack_chunks(chunks, budget_tokens=128, n_partitions=4)
+        assert packed.count() == chunks.count()  # every chunk assigned once
+        stats = packing_stats(packed).collect()
+        assert stats
+        for r in stats:
+            # a bin only exceeds the budget when a single chunk does
+            assert r["tokens"] <= 128 or r["n_chunks"] == 1, r
+        # greedy next-fit: average fill should be a decent fraction of budget
+        multi = [r for r in stats if r["tokens"] <= 128]
+        assert sum(r["tokens"] for r in multi) / len(multi) > 0.5 * 128
+
+    def test_packing_is_deterministic_across_runs(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import pack_chunks
+
+        chunks = self._chunks(spark)
+        a = {
+            (r["doc_id"], r["chunk_idx"]): r["bin_id"]
+            for r in pack_chunks(chunks, 128, n_partitions=4).collect()
+        }
+        b = {
+            (r["doc_id"], r["chunk_idx"]): r["bin_id"]
+            for r in pack_chunks(chunks, 128, n_partitions=4).collect()
+        }
+        assert a == b
+
+    def test_doc_chunks_stay_contiguous(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import pack_chunks
+
+        packed = pack_chunks(self._chunks(spark), 128, n_partitions=4).collect()
+        by_doc = {}
+        for r in packed:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], int(r["bin_id"].rsplit("_b", 1)[1]))
+            )
+        for doc, pairs in by_doc.items():
+            pairs.sort()
+            bins = [b for _i, b in pairs]
+            assert bins == sorted(bins), (doc, bins)  # non-decreasing bins
