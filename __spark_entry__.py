@@ -905,6 +905,46 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((lang), (source)) — the arbitrary-set sibling
+    of CUBE/ROLLUP (one scan, one expand, one aggregate; never two scans +
+    union).  Expressed through the SQL API over a temp view: the SQL surface
+    is as first-class as the DataFrame one for an engine user."""
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_gs")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((lang), (source))
+        """
+    )
+
+
+def q_rolling_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded window FRAME (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    per-user rolling 3-event spend in integer cents — the frame clause the
+    other window queries (row_number/lag/lead/session) don't exercise.
+    Bounded frames stream in one pass over each sorted partition (no
+    per-row re-scan), so the cost is the per-user sort — same shuffle
+    profile as the session window."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _us(F.col("ts")).alias("ts_us"),
+        F.sum(cents).over(w).alias("rolling_cents_3"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded attribution join (batch twin of the watermarked
     stream-stream join in streaming/stream_extract.py): every click of the
@@ -1279,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "attribution_join": q_attribution_join,
         "approx_percentile_chars": q_approx_percentile_chars,
+        "rolling_user_spend": q_rolling_user_spend,
+        "grouping_sets_metrics": q_grouping_sets_metrics,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -2008,6 +2050,23 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "grouping_sets_metrics": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source))
+        """,
+        "rolling_user_spend": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS rolling_cents_3,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_in_frame
+            FROM events
         """,
         "attribution_join": """
             SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
