@@ -198,6 +198,68 @@ def decode_cell_text(
     return "".join(chr(c) for c in codes)
 
 
+def _decode_lattice_fast(ink: np.ndarray) -> str:
+    """Vectorized straight-raster decode: ONE fancy-indexed gather samples
+    every glyph-block center of every cell (B bands × 8 bits × C cols × M
+    chars), then one packbits — replacing the per-cell strided sampling
+    that dominated the kernel profile (11k ``decode_cell_text`` calls per
+    1.5k docs).  Bitwise-identical output to the per-cell path (asserted by
+    the byte-identity suite and a dedicated equivalence test): same sample
+    coordinates (top+CELL_PAD+BIT_PX//2 + i·BIT_PX), same max_chars bound,
+    same zero-byte terminator, same row-major tab/newline assembly.
+    """
+    h_lines = detect_rule_lines(ink, axis=1)
+    v_lines = detect_rule_lines(ink, axis=0)
+    if len(h_lines) < 2 or len(v_lines) < 2:
+        return ""
+    h_img, w_img = ink.shape
+    tops = [ye for (_ys, ye) in h_lines[:-1]]          # cell interior tops
+    bots = [ys2 for (ys2, _ye2) in h_lines[1:]]        # cell interior bottoms
+    lefts = [xe for (_xs, xe) in v_lines[:-1]]
+    rights = [xs2 for (xs2, _xe2) in v_lines[1:]]
+    n_b, n_c = len(tops), len(lefts)
+    max_chars = [
+        max(0, (rights[j] - (lefts[j] + CELL_PAD) - CELL_PAD) // BIT_PX)
+        for j in range(n_c)
+    ]
+    m = max(max_chars)
+    if m == 0:
+        return "\n".join("\t".join("" for _ in range(n_c)) for _ in range(n_b))
+    # sample rows: (B, CHAR_BITS); beyond-bottom bits are zero-padded like
+    # the per-cell path's clipped-row vstack
+    row_idx = np.empty((n_b, CHAR_BITS), dtype=np.int64)
+    row_ok = np.empty((n_b, CHAR_BITS), dtype=bool)
+    for b in range(n_b):
+        base = tops[b] + CELL_PAD + BIT_PX // 2
+        rr = base + np.arange(CHAR_BITS) * BIT_PX
+        row_ok[b] = rr < bots[b]
+        row_idx[b] = np.clip(rr, 0, h_img - 1)
+    # sample cols: (C, m); beyond-width chars masked to white
+    col_idx = np.empty((n_c, m), dtype=np.int64)
+    col_ok = np.empty((n_c, m), dtype=bool)
+    for j in range(n_c):
+        base = lefts[j] + CELL_PAD + BIT_PX // 2
+        cc = base + np.arange(m) * BIT_PX
+        col_ok[j] = np.arange(m) < max_chars[j]
+        col_idx[j] = np.clip(cc, 0, w_img - 1)
+    bits = ink[row_idx.reshape(-1)[:, None], col_idx.reshape(-1)[None, :]]
+    bits = bits.reshape(n_b, CHAR_BITS, n_c, m)
+    bits &= row_ok[:, :, None, None]
+    bits &= col_ok[None, None, :, :]
+    codes = np.packbits(bits, axis=1)[:, 0]            # (B, C, m) uint8
+    out_rows = []
+    for b in range(n_b):
+        cells = []
+        for j in range(n_c):
+            cj = codes[b, j, : max_chars[j]]
+            end = np.flatnonzero(cj == 0)
+            if end.size:
+                cj = cj[: end[0]]
+            cells.append("".join(chr(c) for c in cj))
+        out_rows.append("\t".join(cells))
+    return "\n".join(out_rows)
+
+
 def decode_grid_image(gray: np.ndarray, jittered: bool = False) -> str:
     """Full sub-image decode: binarize → lines → cells → row-major text.
 
@@ -209,13 +271,17 @@ def decode_grid_image(gray: np.ndarray, jittered: bool = False) -> str:
     and 3x3-majority bit sampling to absorb NN-rotation pixel jitter.
     """
     ink = binarize(gray)
-    if jittered:
-        # deskewed pages carry white rotation margins; crop to the ink bbox so
-        # rule lines span the full working extent again
-        ys, xs = np.nonzero(ink)
-        if len(ys) == 0:
-            return ""
-        ink = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    if not jittered:
+        # straight rasters decode through the one-gather lattice fast path
+        # (bitwise-identical; the per-cell path below remains the jittered
+        # decoder and the reference implementation the tests compare against)
+        return _decode_lattice_fast(ink)
+    # deskewed pages carry white rotation margins; crop to the ink bbox so
+    # rule lines span the full working extent again
+    ys, xs = np.nonzero(ink)
+    if len(ys) == 0:
+        return ""
+    ink = ink[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
     boxes = cell_bboxes(ink, pair_union=jittered)
     shuffled = sorted(boxes, key=lambda b: (b[2], b[0]))  # column-major scramble
     rows = assemble_cells(shuffled)

@@ -235,7 +235,9 @@ class TestArrowScorers:
             acc2 = 0.0
             for v in a[i] * a[i]:
                 acc2 = acc2 + v
-            assert n[i] == acc2**0.5
+            import math
+
+            assert n[i] == math.sqrt(acc2)  # IEEE sqrt, not libm pow(x, .5)
 
     def test_arrow_topk_bitwise_matches_codegen_topk(self, emb):
         from pdf_drawing_ocr_recognition_spark.operators.similarity import (

@@ -143,7 +143,11 @@ def test_seq_dot_np_bitwise_fold_any_shape(n, d):
         acc2 = 0.0
         for v in a[i] * a[i]:
             acc2 = acc2 + v
-        assert nn[i] == acc2**0.5
+        # IEEE-754 sqrt (np.sqrt == Math.sqrt == C sqrt, all correctly
+        # rounded) — NOT x**0.5, whose libm pow may differ by 1 ulp
+        import math
+
+        assert nn[i] == math.sqrt(acc2)
 
 
 @given(
