@@ -72,8 +72,10 @@ class Block:
 # html.parser event machine) keeps this kernel ~6x faster in the Arrow-batch
 # hot path; the block/density semantics are identical and pinned by the unit
 # tests.  Quoted '>' inside attribute values is out of spec for this kernel.
-_TOKEN_RE = re.compile(r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<[^>]*>", re.DOTALL)
-_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_TOKEN_RE = re.compile(
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>",
+    re.DOTALL,
+)
 
 
 class _BlockTokenizer:
@@ -142,18 +144,17 @@ class _BlockTokenizer:
             if m.start() > pos:
                 self._data(html[pos : m.start()])
             pos = m.end()
-            tok = m.group()
-            if tok.startswith("<!--") or tok.startswith("<!["):
+            # tag name captured by the token regex itself (no second match);
+            # group(2) is None for comments/CDATA/doctype/PI/malformed
+            name = m.group(2)
+            if name is None:
                 continue
-            name_m = _TAG_NAME_RE.match(tok)
-            if not name_m:
-                continue  # doctype, PI, malformed
-            tag = name_m.group(1).lower()
-            if tok.startswith("</"):
+            tag = name.lower()
+            if m.group(1):  # closing tag
                 self._end(tag)
             else:
                 self._start(tag)
-                if tok.endswith("/>") and tag == "a":
+                if tag == "a" and m.group().endswith("/>"):
                     self._end(tag)
         if pos < len(html):
             self._data(html[pos:])
