@@ -213,49 +213,41 @@ def _decode_lattice_fast(ink: np.ndarray) -> str:
     if len(h_lines) < 2 or len(v_lines) < 2:
         return ""
     h_img, w_img = ink.shape
-    tops = [ye for (_ys, ye) in h_lines[:-1]]          # cell interior tops
-    bots = [ys2 for (ys2, _ye2) in h_lines[1:]]        # cell interior bottoms
-    lefts = [xe for (_xs, xe) in v_lines[:-1]]
-    rights = [xs2 for (xs2, _xe2) in v_lines[1:]]
+    tops = np.array([ye for (_ys, ye) in h_lines[:-1]], dtype=np.int64)
+    bots = np.array([ys2 for (ys2, _ye2) in h_lines[1:]], dtype=np.int64)
+    lefts = np.array([xe for (_xs, xe) in v_lines[:-1]], dtype=np.int64)
+    rights = np.array([xs2 for (xs2, _xe2) in v_lines[1:]], dtype=np.int64)
     n_b, n_c = len(tops), len(lefts)
-    max_chars = [
-        max(0, (rights[j] - (lefts[j] + CELL_PAD) - CELL_PAD) // BIT_PX)
-        for j in range(n_c)
-    ]
-    m = max(max_chars)
+    max_chars = np.maximum(0, (rights - lefts - 2 * CELL_PAD) // BIT_PX)
+    m = int(max_chars.max())
     if m == 0:
         return "\n".join("\t".join("" for _ in range(n_c)) for _ in range(n_b))
-    # sample rows: (B, CHAR_BITS); beyond-bottom bits are zero-padded like
-    # the per-cell path's clipped-row vstack
-    row_idx = np.empty((n_b, CHAR_BITS), dtype=np.int64)
-    row_ok = np.empty((n_b, CHAR_BITS), dtype=bool)
-    for b in range(n_b):
-        base = tops[b] + CELL_PAD + BIT_PX // 2
-        rr = base + np.arange(CHAR_BITS) * BIT_PX
-        row_ok[b] = rr < bots[b]
-        row_idx[b] = np.clip(rr, 0, h_img - 1)
-    # sample cols: (C, m); beyond-width chars masked to white
-    col_idx = np.empty((n_c, m), dtype=np.int64)
-    col_ok = np.empty((n_c, m), dtype=bool)
-    for j in range(n_c):
-        base = lefts[j] + CELL_PAD + BIT_PX // 2
-        cc = base + np.arange(m) * BIT_PX
-        col_ok[j] = np.arange(m) < max_chars[j]
-        col_idx[j] = np.clip(cc, 0, w_img - 1)
+    off = CELL_PAD + BIT_PX // 2
+    # sample rows (B, CHAR_BITS): beyond-bottom bits zero-padded like the
+    # per-cell path's clipped-row vstack
+    rr = tops[:, None] + off + np.arange(CHAR_BITS) * BIT_PX
+    row_ok = rr < bots[:, None]
+    row_idx = np.clip(rr, 0, h_img - 1)
+    # sample cols (C, m): beyond-width chars masked to white
+    cc = lefts[:, None] + off + np.arange(m) * BIT_PX
+    col_ok = np.arange(m) < max_chars[:, None]
+    col_idx = np.clip(cc, 0, w_img - 1)
     bits = ink[row_idx.reshape(-1)[:, None], col_idx.reshape(-1)[None, :]]
     bits = bits.reshape(n_b, CHAR_BITS, n_c, m)
     bits &= row_ok[:, :, None, None]
     bits &= col_ok[None, None, :, :]
     codes = np.packbits(bits, axis=1)[:, 0]            # (B, C, m) uint8
+    # terminator cut, vectorized: first zero code within the cell's valid
+    # char range (an out-of-range char acts as the terminator, so cells
+    # with no zero stop exactly at max_chars — same as the per-cell slice)
+    stop = (codes == 0) | ~col_ok[None, :, :]
+    ends = np.where(stop.any(axis=2), stop.argmax(axis=2), m)
     out_rows = []
     for b in range(n_b):
-        cells = []
-        for j in range(n_c):
-            cj = codes[b, j, : max_chars[j]]
-            end = np.flatnonzero(cj == 0)
-            if end.size:
-                cj = cj[: end[0]]
-            cells.append("".join(chr(c) for c in cj))
+        cells = [
+            codes[b, j, : ends[b, j]].tobytes().decode("latin-1")
+            for j in range(n_c)
+        ]
         out_rows.append("\t".join(cells))
     return "\n".join(out_rows)
 
