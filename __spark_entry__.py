@@ -905,6 +905,39 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: global top-20 words by count (ties broken by
+    word asc).  Partial-aggregated wordcount + TakeOrdered — no global sort
+    materializes; the vocabulary audit every corpus release ships."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
+
+
+def q_approx_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-word counts per lang (`approx_count_distinct`,
+    rsd 2%) next to the exact count — the cardinality sketch every corpus
+    audit runs at 100 TB, where exact COUNT(DISTINCT) is a full shuffle of
+    every distinct token and the HLL partials merge map-side in constant
+    memory.  No SQL oracle by contract (sketch internals are
+    engine-specific); tests bound the relative error against the exact
+    count instead."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    return words.groupBy("lang").agg(
+        F.approx_count_distinct("w", rsd=0.02).alias("approx_distinct_words"),
+        F.count_distinct("w").alias("exact_distinct_words"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def q_grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS ((lang), (source)) — the arbitrary-set sibling
     of CUBE/ROLLUP (one scan, one expand, one aggregate; never two scans +
@@ -1321,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_chars": q_approx_percentile_chars,
         "rolling_user_spend": q_rolling_user_spend,
         "grouping_sets_metrics": q_grouping_sets_metrics,
+        "approx_distinct_words": q_approx_distinct_words,
+        "top_words": q_top_words,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -2050,6 +2085,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "top_words": """
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY n DESC, w ASC
+            LIMIT 20
         """,
         "grouping_sets_metrics": """
             SELECT lang, source, count(*) AS n_docs,

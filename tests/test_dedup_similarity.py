@@ -407,3 +407,21 @@ class TestApproxPercentiles:
                 hi = sum(1 for x in vals if x <= v) / n
                 tol = 1e-4 + 1.5 / n
                 assert lo - tol <= q <= hi + tol, (lang, p, v, lo, hi, n)
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd_of_exact(self, spark, sf_dir):
+        """HLL++ at rsd=2%: per-lang distinct-word estimate within 3*rsd of
+        the exact count (the sketch's own error model) — the constant-memory
+        cardinality audit for 100 TB corpora."""
+        import __spark_entry__ as em
+
+        rows = em.q_approx_distinct_words(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            exact = r["exact_distinct_words"]
+            approx = r["approx_distinct_words"]
+            assert exact > 0
+            assert abs(approx - exact) <= max(5, 0.06 * exact), (
+                r["lang"], approx, exact
+            )
