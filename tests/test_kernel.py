@@ -492,3 +492,55 @@ class TestErrorTaxonomyParity:
             "PdorMissingConfigError", "PdorInvalidPatternError", "PdorLLMError",
         ):
             assert cls in src, cls
+
+
+class TestLatticeFastPath:
+    def test_fast_decode_equals_per_cell_reference(self):
+        """_decode_lattice_fast must stay bitwise-equal to the per-cell
+        decoder (the jittered-path/reference implementation) on corpus
+        rasters, window-exact preset crops, and a dense 480-cell table."""
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            build_page_image_preset,
+            encode_grid_image,
+            gen_rows,
+        )
+        from pdf_drawing_ocr_recognition_spark.kernel.crop import crop
+        from pdf_drawing_ocr_recognition_spark.kernel.grid import (
+            _decode_lattice_fast,
+            assemble_cells,
+            binarize,
+            cell_bboxes,
+            decode_cell_text,
+        )
+        from pdf_drawing_ocr_recognition_spark.kernel.page import (
+            decode_page,
+            is_grid_payload,
+        )
+
+        def reference(ink):
+            boxes = cell_bboxes(ink)
+            rows = assemble_cells(sorted(boxes, key=lambda b: (b[2], b[0])))
+            return "\n".join(
+                "\t".join(decode_cell_text(ink, b) for b in band) for band in rows
+            )
+
+        rasters = []
+        for _u, _t, html, _x, _l in gen_rows(800):
+            if html and is_grid_payload(html):
+                try:
+                    rasters.extend(decode_page(html, PATTERNS))
+                except Exception:
+                    pass
+        pat = PATTERNS["preset11_lcp"]
+        subs = [{"text": f"z{i}"} for i in range(11)]
+        subs[8] = None
+        page = build_page_image_preset(pat, subs, 1200, 4000)
+        rasters += [crop(page, tuple(b)) for b in pat["sub_imgs"]]
+        rasters.append(
+            encode_grid_image([[f"r{r}c{c}" for c in range(12)] for r in range(40)])
+        )
+        assert len(rasters) > 100
+        for gray in rasters:
+            ink = binarize(gray)
+            assert _decode_lattice_fast(ink) == reference(ink)
