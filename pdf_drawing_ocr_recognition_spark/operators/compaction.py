@@ -45,8 +45,10 @@ def compact_parquet_dir(
 ) -> int:
     """Rewrite *path* into the planned file count; returns the new count.
 
-    A no-op (returns current plan) when the directory already has that many
-    or fewer part-files.
+    Operates on a LEAF parquet directory (part-files directly under *path*
+    — e.g. one manifest bucket or one split= partition dir); for a
+    partitioned root, compact each leaf.  A no-op (returns the current
+    part-file count) when the directory already has that many or fewer.
     """
     n_target = plan_compaction(path, target_mb)
     parts = [

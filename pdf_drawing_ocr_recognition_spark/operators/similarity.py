@@ -178,6 +178,11 @@ def brute_force_topk_arrow(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        # empty query set → empty result with the contract schema
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, neighbor_id long, {score_col} double"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = seq_norm_np(qmat)
