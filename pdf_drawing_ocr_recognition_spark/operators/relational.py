@@ -131,7 +131,7 @@ def decode_leaf(sub_images: DataFrame, max_try: int = DEFAULT_MAX_TRY) -> DataFr
 def assemble(decoded: DataFrame) -> DataFrame:
     """A20/M3 distributed assembly: per-url merge fold in explicit key order."""
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         url = key[0]
         pdf = pdf[pdf["ok"]].sort_values(["page_idx", "sub_idx"], kind="mergesort")
         results = [
