@@ -608,3 +608,72 @@ def ivf_refine_once(
             F.coalesce(F.col("n_refined"), F.lit(0)).alias("n_refined"),
         )
     )
+
+
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mean_round: int = 4,
+) -> tuple[DataFrame, list[dict]]:
+    """Multi-iteration Lloyd refinement — the canonical ITERATIVE Spark
+    algorithm shape: per iteration one distributed assign + one distributed
+    mean-aggregate, with only the K centroid vectors (a dim table) pulled to
+    the driver and re-broadcast — never the corpus.  Lineage stays flat
+    (each iteration plans against the original corpus plus fresh centroid
+    literals), so n_iters=50 does not accumulate a 50-deep plan.
+
+    Mean rounding (``mean_round``) collapses the partition-order-dependent
+    float sum to one deterministic value per position, which makes a FIXED
+    iteration count reproducible across reruns and engines (tested) —
+    run-to-convergence is not, and is deliberately not offered.
+
+    Returns (final assignment DataFrame, per-iteration stats:
+    {iter, n_moved, n_vectors}).
+    """
+    import numpy as np
+
+    stats: list[dict] = []
+    prev = None
+    cents = centroids
+    for it in range(n_iters):
+        assigned = ivf_assign(
+            corpus, cents, id_col, vec_col, metric_round=mean_round
+        )
+        cur = {
+            r[0]: r[1]
+            for r in assigned.select(id_col, "centroid_id").collect()
+        }
+        n_moved = (
+            len(cur)
+            if prev is None
+            else sum(1 for k, v in cur.items() if prev.get(k) != v)
+        )
+        stats.append({"iter": it, "n_moved": n_moved, "n_vectors": len(cur)})
+        prev = cur
+        if it == n_iters - 1:
+            return assigned, stats
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("_pos", "_v")
+            )
+            .groupBy("centroid_id", "_pos")
+            .agg(F.round(F.avg(F.col("_v").cast("double")), mean_round).alias("_m"))
+        )
+        rebuilt = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s["_m"],
+            ).alias("cvec")
+        )
+        # only K rows cross the driver: centroids become fresh literals,
+        # keeping every iteration's plan shallow
+        rows = rebuilt.collect()
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(r["centroid_id"], [float(x) for x in r["cvec"]]) for r in rows],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+    return assigned, stats

@@ -425,3 +425,27 @@ class TestApproxDistinct:
             assert abs(approx - exact) <= max(5, 0.06 * exact), (
                 r["lang"], approx, exact
             )
+
+
+class TestIterativeLloyd:
+    def test_multi_iter_refine_invariants_and_determinism(self, spark, sf_dir):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import ivf_refine
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = emb.filter(F.col("vec_id") < 8)
+        assigned, stats = ivf_refine(emb, cents, n_iters=3)
+        n = emb.count()
+        # every iteration assigns every vector exactly once
+        assert [s["n_vectors"] for s in stats] == [n, n, n]
+        assert stats[0]["n_moved"] == n  # first iteration: everything "moves"
+        # the final assignment covers all vectors across <= 8 lists
+        counts = assigned.groupBy("centroid_id").count().collect()
+        assert sum(r["count"] for r in counts) == n
+        assert all(0 <= r["centroid_id"] < 8 for r in counts)
+        # fixed iteration count + rounded means → rerun is identical
+        _a2, stats2 = ivf_refine(emb, cents, n_iters=3)
+        assert [s["n_moved"] for s in stats] == [s["n_moved"] for s in stats2]
+        # refinement settles: later iterations move fewer vectors than iter 0
+        assert stats[2]["n_moved"] < n
