@@ -905,6 +905,32 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_source_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input data-quality audit per source — the gate a pipeline runs BEFORE
+    spending 100 TB of compute: null/empty/short text, duplicate-content
+    rows, out-of-contract lang values.  One scan, one shuffle on source
+    (the dup check rides a digest-keyed window inside the same plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"))
+    w = Window.partitionBy(digest)
+    flagged = docs.select(
+        "source",
+        F.col("text").isNull().alias("_null"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) == 0).alias("_empty"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) < 20).alias("_short"),
+        (F.count(F.lit(1)).over(w) > 1).alias("_dup"),
+        (~F.col("lang").isin("en", "zh", "de", "fr", "es")).alias("_badlang"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_null").cast("long")).alias("n_null_text"),
+        F.sum(F.col("_empty").cast("long")).alias("n_empty_text"),
+        F.sum(F.col("_short").cast("long")).alias("n_short_text"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_content"),
+        F.sum(F.col("_badlang").cast("long")).alias("n_bad_lang"),
+    )
+
+
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters: global top-20 words by count (ties broken by
     word asc).  Partial-aggregated wordcount + TakeOrdered — no global sort
@@ -1356,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_metrics": q_grouping_sets_metrics,
         "approx_distinct_words": q_approx_distinct_words,
         "top_words": q_top_words,
+        "source_quality_audit": q_source_quality_audit,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -2085,6 +2112,25 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "source_quality_audit": """
+            WITH f AS (
+                SELECT source,
+                       text IS NULL AS is_null,
+                       length(COALESCE(text, '')) = 0 AS is_empty,
+                       length(COALESCE(text, '')) < 20 AS is_short,
+                       count(*) OVER (PARTITION BY md5(COALESCE(text, ''))) > 1
+                           AS is_dup,
+                       lang NOT IN ('en', 'zh', 'de', 'fr', 'es') AS is_badlang
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+                   CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+                   CAST(sum(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short_text,
+                   CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_content,
+                   CAST(sum(CASE WHEN is_badlang THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang
+            FROM f GROUP BY source
         """,
         "top_words": """
             SELECT w, count(*) AS n

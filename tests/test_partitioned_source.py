@@ -117,3 +117,29 @@ def test_partitioned_corpus_extracts_identically(spark, corpus_pair):
         ).collect()
     }
     assert a == b and len(a) == 300
+
+
+class TestSchemaEvolution:
+    def test_missing_column_reads_as_nulls(self, spark, tmp_path):
+        """The ICEBERG.md schema-evolution claim, proven on the analogue:
+        an explicit read schema over parquet files WITHOUT some columns
+        resolves by name — missing columns come back null, no positional
+        coupling, no rewrite."""
+        from pdf_drawing_ocr_recognition_spark.sources.pages import (
+            PAGES_SCHEMA,
+            read_pages,
+        )
+
+        old = str(tmp_path / "old_layout")
+        spark.createDataFrame(
+            [("u/1", bytearray(b"<p>x</p>"), "en")],
+            "url STRING, html BINARY, lang STRING",  # no warc_ts, no text
+        ).write.parquet(old)
+        df = read_pages(spark, old)
+        assert df.columns == [c.split()[0] for c in PAGES_SCHEMA.split(", ")]
+        row = df.collect()[0]
+        assert row["url"] == "u/1" and row["warc_ts"] is None and row["text"] is None
+        # time-range predicates on the missing column stay valid (no rows)
+        from datetime import datetime
+
+        assert read_pages(spark, old, since=datetime(2020, 1, 1)).count() == 0
