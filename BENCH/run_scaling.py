@@ -120,13 +120,18 @@ def main() -> None:
             walls[lv].append(wall)
     rows = []
     for lv in levels:
-        med = median(walls[lv])
+        # MIN across the interleaved samples, not median/mean: this host's
+        # transient stalls are one-sided additive noise (a single stall
+        # measured +28s on an otherwise-7.6s local[32] run), so the minimum
+        # is the estimator of true capability — same rule as bench.py's
+        # best-of-2.  All samples are still reported in wall_all.
+        best = min(walls[lv])
         rows.append(
             {
                 "cpus": lv,
-                "wall_s": med,
+                "wall_s": best,
                 "wall_all": [round(w, 2) for w in walls[lv]],
-                "docs_per_s": n_docs / med,
+                "docs_per_s": n_docs / best,
                 "hw_ops": hw[lv],
             }
         )
