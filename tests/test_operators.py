@@ -515,3 +515,40 @@ class TestSequencePacking:
             pairs.sort()
             bins = [b for _i, b in pairs]
             assert bins == sorted(bins), (doc, bins)  # non-decreasing bins
+
+
+class TestFullPlatformLoop:
+    def test_extraction_output_feeds_corpus_prep(self, spark, pages_small):
+        """The complete platform path a user runs: pages → extraction →
+        prepared training corpus (quality gate → dedup → split) — the
+        extraction output maps straight onto the prep operator's contract."""
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            prep_audit,
+            prepare_corpus,
+        )
+        from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+
+        pages = spark.read.parquet(pages_small).filter(
+            F.col("lang").isin("en", "zh", "de")
+        )
+        extracted = extract_pages(pages, PATTERNS)
+        docs = (
+            extracted.filter(F.col("status") == "ok")
+            .join(pages.select("url", "lang"), "url")
+            .select(
+                F.xxhash64("url").alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+                "lang",
+                F.length("extracted_text").alias("n_chars"),
+            )
+        )
+        prepared = prepare_corpus(docs, min_quality=0.2)
+        audit = prep_audit(prepared).collect()
+        n_prepared = sum(r["n_docs"] for r in audit)
+        assert 0 < n_prepared <= docs.count()
+        assert {r["split"] for r in audit} <= {"train", "val", "test"}
+        # grid extractions share the PDOR header + near-identical shapes, so
+        # dedup must have removed something relative to the raw ok-set
+        assert n_prepared < extracted.filter(F.col("status") == "ok").count()
+        # every prepared row still carries its text payload
+        assert prepared.filter(F.length("text") == 0).count() == 0
