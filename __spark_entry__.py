@@ -905,6 +905,25 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of the pivot matrix: wide per-user event
+    counts back to long (user_id, event_type, n) form, zero-count cells
+    dropped.  `DataFrame.unpivot` is a plan-level Expand (one pass), not a
+    per-column union."""
+    wide = q_pivot_event_matrix(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{k}" for k in kinds],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+    )
+
+
 def q_source_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Input data-quality audit per source — the gate a pipeline runs BEFORE
     spending 100 TB of compute: null/empty/short text, duplicate-content
@@ -1383,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_words": q_approx_distinct_words,
         "top_words": q_top_words,
         "source_quality_audit": q_source_quality_audit,
+        "unpivot_event_matrix": q_unpivot_event_matrix,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -2112,6 +2132,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": """
             SELECT doc_id, n_chars, lang FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "unpivot_event_matrix": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
         """,
         "source_quality_audit": """
             WITH f AS (
