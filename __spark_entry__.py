@@ -905,6 +905,19 @@ def q_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep_audit(prepare_corpus(docs))
 
 
+def q_global_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 1-based row numbering by (n_chars DESC, doc_id) WITHOUT the
+    single-reducer window: range-repartition + per-partition offsets
+    (operators/order.py).  The naive row_number() OVER (ORDER BY ...) plan
+    funnels 10^12 rows through one task; this is the shape that doesn't."""
+    from pdf_drawing_ocr_recognition_spark.operators.order import global_row_numbers
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_row_numbers(
+        docs, [F.desc("n_chars"), F.asc("doc_id")], id_col="rn", n_partitions=8
+    ).select("doc_id", "n_chars", "rn")
+
+
 def q_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt — the inverse of the pivot matrix: wide per-user event
     counts back to long (user_id, event_type, n) form, zero-count cells
@@ -1403,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words": q_top_words,
         "source_quality_audit": q_source_quality_audit,
         "unpivot_event_matrix": q_unpivot_event_matrix,
+        "global_row_numbers": q_global_row_numbers,
         "repetition_signals": q_repetition_signals,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
@@ -2136,6 +2150,11 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_event_matrix": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
+        """,
+        "global_row_numbers": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
         """,
         "source_quality_audit": """
             WITH f AS (

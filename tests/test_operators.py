@@ -552,3 +552,32 @@ class TestFullPlatformLoop:
         assert n_prepared < extracted.filter(F.col("status") == "ok").count()
         # every prepared row still carries its text payload
         assert prepared.filter(F.length("text") == 0).count() == 0
+
+
+class TestGlobalRowNumbers:
+    def test_no_single_partition_window_and_deterministic(self, spark, sf_dir):
+        from pdf_drawing_ocr_recognition_spark.operators.order import (
+            global_row_numbers,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        out = global_row_numbers(
+            docs, [F.desc("n_chars"), F.asc("doc_id")], id_col="rn", n_partitions=4
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan  # the whole point
+        rows = out.collect()
+        n = docs.count()
+        assert sorted(r["rn"] for r in rows) == list(range(1, n + 1))
+        # ids are a pure function of the order, independent of partitioning
+        a = {r["doc_id"]: r["rn"] for r in rows}
+        b = {
+            r["doc_id"]: r["rn"]
+            for r in global_row_numbers(
+                docs, [F.desc("n_chars"), F.asc("doc_id")], id_col="rn",
+                n_partitions=7,
+            ).collect()
+        }
+        assert a == b
