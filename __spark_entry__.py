@@ -1689,7 +1689,7 @@ def oracle_sql() -> dict[str, str]:
             bucketed AS (
                 SELECT e.vec_id,
                        CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
-                                     THEN 1 << p.i ELSE 0 END) AS INT) AS bucket
+                                     THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
                 FROM embeddings e CROSS JOIN planes p
                 GROUP BY e.vec_id
             )

@@ -35,10 +35,21 @@ def global_row_numbers(
 
     ``order_cols`` MUST form a total order (include a unique tiebreaker);
     with ties the assignment at range boundaries would depend on sampling.
+
+    The partitioning is materialized ONCE (eager ``localCheckpoint``) before
+    the counts job: the counts pass and the numbering pass otherwise each
+    re-execute the lazy ``repartitionByRange``, whose range boundaries are
+    re-SAMPLED per execution above the exhaustive-sample threshold — two
+    executions could split boundary rows differently and the offsets from
+    job 1 would silently mis-number job 2's partitions.  Checkpointing pins
+    one physical partitioning for both passes (and truncates lineage, so a
+    lost block fails loudly instead of recomputing a different split; on a
+    long-lived production cluster use a reliable ``checkpoint()`` dir if
+    executor loss must be survivable mid-operator).
     """
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
-    with_pid = part.withColumn("_pid", F.spark_partition_id())
+    with_pid = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = {
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

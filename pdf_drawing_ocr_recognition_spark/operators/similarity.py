@@ -25,11 +25,10 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.vectors import (
     dot,
-    half_up_round_np,
     l2_norm,
     seq_dot_np,
     seq_norm_np,
@@ -157,7 +156,6 @@ def brute_force_topk_arrow(
     vec_col: str = "embedding",
     round_to: int = 6,
     score_col: str = "score",
-    slack: int = 8,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-batched NumPy scorer (the cold-fast twin of
     ``brute_force_topk`` — same bits, no giant codegen classes).
@@ -165,14 +163,17 @@ def brute_force_topk_arrow(
     The query set is collected to the driver (same smallness premise as the
     broadcast in ``brute_force_topk``) and closed over by a mapInPandas
     kernel that scores each corpus batch against every query and emits only
-    each batch's top (k + slack) candidates per query — the map-side partial
-    top-k that keeps the final per-query window over batches·(k+slack) rows
-    instead of the whole corpus.  Selection inside the kernel orders by
-    half-away-rounded score (the same direction Spark/DuckDB round), with
-    *slack* guarding the astronomically-unlikely ulp edge where NumPy's
-    rounding of a boundary value disagrees with Spark's BigDecimal rounding;
-    the emitted score is RAW and the authoritative F.round happens in Spark,
-    so the output bits match ``brute_force_topk`` exactly.
+    the candidates that could still place in the batch's top k — the
+    map-side partial top-k that keeps the final per-query window over
+    O(batches·k) rows instead of the whole corpus.  Pruning is a RAW-score
+    threshold with a one-rounding-step margin: every candidate whose raw
+    score is within 10^-round_to of the batch's k-th largest raw score is
+    kept, which provably covers every candidate whose ROUNDED score (under
+    Spark's BigDecimal rounding, or any monotone rounding) can tie or beat
+    the k-th — correctness does not depend on NumPy and Spark agreeing on
+    boundary-value rounding.  The emitted score is RAW and the
+    authoritative F.round happens in Spark, so the output bits match
+    ``brute_force_topk`` exactly.
     """
     import numpy as np
     import pandas as pd
@@ -186,7 +187,10 @@ def brute_force_topk_arrow(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qnorm = seq_norm_np(qmat)
-    keep = k + slack
+    # If round_spark(x) >= round_spark(y) then x >= y - 10^-round_to for any
+    # rounding with error <= 0.5*10^-round_to on each side; the tiny relative
+    # bump guards the float64 subtraction itself.
+    margin = (10.0 ** -round_to) * (1.0 + 1e-9)
 
     def score(batches):
         for pdf in batches:
@@ -202,12 +206,15 @@ def brute_force_topk_arrow(
                 cos = np.where(denom == 0, 0.0, d / np.where(denom == 0, 1.0, denom))
                 mask = ids != qids[j]
                 cand_ids, cand_cos = ids[mask], cos[mask]
-                order = np.lexsort(
-                    (cand_ids, -half_up_round_np(cand_cos, round_to))
-                )[:keep]
-                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
-                out_n.append(cand_ids[order])
-                out_s.append(cand_cos[order])
+                if len(cand_cos) > k:
+                    kth_raw = np.partition(cand_cos, len(cand_cos) - k)[
+                        len(cand_cos) - k
+                    ]
+                    keep_mask = cand_cos >= kth_raw - margin
+                    cand_ids, cand_cos = cand_ids[keep_mask], cand_cos[keep_mask]
+                out_q.append(np.full(len(cand_ids), qids[j], dtype=np.int64))
+                out_n.append(cand_ids)
+                out_s.append(cand_cos)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -251,21 +258,31 @@ def bucketize(
     Arrow path: the per-plane dots are cumsum-sequential NumPy folds, bitwise
     identical to the `hyperplane_sign_bits` Column expression (whose unrolled
     64-term-per-plane codegen paid seconds of cold compile per distinct
-    query); the sign-bit packing is integer arithmetic either way."""
+    query); the sign-bit packing is integer arithmetic either way.
+
+    The bucket is a 64-bit LONG: the sizing rule (``planes_for_corpus``)
+    steers 10^9+ corpora toward 20–30+ planes, and ``1 << i`` on int32
+    overflows to negative/undefined bucket ids at plane 31 — capped at 62
+    planes so the packed id stays a positive int64."""
     import numpy as np
 
+    if len(planes) > 62:
+        raise ValueError(
+            f"{len(planes)} planes exceed the 62-bit bucket-id budget — "
+            "shard the plane set into multiple independent LSH tables instead"
+        )
     pmat = np.array(planes, dtype=np.float64)
-    schema = StructType(df.schema.fields + [StructField("bucket", IntegerType())])
+    schema = StructType(df.schema.fields + [StructField("bucket", LongType())])
 
     def run(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             v = _stack_f64(pdf[vec_col])
-            bucket = np.zeros(len(pdf), dtype=np.int32)
+            bucket = np.zeros(len(pdf), dtype=np.int64)
             for i in range(pmat.shape[0]):
                 d = seq_dot_np(v, np.broadcast_to(pmat[i], v.shape))
-                bucket |= (d >= 0).astype(np.int32) << i
+                bucket |= (d >= 0).astype(np.int64) << np.int64(i)
             pdf["bucket"] = bucket
             yield pdf
 
@@ -630,28 +647,48 @@ def ivf_refine(
     iteration count reproducible across reruns and engines (tested) —
     run-to-convergence is not, and is deliberately not offered.
 
+    The per-iteration movement stat is computed DISTRIBUTIVELY: iteration
+    t's (id, centroid_id) assignment joins iteration t-1's on the id and a
+    single aggregate counts the mismatches, so only two scalars (n_moved,
+    n_vectors) cross the driver per iteration — never the per-vector
+    assignment (a multi-GB collect at 10^9 vectors).
+
     Returns (final assignment DataFrame, per-iteration stats:
     {iter, n_moved, n_vectors}).
     """
-    import numpy as np
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
 
     stats: list[dict] = []
-    prev = None
+    prev = None  # previous iteration's (id, centroid_id) DataFrame
     cents = centroids
     for it in range(n_iters):
         assigned = ivf_assign(
             corpus, cents, id_col, vec_col, metric_round=mean_round
         )
-        cur = {
-            r[0]: r[1]
-            for r in assigned.select(id_col, "centroid_id").collect()
-        }
-        n_moved = (
-            len(cur)
-            if prev is None
-            else sum(1 for k, v in cur.items() if prev.get(k) != v)
-        )
-        stats.append({"iter": it, "n_moved": n_moved, "n_vectors": len(cur)})
+        cur = assigned.select(id_col, "centroid_id")
+        if prev is None:
+            n_vectors = cur.count()
+            n_moved = n_vectors
+        else:
+            # one distributed agg over the id-equijoin; only scalars return
+            row = (
+                cur.join(
+                    prev.withColumnRenamed("centroid_id", "_prev_cid"),
+                    id_col,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(
+                            F.col("centroid_id") != F.col("_prev_cid"), 1
+                        ).otherwise(0)
+                    ).alias("moved"),
+                )
+                .collect()[0]
+            )
+            n_vectors, n_moved = int(row["n"]), int(row["moved"] or 0)
+        stats.append({"iter": it, "n_moved": n_moved, "n_vectors": n_vectors})
         prev = cur
         if it == n_iters - 1:
             return assigned, stats
