@@ -795,6 +795,44 @@ def q_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44: corpus-delta dedup — the daily-ingest shape.  The accumulated
+    corpus (doc_id < 400) is persisted ONCE as a (digest, band_key) index;
+    the new batch (doc_id >= 400) dedupes against corpus + itself purely via
+    semi/anti joins on the index — the corpus text is never rescanned.
+    Equivalent (oracle-pinned) to a full near_dedupe+exact rerun on the
+    union restricted to the batch, since corpus keys precede batch keys."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        incremental_dedupe,
+        write_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    base = "/tmp/pdor_spark_incr_idx"
+    write_dedup_index(corpus, base)
+    surv = incremental_dedupe(
+        batch,
+        spark.read.parquet(f"{base}/digests"),
+        spark.read.parquet(f"{base}/bands"),
+    )
+    return surv.select("doc_id", "lang")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45: transitive near-dup closure — large-star/small-star connected
+    components over the LSH candidate pairs; each node labeled with its
+    cluster representative (minimum reachable doc_id)."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -1397,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "session_windows": q_session_windows,
         "near_dedup_survivors": q_near_dedup_survivors,
+        "incremental_dedup": q_incremental_dedup,
+        "dedup_components": q_dedup_components,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -2019,6 +2059,54 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             GROUP BY lang
+        """,
+        "incremental_dedup": f"""
+            WITH hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), coll AS (
+                SELECT DISTINCT b.doc_id
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), dup AS (
+                SELECT DISTINCT b.doc_id
+                FROM documents a JOIN documents b
+                  ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+            )
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id >= 400
+              AND doc_id NOT IN (SELECT doc_id FROM coll)
+              AND doc_id NOT IN (SELECT doc_id FROM dup)
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT u AS doc_id, least(u, min(v)) AS component
+            FROM reach GROUP BY u
         """,
         "set_ops": """
             (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0

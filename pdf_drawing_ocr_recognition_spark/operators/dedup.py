@@ -164,3 +164,253 @@ def near_dedupe(
     pairs = near_dupe_pairs(docs, text_col, key_col, **pair_kwargs)
     losers = pairs.select(F.col("key_b").alias(key_col)).distinct()
     return docs.join(losers, key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# incremental (corpus-delta) dedup — the daily-ingest shape
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The two index relations an incremental pipeline persists ONCE per
+    corpus: (digest, key) for exact membership and (band_key, key) for
+    MinHash-LSH near membership.  Pure plan builder — callers choose the
+    storage layout (``write_dedup_index`` for parquet paths,
+    ``operators.skew.write_bucketed`` for the Hive-bucketed zero-Exchange
+    probe layout)."""
+    digests = corpus.select(
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("digest"),
+        F.col(key_col),
+    )
+    sigs = minhash_signatures(corpus, text_col, key_col)
+    bands = sigs.select(
+        F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_key"
+        ),
+        F.col(key_col),
+    )
+    return digests, bands
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    base_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the dedup index as parquet at ``{base_path}/digests`` and
+    ``{base_path}/bands`` (catalog-free layout; for the Hive-bucketed
+    variant — probe joins with zero index-side Exchange — write the two
+    relations with ``write_bucketed(digests, t, n, "digest")`` /
+    ``write_bucketed(bands, t, n, "band_key")`` instead, tested in
+    tests/test_dedup_similarity.py)."""
+    digests, bands = build_dedup_index(
+        corpus, text_col, key_col, n_bands, rows_per_band
+    )
+    digests.write.mode(mode).parquet(f"{base_path}/digests")
+    bands.write.mode(mode).parquet(f"{base_path}/bands")
+
+
+def append_to_dedup_index(
+    survivors: DataFrame,
+    base_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> None:
+    """Fold an accepted batch into the index (append-only parquet): the next
+    day's batch then dedupes against corpus ∪ all prior batches without any
+    rescan of the documents themselves."""
+    write_dedup_index(
+        survivors, base_path, text_col, key_col, n_bands, rows_per_band,
+        mode="append",
+    )
+
+
+def incremental_dedupe(
+    batch: DataFrame,
+    index_digests: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Dedupe a NEW batch against an accumulated corpus WITHOUT rescanning
+    the corpus — the operation a daily 100-TB ingest runs.
+
+    *index_digests* / *index_bands* are the persisted relations of
+    ``build_dedup_index`` (parquet paths or bucketed tables).  A batch doc is
+    dropped iff
+
+    - its text digest already exists in the corpus index, or
+    - any of its MinHash band keys collides with a corpus band key
+      (the LSH near-dup signal), or
+    - a SMALLER-keyed batch doc shares its digest or a band key (the usual
+      within-batch exact/near dedup — greater member loses).
+
+    With corpus keys ordered before batch keys this is exactly
+    ``near_dedupe(exact-deduped union)`` restricted to the batch (the
+    invariant the oracle + tests pin), but the corpus side is touched only
+    through the two index relations: every corpus interaction is a
+    semi/anti join against an index that a production deployment stores
+    Hive-bucketed on its join key, so probing shuffles ONLY the new batch
+    (index-side zero-Exchange plan asserted in tests).  Work scales with
+    |batch|, not |corpus|.
+    """
+    b_digest = batch.select(
+        F.col(key_col),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("digest"),
+    )
+    # exact hit against the corpus: semi join on the digest index
+    corpus_exact = b_digest.join(
+        index_digests.select("digest"), "digest", "left_semi"
+    ).select(key_col)
+    # within-batch exact: everyone but the min key of each digest group
+    batch_exact = (
+        b_digest.groupBy("digest")
+        .agg(F.sort_array(F.collect_list(key_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias(key_col)
+        )
+    )
+    sigs = minhash_signatures(batch, text_col, key_col)
+    banded = sigs.select(
+        key_col,
+        F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+    # near hit against the corpus: semi join on the band index
+    corpus_near = banded.join(
+        index_bands.select("band_key"), "band_key", "left_semi"
+    ).select(key_col)
+    # within-batch near: all-but-min of every band bucket (= the greater
+    # member of every in-bucket pair, same loser set as near_dedupe)
+    batch_near = (
+        banded.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set(key_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(F.slice(F.col("ids"), 2, F.size("ids") - 1)).alias(key_col)
+        )
+    )
+    losers = (
+        corpus_exact.union(batch_exact)
+        .union(corpus_near)
+        .union(batch_near)
+        .distinct()
+    )
+    return batch.join(losers, key_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# transitive closure — connected-component dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    key_a: str = "key_a",
+    key_b: str = "key_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in *pairs*, where component is the
+    MINIMUM key reachable through the pair graph — the alternating
+    large-star / small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14), which converges in O(log² n) rounds
+    instead of the O(diameter) of naive label propagation.
+
+    Each round is two grouped aggregations over the edge set (fully
+    distributed; only the convergence scalar crosses the driver).  Edges are
+    ``localCheckpoint``-ed per round so lineage stays flat across
+    iterations — on a long-lived production cluster use a reliable
+    ``checkpoint()`` dir if executor loss must be survivable mid-algorithm.
+    Raises after *max_iters* non-converged rounds (25 covers any corpus:
+    convergence is logarithmic in component size).
+    """
+    nodes = (
+        pairs.select(F.col(key_a).alias("node"))
+        .union(pairs.select(F.col(key_b).alias("node")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge large→small, group by the large endpoint
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        joined = directed.join(m, "u")
+        relinked = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return relinked.filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_iters):
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        # convergence = identical edge sets; two scalar counts cross the driver
+        if nxt.count() == edges.count() and nxt.exceptAll(edges).count() == 0:
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # converged star graph: every non-root points at its component min
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("_root")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("_root"), F.col("node")).alias("component")
+    )
+
+
+def dedupe_transitive(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    **pair_kwargs,
+) -> DataFrame:
+    """Near-dedup with TRANSITIVE closure: one call collapses chains
+    (A~B, B~C, A≁C ⇒ keep only A), unlike the single-pass ``near_dedupe``
+    which needs repeated application.  Keeps each connected component's
+    minimum key as the cluster representative."""
+    pairs = near_dupe_pairs(docs, text_col, key_col, **pair_kwargs)
+    comp = connected_components(pairs, "key_a", "key_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(key_col)
+    )
+    return docs.join(losers, key_col, "left_anti")

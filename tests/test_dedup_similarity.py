@@ -449,3 +449,193 @@ class TestIterativeLloyd:
         assert [s["n_moved"] for s in stats] == [s["n_moved"] for s in stats2]
         # refinement settles: later iterations move fewer vectors than iter 0
         assert stats[2]["n_moved"] < n
+
+
+class TestIncrementalDedup:
+    """T44 — corpus-delta dedup against a persisted index (VERDICT r2 #1)."""
+
+    def test_incremental_equals_full_rerun_on_union(
+        self, spark, docs_with_dups, tmp_path
+    ):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            incremental_dedupe,
+            near_dupe_pairs,
+            write_dedup_index,
+        )
+
+        corpus = docs_with_dups.filter(F.col("doc_id") < 100)
+        batch = docs_with_dups.filter(F.col("doc_id") >= 100)
+        base = str(tmp_path / "idx")
+        write_dedup_index(corpus, base)
+        surv = incremental_dedupe(
+            batch,
+            spark.read.parquet(f"{base}/digests"),
+            spark.read.parquet(f"{base}/bands"),
+        )
+        got = sorted(r["doc_id"] for r in surv.select("doc_id").collect())
+
+        # full-rerun twin: batch doc survives iff no smaller-keyed doc in the
+        # UNION shares a band key (LSH candidate loser) or a text digest
+        pair_losers = {
+            r["key_b"]
+            for r in near_dupe_pairs(docs_with_dups).select("key_b").collect()
+        }
+        import collections
+
+        by_digest = collections.defaultdict(list)
+        for r in docs_with_dups.select("doc_id", "text").collect():
+            by_digest[r["text"]].append(r["doc_id"])
+        digest_losers = {
+            d for ids in by_digest.values() for d in sorted(ids)[1:]
+        }
+        batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+        expected = sorted(batch_ids - pair_losers - digest_losers)
+        assert got == expected
+        # all exact dups of corpus docs are gone
+        assert all(100 + i not in got for i in range(10))
+
+    def test_append_folds_batch_into_index(self, spark, docs_with_dups, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            append_to_dedup_index,
+            incremental_dedupe,
+            write_dedup_index,
+        )
+
+        corpus = docs_with_dups.filter(F.col("doc_id") < 100)
+        day1 = spark.createDataFrame(
+            [(500, "fresh day one document with wholly novel content words")],
+            "doc_id LONG, text STRING",
+        )
+        base = str(tmp_path / "idx2")
+        write_dedup_index(corpus, base)
+
+        def idx():
+            return (
+                spark.read.parquet(f"{base}/digests"),
+                spark.read.parquet(f"{base}/bands"),
+            )
+
+        s1 = incremental_dedupe(day1, *idx())
+        assert s1.count() == 1
+        append_to_dedup_index(s1, base)
+        # day 2 re-submits the same text (new key) → dropped via the index
+        day2 = spark.createDataFrame(
+            [(600, "fresh day one document with wholly novel content words"),
+             (601, "a genuinely different second day document entirely")],
+            "doc_id LONG, text STRING",
+        )
+        s2 = sorted(r["doc_id"] for r in incremental_dedupe(day2, *idx()).collect())
+        assert s2 == [601]
+
+    def test_bucketed_index_probe_has_no_index_side_exchange(
+        self, spark, docs_with_dups
+    ):
+        """The write-once/probe-many contract: with the band index stored
+        Hive-bucketed on band_key, the probe semi-join shuffles ONLY the
+        batch side (index-side scan feeds the join with zero Exchange)."""
+        from pdf_drawing_ocr_recognition_spark.functions.dedup import lsh_band_keys
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            build_dedup_index,
+            minhash_signatures,
+        )
+        from pdf_drawing_ocr_recognition_spark.operators.skew import write_bucketed
+
+        corpus = docs_with_dups.filter(F.col("doc_id") < 100)
+        batch = docs_with_dups.filter(F.col("doc_id") >= 100)
+        _, bands = build_dedup_index(corpus)
+        try:
+            write_bucketed(bands, "incr_bands_idx", 8, "band_key")
+            idx = spark.table("incr_bands_idx")
+            sigs = minhash_signatures(batch)
+            banded = sigs.select(
+                "doc_id",
+                F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key"),
+            )
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                probe = banded.join(idx.select("band_key"), "band_key", "left_semi")
+                plan = probe._jdf.queryExecution().executedPlan().toString()
+                # every Exchange hashes the probe (batch) side, never the scan
+                # of the bucketed index table
+                import re
+
+                for frag in re.findall(r"Exchange [^\n]*", plan):
+                    assert "incr_bands_idx" not in frag, plan
+                assert "incr_bands_idx" in plan  # the index scan is in the plan
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS incr_bands_idx")
+
+
+class TestConnectedComponents:
+    """T45 — transitive near-dedup closure (VERDICT r2 #3)."""
+
+    def test_chain_and_isolated_pair_components(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 3), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13), (13, 14)],
+            "key_a LONG, key_b LONG",
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert comp == {
+            1: 1, 2: 1, 3: 1,          # V shape: two minima joined via 3
+            7: 7, 8: 7,                # isolated pair
+            10: 10, 11: 10, 12: 10, 13: 10, 14: 10,  # 5-node path
+        }
+
+    def test_convergence_error_is_loud(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "key_a LONG, key_b LONG")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iters=0)
+
+    def test_transitive_collapses_chain_single_pass_does_not(self, spark):
+        """A(1)~C(3), B(2)~C(3), A≁B: single-pass near_dedupe keeps {1, 2}
+        (two 'minima' linked through the dropped 3); dedupe_transitive keeps
+        only the true cluster representative {1} in ONE call."""
+        import hashlib
+
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            dedupe_transitive,
+            near_dedupe,
+            near_dupe_pairs,
+        )
+
+        words = [
+            hashlib.md5(f"cc|{j}".encode()).hexdigest()[:6] for j in range(38)
+        ]
+        a = " ".join(words[:30])            # 28 shingles
+        c = " ".join(words[:34])            # J(a,c) = 28/32 = 0.875
+        b = " ".join(words[:38])            # J(c,b) = 32/36 ≈ 0.889; J(a,b) ≈ 0.778
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id LONG, text STRING"
+        )
+        pairs = {
+            (r["key_a"], r["key_b"])
+            for r in near_dupe_pairs(docs, min_jaccard=0.8).select(
+                "key_a", "key_b"
+            ).collect()
+        }
+        assert pairs == {(1, 3), (2, 3)}, pairs  # the V topology, no (1,2)
+        single = sorted(
+            r["doc_id"] for r in near_dedupe(docs, min_jaccard=0.8).collect()
+        )
+        transitive = sorted(
+            r["doc_id"]
+            for r in dedupe_transitive(docs, min_jaccard=0.8).collect()
+        )
+        assert single == [1, 2]       # the single-pass blind spot
+        assert transitive == [1]      # closure collapses the chain
