@@ -331,11 +331,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_drawing_ocr_recognition_spark.operators.dedup import minhash_signatures
 
     docs = _t(spark, sf_dir, "documents")
-    # Scale path: exploded windowed MinHash (one md5 per salt×word-trigram,
-    # hex windows + partial-min agg — all whole-stage codegen; see
-    # operators/dedup.minhash_signatures).  The groupBy exchange doubles as
-    # the barrier that stops Catalyst from inlining the signature expression
-    # into each band key downstream.
+    # Scale path: Arrow shingle kernel — each doc's full 16-window signature
+    # is computed inside one narrow mapInPandas batch (no per-key window
+    # sort of the tokens, no signature shuffle; see
+    # operators/dedup.minhash_signatures).  The only exchange in the whole
+    # query is the band_key groupBy below.
     sigs = minhash_signatures(docs)
     banded = sigs.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"), 4, 4)).alias("band_key")

@@ -639,3 +639,59 @@ class TestConnectedComponents:
         )
         assert single == [1, 2]       # the single-pass blind spot
         assert transitive == [1]      # closure collapses the chain
+
+
+class TestArrowMinhashKernel:
+    def test_arrow_kernel_equals_exploded_codegen_path(self, spark, docs_with_dups):
+        """The Arrow shingle kernel (default) is value-identical to the
+        exploded+window codegen formulation on every doc, including Unicode
+        text (md5 hex, hex-window lexicographic minima, split/lower)."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_exploded,
+        )
+
+        extra = spark.createDataFrame(
+            [(900, "Füß ÜBER straße Füß ÜBER wörter MIXED Case tokens")],
+            "doc_id LONG, text STRING",
+        )
+        docs = docs_with_dups.union(extra)
+        arrow = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in minhash_signatures(docs).collect()
+        }
+        exploded = {
+            r["doc_id"]: tuple(r["sig"])
+            for r in minhash_signatures_exploded(docs).collect()
+        }
+        assert arrow == exploded and len(arrow) == 56
+
+    def test_kernel_plan_has_no_exchange_on_well_partitioned_input(
+        self, spark, docs_with_dups
+    ):
+        """With input partitions >= parallelism (the 100-TB scan shape) the
+        signature kernel is a pure narrow stage; only under-partitioned
+        small inputs get the one spreading repartition."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            minhash_signatures,
+        )
+
+        par = spark.sparkContext.defaultParallelism
+        wide = docs_with_dups.repartition(par * 2)
+        plan = (
+            minhash_signatures(wide)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the input's own repartition is upstream of the analyzed plan; the
+        # kernel itself must not add an Exchange beyond it
+        assert plan.count("Exchange") <= 1, plan
+        narrow = docs_with_dups.coalesce(1)
+        plan2 = (
+            minhash_signatures(narrow)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in plan2  # under-partitioned input gets spread
