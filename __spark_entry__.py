@@ -1384,6 +1384,107 @@ def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(blobs)
 
 
+PLANES18 = _planes(4, 18)
+
+
+def _image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8×8 grayscale PNG per document: pixel i is the (clamped)
+    codepoint of the i-th character of ``text`` (pad 32) — REAL PNG encode,
+    so the downstream feature extractor exercises the actual decode path
+    while DuckDB can recompute the expected pixels from the text column."""
+    import numpy as np
+    import pandas as pd
+
+    def render(batches):
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                cps = [min(ord(c), 255) for c in (text or "")[:64]]
+                cps += [32] * (64 - len(cps))
+                payloads.append(
+                    encode_png(np.array(cps, dtype=np.uint8).reshape(8, 8))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        render, "doc_id long, payload binary"
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33 oracle closure: the image feature path (PNG encode → real decode →
+    [mean, std, 16-bin histogram] embedding) hash-matched against DuckDB
+    recomputing the same statistics from the text codepoints.  Histogram
+    counts are exact integers (k/64 is exactly representable and survives
+    the kernel's round-8); mean is an identical sum/64/255 on both engines;
+    std is rounded to 4 (np two-pass vs SQL two-pass agree to ~1 ulp)."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        image_feature_vectors,
+    )
+
+    feats = image_feature_vectors(_image_blobs(spark, sf_dir))
+    emb = F.col("embedding")
+    hist_counts = [
+        (emb[2 + i] * 64).cast("int").cast("string") for i in range(16)
+    ]
+    return feats.select(
+        "doc_id",
+        "media_kind",
+        F.round(emb[0], 6).alias("mean_px"),
+        F.round(emb[1], 4).alias("std_px"),
+        F.concat_ws(",", *hist_counts).alias("hist"),
+    )
+
+
+def q_image_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the SAME bucketed-join machinery as
+    text embeddings: feature vectors → hyperplane sign-bit buckets →
+    in-bucket cosine ≥ τ (T33 plugged into T7, oracle-matched end to end)."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        image_feature_vectors,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        embedding_near_dupe_pairs,
+    )
+
+    feats = image_feature_vectors(_image_blobs(spark, sf_dir))
+    return embedding_near_dupe_pairs(
+        feats.select("doc_id", "embedding"),
+        PLANES18,
+        min_cosine=0.9999,
+        id_col="doc_id",
+    )
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37 relational audit: greedy next-fit packing of the 64-token chunks
+    into 160-token bins, then the per-bin fill audit (chunk count, token
+    total, fill fraction) — the padding-waste metric checked against a
+    DuckDB recursive-CTE simulation of the same sequential next-fit.  One
+    partition so the bin assignment is a pure function of (doc_id,
+    chunk_idx) order that SQL can replay; the distributed operator itself
+    namespaces bins per partition (tested for rerun determinism)."""
+    from pdf_drawing_ocr_recognition_spark.operators.packing import (
+        pack_chunks,
+        packing_stats,
+    )
+
+    chunks = q_chunk_documents(spark, sf_dir).filter(F.col("doc_id") < 100)
+    packed = pack_chunks(chunks, budget_tokens=160, n_partitions=1)
+    stats = packing_stats(packed)
+    return stats.select(
+        "bin_id",
+        "n_chunks",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round(F.col("tokens") / 160.0, 4).alias("fill_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1463,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_documents": q_extract_documents,
         "multimodal_stub": q_multimodal_stub,
         "multimodal_frames": q_multimodal_frames,
+        "image_features": q_image_features,
+        "image_near_dupes": q_image_near_dupes,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -1480,6 +1584,40 @@ def _planes_sql() -> str:
         f"({i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
         for i, plane in enumerate(PLANES)
     )
+
+
+def _planes18_sql() -> str:
+    return ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in plane)}]::DOUBLE[])"
+        for i, plane in enumerate(PLANES18)
+    )
+
+
+# expected pixel statistics of the deterministic 8×8 document images
+# (_image_blobs): pixel i = clamped codepoint of char i of text, pad 32
+_IMAGE_STATS_SQL = """
+            px AS (
+                SELECT d.doc_id, i.i,
+                       CASE WHEN i.i <= length(d.text)
+                            THEN least(unicode(substr(d.text, i.i, 1)), 255)
+                            ELSE 32 END AS p
+                FROM documents d
+                CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+            ), m AS (
+                SELECT doc_id, avg(p) AS mean_p FROM px GROUP BY doc_id
+            ), sd AS (
+                SELECT px.doc_id,
+                       sqrt(avg((px.p - m.mean_p) * (px.p - m.mean_p))) AS std_p
+                FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+            ), hist AS (
+                SELECT doc_id, CAST(floor(p / 16) AS INT) AS b, count(*) AS c
+                FROM px GROUP BY doc_id, CAST(floor(p / 16) AS INT)
+            ), histfull AS (
+                SELECT m.doc_id, b.b, COALESCE(h.c, 0) AS c
+                FROM m CROSS JOIN
+                     (SELECT unnest(generate_series(0, 15)) AS b) b
+                LEFT JOIN hist h ON h.doc_id = m.doc_id AND h.b = b.b
+            )"""
 
 
 _SHINGLE_SQL = (
@@ -2394,5 +2532,77 @@ def oracle_sql() -> dict[str, str]:
                   AND l.l_shipdate > o.o_orderdate
             )
             GROUP BY o_orderpriority
+        """,
+        "image_features": f"""
+            WITH {_IMAGE_STATS_SQL}
+            , hs AS (
+                SELECT doc_id,
+                       string_agg(CAST(c AS VARCHAR), ',' ORDER BY b) AS hist
+                FROM histfull GROUP BY doc_id
+            )
+            SELECT m.doc_id, 'png' AS media_kind,
+                   round(m.mean_p / 255.0, 6) AS mean_px,
+                   round(sd.std_p / 255.0, 4) AS std_px,
+                   hs.hist
+            FROM m JOIN sd USING (doc_id) JOIN hs USING (doc_id)
+        """,
+        "image_near_dupes": f"""
+            WITH {_IMAGE_STATS_SQL}
+            , vecs AS (
+                SELECT m.doc_id,
+                       ([m.mean_p / 255.0, sd.std_p / 255.0] || hl.hl) AS v
+                FROM m JOIN sd USING (doc_id)
+                JOIN (SELECT doc_id, list(c / 64.0 ORDER BY b) AS hl
+                      FROM histfull GROUP BY doc_id) hl USING (doc_id)
+            ), planes AS (
+                SELECT * FROM (VALUES {_planes18_sql()}) AS p(i, plane)
+            ), bucketed AS (
+                SELECT v.doc_id, v.v,
+                       CAST(sum(CASE WHEN list_dot_product(v.v, p.plane) >= 0
+                                     THEN 1 << p.i ELSE 0 END) AS BIGINT) AS bucket
+                FROM vecs v CROSS JOIN planes p GROUP BY v.doc_id, v.v
+            )
+            SELECT id_a, id_b, cos FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                                       sqrt(list_dot_product(b.v, b.v)) = 0
+                                  THEN 0.0
+                                  ELSE list_dot_product(a.v, b.v) /
+                                       (sqrt(list_dot_product(a.v, a.v)) *
+                                        sqrt(list_dot_product(b.v, b.v)))
+                             END, 4) AS cos
+                FROM bucketed a JOIN bucketed b USING (bucket)
+                WHERE a.doc_id < b.doc_id
+            ) WHERE cos >= 0.9999
+        """,
+        "packing_stats": """
+            WITH RECURSIVE chunks AS (
+                SELECT doc_id, k.k AS chunk_idx,
+                       least(64, n - k.k * 48) AS tok
+                FROM (SELECT doc_id,
+                             len(string_split(lower(text), ' ')) AS n
+                      FROM documents WHERE doc_id < 100) d,
+                     unnest(generate_series(
+                         0, CAST(floor((d.n - 1) / 48) AS INT))) AS k(k)
+            ), ordered AS (
+                SELECT row_number() OVER (ORDER BY doc_id, chunk_idx) AS rn,
+                       tok
+                FROM chunks
+            ), fit AS (
+                SELECT rn, tok, tok AS filled, 0 AS bin
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.tok,
+                       CASE WHEN f.filled + o.tok > 160
+                            THEN o.tok ELSE f.filled + o.tok END AS filled,
+                       CASE WHEN f.filled + o.tok > 160
+                            THEN f.bin + 1 ELSE f.bin END AS bin
+                FROM fit f JOIN ordered o ON o.rn = f.rn + 1
+            )
+            SELECT 'p0_b' || CAST(bin AS VARCHAR) AS bin_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(tok) AS BIGINT) AS tokens,
+                   round(sum(tok) / 160.0, 4) AS fill_frac
+            FROM fit GROUP BY bin
         """,
     }
