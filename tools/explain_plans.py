@@ -69,7 +69,17 @@ def main() -> int:
     # partial_sum below the exchange = map-side combine (codegen markers only
     # appear in final AQE plans post-execution, so assert the agg shape)
     grab("pricing_summary", em.q_pricing_summary(spark, sf), "HashAggregate", "partial_sum")
-    grab("minhash_lsh_pairs", em.q_minhash_lsh_pairs(spark, sf), "Exchange")
+    # round-3 Arrow shingle kernel: signatures computed in MapInPandas, and
+    # the old per-key window sort of every token is gone from the plan
+    grab("minhash_lsh_pairs", em.q_minhash_lsh_pairs(spark, sf), "Exchange", "MapInPandas")
+    mh_plan = sections[-1][1]
+    checks.append(
+        ("minhash_lsh_pairs", "no token window sort (Arrow kernel)",
+         "Window" not in mh_plan)
+    )
+    # incremental corpus-delta dedup: every corpus interaction is a
+    # semi/anti index probe — no inner join of batch x corpus anywhere
+    grab("incremental_dedup", em.q_incremental_dedup(spark, sf), "LeftSemi", "LeftAnti")
     grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
     # Arrow scorer: corpus is mapInPandas-scored against driver-collected
     # queries (no join at all), partial top-k map-side, final window tiny
