@@ -436,6 +436,69 @@ def ivf_topk(
     set is the union of the probed inverted lists instead of the whole corpus.
     """
     assigned = ivf_assign(corpus, centroids, id_col, vec_col, metric_round=metric_round, dim=dim)
+    return _ivf_probe_score(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col, metric_round
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric_round: int = 6,
+    n_files: int | None = None,
+) -> None:
+    """Persist the ASSIGNED corpus once as a Hive-bucketed table keyed by
+    ``centroid_id`` — the materialized IVF inverted lists (the T38
+    write-once/probe-many contract applied to IVF).  ``ivf_topk`` recomputes
+    the full corpus→centroid assignment (a corpus-wide broadcast join +
+    argmax agg) on EVERY query batch; at 10^9+ vectors that assignment is
+    the dominant cost and it only changes when the centroids do.  Probes
+    against the persisted lists (``ivf_topk_indexed``) scan pre-bucketed
+    files and join with zero corpus-side Exchange."""
+    from .skew import write_bucketed
+
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, metric_round=metric_round
+    )
+    write_bucketed(
+        assigned, table, n_files or 32, "centroid_id", sort_col="centroid_id"
+    )
+
+
+def ivf_topk_indexed(
+    indexed_assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric_round: int = 6,
+) -> DataFrame:
+    """IVF top-k over a persisted index (``spark.table`` of
+    ``write_ivf_index``) — identical results to ``ivf_topk`` with the same
+    centroids (asserted in tests), no per-query corpus assignment."""
+    return _ivf_probe_score(
+        indexed_assigned, queries, centroids, k, nprobe, id_col, vec_col,
+        metric_round,
+    )
+
+
+def _ivf_probe_score(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    metric_round: int,
+) -> DataFrame:
+    """Rank queries against the centroid dim, join their nprobe best lists
+    from the assigned corpus, score candidates in one Arrow pass."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )

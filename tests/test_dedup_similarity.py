@@ -695,3 +695,51 @@ class TestArrowMinhashKernel:
             .toString()
         )
         assert "Exchange" in plan2  # under-partitioned input gets spread
+
+
+class TestPersistedIvfIndex:
+    def test_indexed_probe_matches_fresh_and_skips_assignment(self, spark, sf_dir):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            ivf_topk,
+            ivf_topk_indexed,
+            write_ivf_index,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        cents = emb.filter(F.col("vec_id") < 16)
+        q = emb.filter(F.col("vec_id") < 5)
+        try:
+            write_ivf_index(emb, cents, "ivf_idx", n_files=16)
+            indexed = spark.table("ivf_idx")
+            fresh = sorted(
+                map(tuple, ivf_topk(emb, q, cents, k=10, nprobe=4).collect())
+            )
+            probed = sorted(
+                map(
+                    tuple,
+                    ivf_topk_indexed(indexed, q, cents, k=10, nprobe=4).collect(),
+                )
+            )
+            assert fresh == probed and len(fresh) == 50
+            # the probe plan never shuffles the corpus: every Exchange hashes
+            # the (tiny) query/probe side, not the bucketed index scan
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            try:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+                plan = (
+                    ivf_topk_indexed(indexed, q, cents, k=10, nprobe=4)
+                    ._jdf.queryExecution()
+                    .executedPlan()
+                    .toString()
+                )
+                import re
+
+                for frag in re.findall(r"Exchange [^\n]*", plan):
+                    assert "ivf_idx" not in frag, plan
+                assert "ivf_idx" in plan
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_idx")
