@@ -38,6 +38,61 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_incremental_dedupe(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    append_index: bool = True,
+):
+    """Continuous corpus-delta dedup: every micro-batch probes the PERSISTED
+    (digest, band_key) index (operators/dedup.incremental_dedupe — semi/anti
+    joins only, corpus never rescanned), lands its survivors, and folds them
+    back into the index — the streaming form of the daily-ingest job
+    (jobs/run_incremental_dedup.py).
+
+    State posture at 100 TB/day: unlike ``dropDuplicatesWithinWatermark``
+    (bounded state, re-emits after eviction) the index is durable storage,
+    not stream state — dedup is exact against ALL history, at the cost of
+    one index probe per micro-batch.  The index grows by two small rows per
+    accepted doc; the probe is a join against a bucketed/partitioned
+    relation, so per-batch work scales with the batch.  foreachBatch gives
+    exactly-once landing via the streaming checkpoint: a replayed batch id
+    rewrites the same survivors (idempotent overwrite per batch directory);
+    a replay can append duplicate index rows, which is harmless to
+    correctness (the probes are existence semi-joins) and is compacted away
+    by the periodic batch rewrite of the index (distinct over both
+    relations) a production deployment schedules anyway.
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+    from ..operators.dedup import append_to_dedup_index, incremental_dedupe
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        survivors = incremental_dedupe(
+            batch,
+            spark.read.parquet(f"{index_path}/digests"),
+            spark.read.parquet(f"{index_path}/bands"),
+            text_col,
+            key_col,
+        )
+        # idempotent per-batch landing dir: a replayed batch overwrites
+        survivors.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        if append_index:
+            kept = spark.read.parquet(f"{out_path}/batch={batch_id}")
+            append_to_dedup_index(kept, index_path, text_col, key_col)
+
+    return (
+        docs.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_dedup_stream_to_memory(
     spark: SparkSession,
     docs_path: str,

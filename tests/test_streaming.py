@@ -304,3 +304,65 @@ class TestStreamStreamJoin:
         # every attributed click is within the window, on the correct user
         for _pid, _uid, _cid, p_us, c_us in got:
             assert 0 <= p_us - c_us <= 2 * 3600 * 1_000_000
+
+
+class TestStreamingIncrementalDedup:
+    def test_micro_batches_dedupe_against_index_and_each_other(
+        self, spark, tmp_path
+    ):
+        """Three one-file micro-batches through the persisted-index probe:
+        batch docs duplicating the bootstrap corpus are dropped, a later
+        micro-batch duplicating an earlier batch's survivor is dropped
+        (index append between batches), novel docs land."""
+        import hashlib
+
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            write_dedup_index,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            streaming_incremental_dedupe,
+        )
+
+        def txt(tag, n=14):
+            return " ".join(
+                hashlib.md5(f"{tag}|{j}".encode()).hexdigest()[:6]
+                for j in range(n)
+            )
+
+        corpus = spark.createDataFrame(
+            [(i, txt(f"c{i}")) for i in range(10)], "doc_id LONG, text STRING"
+        )
+        idx = str(tmp_path / "sidx")
+        write_dedup_index(corpus, idx)
+
+        stream_dir = str(tmp_path / "sdocs")
+        # file 0: one corpus dup + one novel; file 1: novel; file 2: dup of
+        # file 1's survivor + novel
+        batches = [
+            [(100, txt("c3")), (101, txt("n1"))],
+            [(102, txt("n2"))],
+            [(103, txt("n2")), (104, txt("n3"))],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+                1
+            ).write.parquet(f"{stream_dir}/f{i}")
+
+        docs = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/f*")
+        )
+        out = str(tmp_path / "sout")
+        q = streaming_incremental_dedupe(
+            docs, idx, out, str(tmp_path / "sckpt")
+        )
+        q.awaitTermination()
+
+        landed = sorted(
+            r["doc_id"] for r in spark.read.parquet(f"{out}/batch=*").collect()
+        )
+        assert landed == [101, 102, 104]
+        # the index grew by exactly the survivors' digests
+        digests = spark.read.parquet(f"{idx}/digests")
+        assert digests.count() == 10 + 3
