@@ -833,6 +833,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45 production policy: per near-dup cluster keep the BEST member
+    (max n_chars, min doc_id on ties) via max_by hash-agg over the
+    connected-component labels — not whichever got the smallest id."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        component_representatives,
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    return component_representatives(
+        comp.select(F.col("doc_id").alias("node"), "component"),
+        docs,
+        "doc_id",
+        "n_chars",
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -1538,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_survivors": q_near_dedup_survivors,
         "incremental_dedup": q_incremental_dedup,
         "dedup_components": q_dedup_components,
+        "dedup_representatives": q_dedup_representatives,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -2245,6 +2268,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, least(u, min(v)) AS component
             FROM reach GROUP BY u
+        """,
+        "dedup_representatives": f"""
+            WITH RECURSIVE hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+                SELECT u AS doc_id, least(u, min(v)) AS component
+                FROM reach GROUP BY u
+            )
+            SELECT component, doc_id FROM (
+                SELECT c.component, c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.component
+                           ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN documents d USING (doc_id)
+            ) WHERE rn = 1
         """,
         "set_ops": """
             (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0

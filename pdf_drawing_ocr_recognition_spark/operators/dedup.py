@@ -477,15 +477,48 @@ def dedupe_transitive(
     docs: DataFrame,
     text_col: str = "text",
     key_col: str = "doc_id",
+    prefer_col: str | None = None,
     **pair_kwargs,
 ) -> DataFrame:
     """Near-dedup with TRANSITIVE closure: one call collapses chains
-    (A~B, B~C, A≁C ⇒ keep only A), unlike the single-pass ``near_dedupe``
-    which needs repeated application.  Keeps each connected component's
-    minimum key as the cluster representative."""
+    (A~B, B~C, A≁C ⇒ keep only one), unlike the single-pass ``near_dedupe``
+    which needs repeated application.
+
+    Representative policy: by default each connected component keeps its
+    minimum key; with *prefer_col* it keeps the member with the HIGHEST
+    value of that column (key ascending as the deterministic tiebreak) —
+    the production policy, where a cluster's survivor should be its
+    best-quality member, not whichever happened to get the smallest id.
+    """
     pairs = near_dupe_pairs(docs, text_col, key_col, **pair_kwargs)
     comp = connected_components(pairs, "key_a", "key_b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(key_col)
-    )
+    if prefer_col is None:
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(key_col)
+        )
+        return docs.join(losers, key_col, "left_anti")
+    reps = component_representatives(comp, docs, key_col, prefer_col)
+    losers = comp.join(
+        reps.select(F.col(key_col).alias("node")), "node", "left_anti"
+    ).select(F.col("node").alias(key_col))
     return docs.join(losers, key_col, "left_anti")
+
+
+def component_representatives(
+    comp: DataFrame,
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """(component, key) — each cluster's representative: the member with the
+    maximum *prefer_col* (minimum key on ties).  One hash aggregation with
+    map-side ``max_by`` partials over the (node → component) labels joined
+    to the docs — no per-component sort or window."""
+    labeled = comp.join(
+        docs.select(F.col(key_col).alias("node"), F.col(prefer_col)), "node"
+    )
+    best = F.max_by(
+        F.col("node"),
+        F.struct(F.col(prefer_col), (-F.col("node")).alias("_neg")),
+    )
+    return labeled.groupBy("component").agg(best.alias(key_col))

@@ -743,3 +743,29 @@ class TestPersistedIvfIndex:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_idx")
+
+
+class TestClusterRepresentatives:
+    def test_prefer_column_beats_min_key(self, spark):
+        """With prefer_col the cluster keeps its best-quality member, not the
+        minimum key (V topology 1~3, 2~3 where doc 3 is the longest)."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            component_representatives,
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 3), (2, 3), (7, 8)], "key_a LONG, key_b LONG"
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (7, 5), (8, 5)],
+            "doc_id LONG, n_chars LONG",
+        )
+        comp = connected_components(pairs)
+        reps = {
+            r["component"]: r["doc_id"]
+            for r in component_representatives(comp, docs).collect()
+        }
+        # component 1: docs 2 and 3 tie on n_chars=30 → min key 2 wins;
+        # component 7: 7 and 8 tie → 7
+        assert reps == {1: 2, 7: 7}
