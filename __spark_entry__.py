@@ -855,6 +855,40 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T47: corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb
+    boilerplate-removal shape) — every paragraph occurrence is dropped
+    unless it is the corpus-wide FIRST occurrence of its bytes, then each
+    document is reassembled in original order.  The flat corpus text has no
+    paragraph breaks, so a paragraph-structured twin is derived
+    deterministically first (3-word chunks joined by blank lines) —
+    identical derivation in the DuckDB oracle; the tiny vocabulary plus the
+    corpus's duplicate documents give real cross-document collisions.
+    The derivation HOFs (transform/slice) are one-shot here, not a bench
+    hot path."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        paragraph_dedupe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    k_max = F.floor((F.size(words) - 1) / F.lit(3)).cast("int")
+    para_arr = F.transform(
+        F.sequence(F.lit(0), k_max),
+        lambda k: F.concat_ws(" ", F.slice(words, k * 3 + 1, 3)),
+    )
+    structured = docs.select(
+        "doc_id", F.concat_ws("\n\n", para_arr).alias("text")
+    )
+    out = paragraph_dedupe(structured, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("dedup_text"),
+        "n_paras_kept",
+        "n_paras_dropped",
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -1561,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
+        "paragraph_dedup": q_paragraph_dedup,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -2300,6 +2335,33 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
                 FROM comp c JOIN documents d USING (doc_id)
             ) WHERE rn = 1
+        """,
+        "paragraph_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), para AS (
+                SELECT doc_id, t.k AS pidx,
+                       array_to_string(
+                           words[1 + t.k * 3 : t.k * 3 + 3], ' ') AS para
+                FROM w, unnest(generate_series(0, (len(words) - 1) // 3))
+                     AS t(k)
+            ), flagged AS (
+                SELECT doc_id, pidx, para,
+                       (length(para) < 1) OR row_number() OVER (
+                           PARTITION BY md5(para)
+                           ORDER BY doc_id, pidx) = 1 AS kept
+                FROM para
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN kept THEN para END,
+                                       chr(10) || chr(10) ORDER BY pidx),
+                            '') AS dedup_text,
+                   CAST(count(CASE WHEN kept THEN 1 END) AS BIGINT)
+                       AS n_paras_kept,
+                   CAST(count(*) - count(CASE WHEN kept THEN 1 END) AS BIGINT)
+                       AS n_paras_dropped
+            FROM flagged
+            GROUP BY doc_id
         """,
         "set_ops": """
             (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0

@@ -9,7 +9,10 @@ operators a training-data pipeline actually runs:
 - ``near_dedupe``       drop every doc that appears as the GREATER member of a
   confirmed pair — the standard one-pass approximation of
   connected-component dedup (each cluster keeps its minimum;
-  chains collapse transitively over repeated application).
+  chains collapse transitively over repeated application);
+- ``paragraph_dedupe``  corpus-wide first-occurrence paragraph dedup with
+  in-order document reassembly (the CCNet/RefinedWeb
+  boilerplate-removal shape).
 
 Scale notes: pairs are generated inside band buckets via grouped collect +
 in-array combinations (one shuffle; no self-join → no recompute of the digest
@@ -522,3 +525,64 @@ def component_representatives(
         F.struct(F.col(prefer_col), (-F.col("node")).alias("_neg")),
     )
     return labeled.groupBy("component").agg(best.alias(key_col))
+
+
+def paragraph_dedupe(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet/RefinedWeb shape):
+    every paragraph occurrence is dropped unless it is the FIRST occurrence
+    of its bytes corpus-wide, then each document is reassembled from its
+    surviving paragraphs in original order.  Distinct from document-level
+    ``exact_dedupe``: boilerplate repeated across documents (headers,
+    licenses, navigation residue) is removed WITHIN documents that are
+    otherwise unique.
+
+    Keep policy: occurrence (key, idx) survives iff (key, idx) ==
+    min(struct(key, idx)) over its paragraph digest, or the paragraph is
+    shorter than *min_chars*.  Short/empty paragraphs are never treated as
+    duplicates — this both matches production practice and keeps the
+    empty-string digest from becoming the hot key of the digest shuffle.
+    Because all members of a digest group share the same bytes (hence the
+    same length), the min_chars gate splits groups wholly — the policy is
+    well-defined per group.
+
+    Scale: paragraphs travel as (digest, key, idx, para) rows; two shuffles
+    — the first-occurrence aggregation (map-side combinable ``min(struct)``,
+    so a paragraph duplicated 10^6 times still sends one partial per map
+    task) and the per-document reassembly.  The join back to occurrences is
+    a plain equi-join on digest, AQE-skew-safe.  Returns one row per input
+    document: (key, text, n_paras_kept, n_paras_dropped) — documents whose
+    every paragraph was dropped keep an empty-string text.
+    """
+    paras = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pidx", "_para"),
+    ).withColumn("_digest", F.md5(F.encode(F.col("_para"), "utf-8")))
+    firsts = (
+        paras.where(F.length("_para") >= min_chars)
+        .groupBy("_digest")
+        .agg(F.min(F.struct(F.col(key_col), F.col("_pidx"))).alias("_first"))
+    )
+    flagged = paras.join(firsts, "_digest", "left").withColumn(
+        "_kept",
+        (F.length("_para") < min_chars)
+        | (
+            (F.col(f"_first.{key_col}") == F.col(key_col))
+            & (F.col("_first._pidx") == F.col("_pidx"))
+        ),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("_kept"), F.struct("_pidx", "_para")))
+    )
+    return flagged.groupBy(key_col).agg(
+        F.concat_ws(sep, F.transform(kept_structs, lambda s: s["_para"])).alias(
+            text_col
+        ),
+        F.sum(F.col("_kept").cast("long")).alias("n_paras_kept"),
+        F.sum((~F.col("_kept")).cast("long")).alias("n_paras_dropped"),
+    )

@@ -769,3 +769,62 @@ class TestClusterRepresentatives:
         # component 1: docs 2 and 3 tie on n_chars=30 → min key 2 wins;
         # component 7: 7 and 8 tie → 7
         assert reps == {1: 2, 7: 7}
+
+
+class TestParagraphDedupe:
+    """T47: corpus-wide first-occurrence paragraph dedup + reassembly."""
+
+    @pytest.fixture(scope="class")
+    def para_docs(self, spark):
+        rows = [
+            (1, "alpha one\n\nshared boiler plate\n\nbeta two"),
+            (2, "shared boiler plate\n\ngamma three"),  # para 0 dups doc 1
+            (3, "shared boiler plate"),  # entire doc is the duplicate
+            (4, ""),  # empty doc
+            (5, "delta four\n\n\n\nepsilon five"),  # empty middle para
+        ]
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def _result(self, spark, para_docs):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            paragraph_dedupe,
+        )
+
+        out = paragraph_dedupe(para_docs)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_first_occurrence_policy(self, spark, para_docs):
+        got = self._result(spark, para_docs)
+        # doc 1 is the first occurrence of the shared paragraph: intact
+        assert got[1]["text"] == "alpha one\n\nshared boiler plate\n\nbeta two"
+        assert got[1]["n_paras_dropped"] == 0
+        # doc 2 loses the duplicate, keeps its own paragraph in order
+        assert got[2]["text"] == "gamma three"
+        assert (got[2]["n_paras_kept"], got[2]["n_paras_dropped"]) == (1, 1)
+
+    def test_all_dropped_doc_keeps_empty_row(self, spark, para_docs):
+        got = self._result(spark, para_docs)
+        assert set(got) == {1, 2, 3, 4, 5}  # every input doc has a row
+        assert got[3]["text"] == ""
+        assert (got[3]["n_paras_kept"], got[3]["n_paras_dropped"]) == (0, 1)
+
+    def test_short_paragraphs_never_deduped(self, spark, para_docs):
+        got = self._result(spark, para_docs)
+        # empty paragraphs (doc 4's only para; doc 5's middle) always kept
+        assert got[4]["text"] == ""
+        assert got[4]["n_paras_dropped"] == 0
+        assert got[5]["text"] == "delta four\n\n\n\nepsilon five"
+        assert got[5]["n_paras_dropped"] == 0
+
+    def test_order_preserved_under_repartition(self, spark, para_docs):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            paragraph_dedupe,
+        )
+
+        shuffled = para_docs.repartition(7)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in paragraph_dedupe(shuffled).collect()
+        }
+        assert got[1] == "alpha one\n\nshared boiler plate\n\nbeta two"
+        assert got[5] == "delta four\n\n\n\nepsilon five"
