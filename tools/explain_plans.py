@@ -80,6 +80,15 @@ def main() -> int:
     # incremental corpus-delta dedup: every corpus interaction is a
     # semi/anti index probe — no inner join of batch x corpus anywhere
     grab("incremental_dedup", em.q_incremental_dedup(spark, sf), "LeftSemi", "LeftAnti")
+    # paragraph dedup: the first-occurrence agg must have a map-side partial
+    # (partial_min below the digest exchange) so hot paragraphs send one
+    # partial per map task, and the keep-flag join stays a plain equi-join
+    grab("paragraph_dedup", em.q_paragraph_dedup(spark, sf), "partial_min")
+    pd_plan = sections[-1][1]
+    checks.append(
+        ("paragraph_dedup", "no cartesian/nested-loop pairing",
+         "NestedLoopJoin" not in pd_plan and "CartesianProduct" not in pd_plan)
+    )
     grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
     # Arrow scorer: corpus is mapInPandas-scored against driver-collected
     # queries (no join at all), partial top-k map-side, final window tiny
