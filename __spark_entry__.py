@@ -889,6 +889,41 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T48: URL-level dedup — canonicalize (lowercase scheme://host, strip
+    default ports / fragments / tracking params, sort surviving params,
+    strip trailing slashes; functions/urls.py) then keep the best fetch per
+    canonical URL via one max_by hash-agg.  The corpus has no URL column,
+    so a fetch-log twin is derived deterministically from (doc_id, source)
+    with every canonicalization rule exercised (case, :443, utm_ params,
+    fragments, trailing slash) — identical derivation in the DuckDB
+    oracle."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import url_dedupe
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    hostbase = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(hostbase)).otherwise(hostbase),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        k,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("?utm_source=feed&id="), k)
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), k))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("#section-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    fetches = docs.select("doc_id", "n_chars", url.alias("url"))
+    return url_dedupe(fetches, "url", "doc_id", "n_chars")
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -1596,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "paragraph_dedup": q_paragraph_dedup,
+        "url_dedup": q_url_dedup,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -2362,6 +2398,61 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "url_dedup": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       'https://' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN upper(source || '.example.com')
+                            ELSE source || '.example.com' END ||
+                       CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END ||
+                       '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+                       CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '?utm_source=feed&id='
+                                 || CAST(doc_id % 50 AS VARCHAR)
+                            WHEN doc_id % 3 = 1
+                            THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '#section-' || CAST(doc_id AS VARCHAR)
+                            ELSE '' END AS url
+                FROM documents
+            ), q AS (
+                SELECT doc_id, n_chars, url,
+                       -- array_to_string([]) is NULL in DuckDB ('' in Spark)
+                       coalesce(array_to_string(list_sort(list_filter(
+                           string_split(
+                               regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           x -> len(x) > 0 AND NOT regexp_matches(
+                               x, '^(utm_[a-z]+|fbclid|gclid|ref)='))),
+                           '&'), '') AS qs
+                FROM u
+            ), canon AS (
+                SELECT doc_id, n_chars,
+                       regexp_replace(lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1)),
+                           ':(80|443)$', '') ||
+                       regexp_replace(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                           '/+$', '') ||
+                       CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                           AS canonical_url
+                FROM q
+            ), ranked AS (
+                SELECT canonical_url, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY canonical_url
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY canonical_url)
+                           AS n_versions,
+                       max(n_chars) OVER (PARTITION BY canonical_url)
+                           AS best_n_chars
+                FROM canon
+            )
+            SELECT canonical_url, doc_id AS keeper_doc_id,
+                   CAST(n_versions AS BIGINT) AS n_versions, best_n_chars
+            FROM ranked WHERE rn = 1
         """,
         "set_ops": """
             (SELECT doc_id, lang FROM documents WHERE doc_id % 3 = 0

@@ -1,0 +1,52 @@
+"""URL canonicalization — pure Column exprs, Java-regex/RE2-portable.
+
+The first dedup a web-crawl pipeline runs is URL-level: the same page is
+fetched many times under superficially different URLs (host case, default
+ports, tracking parameters, fragments, trailing slashes).  Canonicalizing
+before content dedup collapses those re-crawls without touching document
+bytes at all — at 100 TB this removes whole fetches from every downstream
+stage, so it runs first and entirely JVM-side.
+
+Rules applied (the conservative, widely-agreed subset):
+- lowercase scheme://host, strip default ports ``:80``/``:443``;
+- drop the fragment (never sent to the server);
+- drop tracking parameters (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+  sort the survivors (parameter order is not semantic);
+- strip trailing slashes from the path.
+
+Every regex sticks to the Java/RE2 common subset (no lookaround, no
+backrefs) so the DuckDB oracle twin evaluates the identical patterns.
+The query-parameter filter uses array HOFs (CodegenFallback) — acceptable
+here because canonicalization is a one-shot projection per corpus, not a
+bench hot loop; the regex stages stay whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# parameters that never affect the fetched content
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+_SCHEME_HOST_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of *url* per the module rules; '' components degrade
+    gracefully (a host-only URL canonicalizes to scheme://host)."""
+    scheme_host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _SCHEME_HOST_RE, 1)), r":(80|443)$", ""
+    )
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), r"/+$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme_host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )

@@ -12,7 +12,10 @@ operators a training-data pipeline actually runs:
   chains collapse transitively over repeated application);
 - ``paragraph_dedupe``  corpus-wide first-occurrence paragraph dedup with
   in-order document reassembly (the CCNet/RefinedWeb
-  boilerplate-removal shape).
+  boilerplate-removal shape);
+- ``url_dedupe``        canonical-URL dedup (functions/urls.py rules) keeping
+  the best fetch per page — the stage a crawl pipeline runs
+  before any content dedup.
 
 Scale notes: pairs are generated inside band buckets via grouped collect +
 in-array combinations (one shuffle; no self-join → no recompute of the digest
@@ -585,4 +588,39 @@ def paragraph_dedupe(
         ),
         F.sum(F.col("_kept").cast("long")).alias("n_paras_kept"),
         F.sum((~F.col("_kept")).cast("long")).alias("n_paras_dropped"),
+    )
+
+
+def url_dedupe(
+    docs: DataFrame,
+    url_col: str = "url",
+    key_col: str = "doc_id",
+    prefer_col: str = "n_chars",
+) -> DataFrame:
+    """URL-level dedup: group by canonical URL (functions/urls.py rules) and
+    keep the best fetch per page — max *prefer_col*, minimum key on ties —
+    via one ``max_by`` aggregation.  The struct tie-break ordering keeps the
+    buffer out of the hash-agg fast path (SortAggregate), but the map-side
+    ``partial_max_by`` (plan-asserted) is what matters at scale: the shuffle
+    carries one row per (task, page), never a window over the fetch log.
+    Runs BEFORE content dedup in a crawl pipeline: a re-crawled page never
+    reaches the digest/MinHash stages.  One shuffle, keyed by canonical URL
+    — near-uniform by construction (a single page's re-crawl count is
+    bounded), so no skew guard is needed.
+
+    Returns (canonical_url, keeper_<key>, n_versions, best_<prefer>).
+    """
+    from ..functions.urls import canonicalize_url
+
+    canon = docs.withColumn(
+        "canonical_url", canonicalize_url(F.col(url_col))
+    )
+    best = F.max_by(
+        F.col(key_col),
+        F.struct(F.col(prefer_col), (-F.col(key_col)).alias("_neg")),
+    )
+    return canon.groupBy("canonical_url").agg(
+        best.alias(f"keeper_{key_col}"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max(prefer_col).alias(f"best_{prefer_col}"),
     )

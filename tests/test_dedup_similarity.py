@@ -828,3 +828,61 @@ class TestParagraphDedupe:
         }
         assert got[1] == "alpha one\n\nshared boiler plate\n\nbeta two"
         assert got[5] == "delta four\n\n\n\nepsilon five"
+
+
+class TestUrlDedupe:
+    """T48: canonical-URL dedup — the pre-content crawl dedup stage."""
+
+    CASES = [
+        # (raw, canonical)
+        ("https://WWW.Example.COM:443/a/b/?utm_source=x&q=1#frag",
+         "https://www.example.com/a/b?q=1"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com/a?b=2&a=1", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?utm_campaign=c&fbclid=z&gclid=y&ref=r",
+         "https://example.com/a"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com:8080/a", "https://example.com:8080/a"),
+        ("https://example.com/a?refresh=1",  # 'ref' must not match 'refresh'
+         "https://example.com/a?refresh=1"),
+    ]
+
+    def test_canonicalize_rules(self, spark):
+        from pdf_drawing_ocr_recognition_spark.functions.urls import (
+            canonicalize_url,
+        )
+
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(self.CASES)],
+            "i LONG, url STRING",
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, (raw, want) in enumerate(self.CASES):
+            assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+    def test_keep_policy_best_fetch(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            url_dedupe,
+        )
+
+        rows = [
+            (1, 100, "https://a.com/x?utm_source=s"),
+            (2, 300, "https://A.COM/x/"),  # same page, best fetch
+            (3, 300, "https://a.com/x"),  # tie on n_chars -> min doc_id wins
+            (4, 50, "https://a.com/y"),  # different page
+        ]
+        out = url_dedupe(
+            spark.createDataFrame(rows, "doc_id LONG, n_chars LONG, url STRING")
+        )
+        got = {r["canonical_url"]: r.asDict() for r in out.collect()}
+        assert set(got) == {"https://a.com/x", "https://a.com/y"}
+        x = got["https://a.com/x"]
+        assert (x["keeper_doc_id"], x["n_versions"], x["best_n_chars"]) == (
+            2, 3, 300)
+        assert got["https://a.com/y"]["keeper_doc_id"] == 4

@@ -89,6 +89,13 @@ def main() -> int:
         ("paragraph_dedup", "no cartesian/nested-loop pairing",
          "NestedLoopJoin" not in pd_plan and "CartesianProduct" not in pd_plan)
     )
+    # URL dedup: best-fetch-per-page via max_by with map-side partials (the
+    # struct tie-break ordering keeps the buffer out of the hash-agg fast
+    # path — SortAggregate — but partial_max_by below the exchange is what
+    # bounds the shuffle to one row per (task, page)); never a window
+    grab("url_dedup", em.q_url_dedup(spark, sf), "partial_max_by")
+    ud_plan = sections[-1][1]
+    checks.append(("url_dedup", "no window sort", "Window" not in ud_plan))
     grab("first_success_window", em.q_first_success_window(spark, sf), "Window")
     # Arrow scorer: corpus is mapInPandas-scored against driver-collected
     # queries (no join at all), partial top-k map-side, final window tiny
