@@ -1577,6 +1577,121 @@ def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# web-graph queries (T49/T50): link harvesting → host graph → PageRank
+# ---------------------------------------------------------------------------
+
+_LINK_HOSTS = 23  # host universe h0..h22.example.com (23 % 4 != 0 ⇒ every
+# host class contains docs of every out-degree residue ⇒ no dangling hosts)
+
+
+def _link_pages(spark: SparkSession, sf_dir: str):
+    """Deterministic page corpus with synthesized outlinks.
+
+    doc i lives at ``http://h{i%23}.example.com/p/{i}``; out-degree d = i%4;
+    link j (j < d) targets doc t_j = (i*7 + j*13 + 1) % N — j=0 is emitted
+    as a ROOT-RELATIVE href (the kernel must resolve it against the SOURCE
+    host), j>=1 absolute to t_j's own host.  Fragment-only and mailto
+    anchors are included as negatives the kernel must skip.  The DuckDB
+    twins recompute the edge set from doc_id arithmetic alone, so a hash
+    match proves the HTML link extraction is exact.  Returns (pages, N);
+    N is the one driver scalar (corpus size, needed by the modulus).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    deg = F.col("doc_id") % 4
+
+    def target(j: int) -> F.Column:
+        return (F.col("doc_id") * 7 + j * 13 + 1) % n
+
+    frags = [
+        F.when(
+            deg > 0,
+            F.format_string("<li><a href='/p/%d'>to %d</a></li>", target(0), target(0)),
+        ).otherwise(F.lit(""))
+    ]
+    for j in (1, 2):
+        frags.append(
+            F.when(
+                deg > j,
+                F.format_string(
+                    "<li><a href='http://h%d.example.com/p/%d'>to %d</a></li>",
+                    target(j) % _LINK_HOSTS,
+                    target(j),
+                    target(j),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    html = F.concat(
+        F.lit("<html><body><p>page</p><ul>"),
+        *frags,
+        F.lit(
+            "</ul><a href='#top'>top</a>"
+            "<a href='mailto:a@b.c'>mail</a></body></html>"
+        ),
+    )
+    pages = docs.select(
+        F.format_string(
+            "http://h%d.example.com/p/%d",
+            F.col("doc_id") % _LINK_HOSTS,
+            F.col("doc_id"),
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return pages, n
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T49: real HTML link extraction (Arrow mapInPandas kernel, relative
+    hrefs resolved, fragment/mailto skipped) → weighted host-level edge
+    list, hash-matched against DuckDB recomputing the synthesized edges
+    from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+    )
+
+    pages, _ = _link_pages(spark, sf_dir)
+    return host_link_graph(extract_page_links(pages))
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T49: anchor-text harvesting — per destination host, in-link count,
+    distinct anchor texts, lexicographically first anchor (the anchor-text
+    corpus companion to the link graph)."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.skew import host_of
+
+    pages, _ = _link_pages(spark, sf_dir)
+    links = extract_page_links(pages)
+    return links.groupBy(host_of(F.col("dst_url")).alias("dst_host")).agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.countDistinct("anchor").alias("n_anchor_texts"),
+        F.min("anchor").alias("first_anchor"),
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T50: 3-iteration damped PageRank over the harvested host graph —
+    fully distributed power method (per-iteration join + hash-agg, dangling
+    mass as a broadcast 1-row aggregate), hash-matched against a DuckDB
+    chained-CTE replay of the same three iterations."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+        pagerank,
+    )
+
+    pages, _ = _link_pages(spark, sf_dir)
+    edges = host_link_graph(extract_page_links(pages))
+    ranks = pagerank(edges, damping=0.85, n_iters=3)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pr")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1661,6 +1776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_near_dupes": q_image_near_dupes,
         "packing_stats": q_packing_stats,
+        "host_link_graph": q_host_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "host_pagerank": q_host_pagerank,
     }
 
 
@@ -1724,6 +1842,54 @@ _WORD_SHINGLE_SQL = (
     "list_transform(generate_series(1, greatest(0, len(string_split(lower(text), ' ')) - 2)),"
     " i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))"
 )
+
+
+# synthesized link corpus (T49/T50): doc i → targets (i*7 + j*13 + 1) % N for
+# j < i % 4; j = 0 is a root-relative href (lands on the SOURCE host), j >= 1
+# absolute to the target's own host.  The DuckDB twins recompute the edge set
+# from doc_id arithmetic alone, so a hash match proves the HTML link kernel
+# (quote forms, relative resolution, fragment/mailto skipping) is exact.
+_LINK_EDGES_SQL = """
+            n AS (SELECT count(*) AS nn FROM documents),
+            links AS (
+                SELECT d.doc_id % 23 AS src_h,
+                       (d.doc_id * 7 + j.j * 13 + 1) % n.nn AS t,
+                       CASE WHEN j.j = 0 THEN d.doc_id % 23
+                            ELSE ((d.doc_id * 7 + j.j * 13 + 1) % n.nn) % 23
+                       END AS dst_h
+                FROM documents d
+                CROSS JOIN n
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE j.j < d.doc_id % 4
+            )"""
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    """One damped power-method iteration as chained CTEs (DuckDB replay of
+    operators/links.pagerank — same float ops: p = w/out_w computed once,
+    rank*(p) products summed, dangling mass folded back /n)."""
+    return f"""
+            c{cur} AS (
+                SELECT e.dst_h AS h,
+                       sum(r{prev}.r * (e.w / o.ow)) AS contrib
+                FROM edges e
+                JOIN r{prev} ON r{prev}.h = e.src_h
+                JOIN outw o ON o.src_h = e.src_h
+                GROUP BY e.dst_h
+            ),
+            d{cur} AS (
+                SELECT COALESCE(sum(r{prev}.r), CAST(0 AS DOUBLE)) AS dm
+                FROM r{prev} LEFT JOIN outw o ON o.src_h = r{prev}.h
+                WHERE o.src_h IS NULL
+            ),
+            r{cur} AS (
+                SELECT nodes.h,
+                       (1 - CAST(0.85 AS DOUBLE)) / nc.c
+                       + CAST(0.85 AS DOUBLE)
+                         * (COALESCE(c.contrib, 0) + d.dm / nc.c) AS r
+                FROM nodes CROSS JOIN nc CROSS JOIN d{cur} d
+                LEFT JOIN c{cur} c ON c.h = nodes.h
+            )"""
 
 
 def _minhash_sql(n_hashes: int = 16) -> str:
@@ -2812,5 +2978,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tok) AS BIGINT) AS tokens,
                    round(sum(tok) / 160.0, 4) AS fill_frac
             FROM fit GROUP BY bin
+        """,
+        "host_link_graph": f"""
+            WITH {_LINK_EDGES_SQL}
+            SELECT 'h' || CAST(src_h AS VARCHAR) || '.example.com' AS src_host,
+                   'h' || CAST(dst_h AS VARCHAR) || '.example.com' AS dst_host,
+                   count(*) AS weight
+            FROM links GROUP BY src_h, dst_h
+        """,
+        "anchor_texts": f"""
+            WITH {_LINK_EDGES_SQL}
+            SELECT 'h' || CAST(dst_h AS VARCHAR) || '.example.com' AS dst_host,
+                   count(*) AS in_links,
+                   count(DISTINCT 'to ' || CAST(t AS VARCHAR))
+                       AS n_anchor_texts,
+                   min('to ' || CAST(t AS VARCHAR)) AS first_anchor
+            FROM links GROUP BY dst_h
+        """,
+        "host_pagerank": f"""
+            WITH {_LINK_EDGES_SQL},
+            edges AS (
+                SELECT src_h, dst_h, CAST(count(*) AS DOUBLE) AS w
+                FROM links GROUP BY src_h, dst_h
+            ),
+            nodes AS (
+                SELECT DISTINCT h FROM (
+                    SELECT src_h AS h FROM edges
+                    UNION ALL SELECT dst_h FROM edges
+                )
+            ),
+            nc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+            outw AS (SELECT src_h, sum(w) AS ow FROM edges GROUP BY src_h),
+            r0 AS (
+                SELECT h, CAST(1 AS DOUBLE) / nc.c AS r
+                FROM nodes CROSS JOIN nc
+            ),
+            {_pagerank_iter_sql("0", "1")},
+            {_pagerank_iter_sql("1", "2")},
+            {_pagerank_iter_sql("2", "3")}
+            SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+                   round(r, 6) AS pr
+            FROM r3
         """,
     }

@@ -1,0 +1,219 @@
+"""Link-extraction kernel + web-graph operators (T49/T50).
+
+Kernel rules pinned exactly (href forms, scheme filtering, relative
+resolution, drop-subtree exclusion), PageRank checked against a dense NumPy
+power-iteration reference, and the operator path checked end-to-end on a
+synthesized page corpus.
+"""
+
+import numpy as np
+import pytest
+
+from pdf_drawing_ocr_recognition_spark.kernel.links import (
+    extract_links,
+    resolve_href,
+)
+
+BASE = "http://h0.example.com/p/7"
+
+
+class TestResolveHref:
+    def test_absolute_kept_verbatim(self):
+        assert (
+            resolve_href("http://a.example.com/x?q=1", BASE)
+            == "http://a.example.com/x?q=1"
+        )
+
+    def test_scheme_and_host_lowercased_path_preserved(self):
+        assert (
+            resolve_href("HTTPS://WWW.Example.COM/Path/X", BASE)
+            == "https://www.example.com/Path/X"
+        )
+
+    def test_root_relative(self):
+        assert resolve_href("/p/42", BASE) == "http://h0.example.com/p/42"
+
+    def test_document_relative(self):
+        assert resolve_href("sub.html", BASE) == "http://h0.example.com/p/sub.html"
+
+    def test_dotdot_collapsed(self):
+        assert resolve_href("../up.html", BASE) == "http://h0.example.com/up.html"
+
+    def test_protocol_relative_inherits_scheme(self):
+        assert (
+            resolve_href("//cdn.example.com/lib", "https://x.com/a")
+            == "https://cdn.example.com/lib"
+        )
+
+    def test_fragment_only_skipped(self):
+        assert resolve_href("#top", BASE) is None
+
+    def test_fragment_stripped_from_resolved(self):
+        assert resolve_href("/a#sec", BASE) == "http://h0.example.com/a"
+
+    @pytest.mark.parametrize(
+        "href", ["mailto:x@y.z", "javascript:void(0)", "tel:+123", "data:text/plain,x"]
+    )
+    def test_non_http_schemes_skipped(self, href):
+        assert resolve_href(href, BASE) is None
+
+    def test_empty_href_skipped(self):
+        assert resolve_href("", BASE) is None
+
+
+class TestExtractLinks:
+    def test_quote_styles_and_entities(self):
+        html = (
+            "<a href=\"/a\">dq</a><a href='/b'>sq</a><a href=/c>unq</a>"
+            "<a href=\"/d?x=1&amp;y=2\">ent</a>"
+        )
+        links = extract_links(html, BASE)
+        assert [l["href"] for l in links] == [
+            "http://h0.example.com/a",
+            "http://h0.example.com/b",
+            "http://h0.example.com/c",
+            "http://h0.example.com/d?x=1&y=2",
+        ]
+        assert [l["anchor"] for l in links] == ["dq", "sq", "unq", "ent"]
+
+    def test_anchor_text_normalized_and_unescaped(self):
+        html = "<a href='/x'>  two\n  words &amp; <b>more</b> </a>"
+        (link,) = extract_links(html, BASE)
+        assert link["anchor"] == "two words & more"
+
+    def test_script_subtree_links_dropped(self):
+        html = "<script><a href='http://evil.example.com/'>x</a></script><a href='/ok'>ok</a>"
+        links = extract_links(html, BASE)
+        assert [l["href"] for l in links] == ["http://h0.example.com/ok"]
+
+    def test_nav_links_kept(self):
+        # boilerplate regions lose their TEXT in extraction but keep LINKS
+        html = "<nav><a href='/'>home</a></nav>"
+        (link,) = extract_links(html, BASE)
+        assert link["href"] == "http://h0.example.com/"
+        assert link["anchor"] == "home"
+
+    def test_nested_anchor_implicitly_closes(self):
+        html = "<a href='/a'>outer <a href='/b'>inner</a></a>"
+        links = extract_links(html, BASE)
+        assert [(l["href"], l["anchor"]) for l in links] == [
+            ("http://h0.example.com/a", "outer"),
+            ("http://h0.example.com/b", "inner"),
+        ]
+
+    def test_href_missing_produces_no_link(self):
+        assert extract_links("<a name='t'>anchor target</a>", BASE) == []
+
+    def test_duplicates_preserved_in_order(self):
+        html = "<a href='/a'>1</a><a href='/a'>2</a>"
+        assert [l["anchor"] for l in extract_links(html, BASE)] == ["1", "2"]
+
+    def test_unclosed_anchor_at_eof_flushed(self):
+        (link,) = extract_links("<a href='/a'>tail text", BASE)
+        assert link["anchor"] == "tail text"
+
+    def test_malformed_markup_no_crash(self):
+        assert extract_links("<a href='/a'<b>>x</a><<<", BASE) != []
+
+
+def _ref_pagerank(edges, damping=0.85, n_iters=3):
+    """Dense NumPy power iteration (incl. dangling mass) — the oracle."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for u, v, w in edges:
+        P[idx[v], idx[u]] += w
+    out = P.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = P[:, nz] @ (r[nz] / out[nz])
+        dm = r[~nz].sum()
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return {h: r[idx[h]] for h in nodes}
+
+
+class TestPagerankOperator:
+    def _run(self, spark, edges, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.links import pagerank
+
+        df = spark.createDataFrame(edges, ["src_host", "dst_host", "weight"])
+        got = {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+        return got
+
+    def test_matches_numpy_reference(self, spark):
+        edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)]
+        got = self._run(spark, edges)
+        want = _ref_pagerank(edges)
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+    def test_dangling_node_mass_redistributed(self, spark):
+        # 'sink' has no out-edges: its rank must be redistributed, ranks sum to 1
+        edges = [("a", "sink", 1), ("b", "a", 1), ("a", "b", 1)]
+        got = self._run(spark, edges)
+        want = _ref_pagerank(edges)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_n_iters_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import pagerank
+
+        df = spark.createDataFrame([("a", "b", 1)], ["src_host", "dst_host", "weight"])
+        with pytest.raises(ValueError):
+            pagerank(df, n_iters=0)
+
+
+class TestLinkGraphEndToEnd:
+    def test_extract_and_aggregate(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            extract_page_links,
+            host_link_graph,
+        )
+
+        rows = [
+            (
+                "http://h0.example.com/p/1",
+                (
+                    "<html><body><p><a href='/p/9'>self-host</a>"
+                    "<a href='http://h1.example.com/p/2'>cross</a>"
+                    "<a href='http://h1.example.com/p/3'>cross2</a>"
+                    "<a href='#x'>frag</a><a href='mailto:a@b.c'>mail</a></p>"
+                    "</body></html>"
+                ).encode(),
+            ),
+            (
+                "http://h1.example.com/p/2",
+                "<html><body><a href='http://h0.example.com/p/1'>back</a></body></html>".encode(),
+            ),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        links = extract_page_links(pages)
+        assert links.count() == 4
+        edges = {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in host_link_graph(links).collect()
+        }
+        assert edges == {
+            ("h0.example.com", "h0.example.com"): 1,
+            ("h0.example.com", "h1.example.com"): 2,
+            ("h1.example.com", "h0.example.com"): 1,
+        }
+
+    def test_plan_single_narrow_python_stage(self, spark):
+        """extract_page_links: scan → one MapInPandas, zero Exchange."""
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            extract_page_links,
+        )
+
+        pages = spark.createDataFrame(
+            [("http://h0.example.com/p/1", b"<a href='/x'>y</a>")],
+            "url string, html binary",
+        )
+        plan = extract_page_links(pages)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan
