@@ -91,6 +91,7 @@ def pagerank(
     weight: str | None = "weight",
     damping: float = 0.85,
     n_iters: int = 3,
+    flatten_lineage: bool = True,
 ) -> DataFrame:
     """(node, rank) after *n_iters* damped power-method iterations.
 
@@ -103,7 +104,9 @@ def pagerank(
     no out-edges) is a single-row aggregate broadcast back into the update —
     the rank vector itself never crosses the driver.  ``localCheckpoint``
     per iteration flattens lineage (production: reliable ``checkpoint()``
-    if executor loss must be survivable mid-run).
+    if executor loss must be survivable mid-run); ``flatten_lineage=False``
+    keeps the full iteration lineage in one plan (plan inspection / tiny
+    graphs only — lineage depth grows with ``n_iters``).
     """
     if n_iters < 1:
         raise ValueError(f"pagerank requires n_iters >= 1, got {n_iters}")
@@ -147,7 +150,8 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        if flatten_lineage:
+            ranks = ranks.localCheckpoint()
     trans.unpersist()
     return ranks

@@ -138,6 +138,30 @@ def main() -> int:
     ivf_plan = sections[-1][1]
     checks.append(("ivf_assign_counts", "no Window (argmax is an agg)", "Window" not in ivf_plan))
     grab("pivot_event_matrix", em.q_pivot_event_matrix(spark, sf), "HashAggregate", "partial_pivotfirst")
+    # link harvesting → host graph: ONE narrow Arrow stage feeds a single
+    # map-side-combined hash agg — exactly one Exchange in the whole plan
+    grab("host_link_graph", em.q_host_link_graph(spark, sf), "MapInPandas", "partial_count")
+    hlg_plan = sections[-1][1]
+    checks.append(
+        ("host_link_graph", "single exchange (edge agg only)",
+         hlg_plan.count("Exchange") == 1)
+    )
+    # PageRank iteration: contributions via hash agg (never a window), the
+    # dangling-mass scalar broadcast back (BroadcastNestedLoopJoin of a
+    # 1-row aggregate), rank vector never collected
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+        pagerank,
+    )
+
+    lp_pages, _ = em._link_pages(spark, sf)
+    pr_df = pagerank(
+        host_link_graph(extract_page_links(lp_pages)), flatten_lineage=False
+    )
+    grab("host_pagerank", pr_df, "HashAggregate", "BroadcastNestedLoopJoin")
+    pr_plan = sections[-1][1]
+    checks.append(("host_pagerank", "no window sort", "Window" not in pr_plan))
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
