@@ -1241,6 +1241,48 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (T51) — row-identical to
+    `decontamination`, but the corpus shingle stream is pruned MAP-SIDE by a
+    broadcast Bloom filter built over the benchmark shingles BEFORE the
+    exact confirm join.  At 100 TB this is the plan that survives a
+    contamination list too large to broadcast raw (10⁸ shingles ≈ 8 GB of
+    strings vs a ~100 MB bloom at 1 % fp): the join input shrinks to the
+    maybe-contaminated slice, and bloom false positives are erased by the
+    exact confirm, so the ORACLE IS THE EXACT JOIN — the bloom is visible
+    only in the physical plan (ArrowEvalPython prefilter, asserted in
+    tests/test_bloom.py)."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
+    from pdf_drawing_ocr_recognition_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_params,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 10 == 7
+    bench_sh = (
+        docs.filter(is_bench)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
+        .distinct()
+    )
+    m_bits, k = bloom_params(max(1, bench_sh.count()), fp_rate=0.01)
+    bloom = bloom_build(bench_sh, "sh", m_bits, k)
+    corp = docs.filter(~is_bench).select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh")
+    )
+    pruned = (
+        bloom_might_contain(corp, "sh", bloom, m_bits, k, out="_maybe")
+        .filter(F.col("_maybe"))
+        .drop("_maybe")
+    )
+    return (
+        pruned.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence chunking for training: each doc's whitespace tokens split
     into fixed 64-token windows at stride 48 (16-token overlap) — the
@@ -1756,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_rarity_scores": q_word_rarity_scores,
         "stratified_sample": q_stratified_sample,
         "decontamination": q_decontamination,
+        "bloom_decontamination": q_bloom_decontamination,
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "attribution_join": q_attribution_join,
@@ -2834,6 +2877,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "decontamination": """
+            WITH sh5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split(lower(text), ' ')) - 4)),
+                           i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+4], ' ')))
+                           AS sh
+                FROM documents
+            ), b AS (
+                SELECT DISTINCT sh FROM sh5 WHERE doc_id % 10 = 7
+            )
+            SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared
+            FROM (SELECT * FROM sh5 WHERE doc_id % 10 != 7) c
+            JOIN b USING (sh)
+            GROUP BY c.doc_id
+        """,
+        # identical to the `decontamination` oracle BY DESIGN: blooms have
+        # no false negatives and the exact confirm join erases the false
+        # positives, so the prefiltered result must equal the plain join.
+        "bloom_decontamination": """
             WITH sh5 AS (
                 SELECT doc_id,
                        unnest(list_transform(
