@@ -1733,6 +1733,43 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_prioritized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T52: graph-derived quality prior folded back into the corpus — the
+    crawl-prioritization shape (OPIC / Common Crawl's harmonic-centrality
+    ranking): harvested link graph → PageRank → keep documents living on
+    the top-8 authority hosts, carrying the host prior as a column.  The
+    rank side is 23 hosts (broadcast join, never a shuffle of the corpus);
+    the top-k cut orders by ROUND-6 rank with host as tiebreak so the
+    boundary is deterministic across engines (round-6 parity is exactly
+    what the host_pagerank oracle hash-proves)."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+        pagerank,
+    )
+
+    pages, _ = _link_pages(spark, sf_dir)
+    ranks = pagerank(
+        host_link_graph(extract_page_links(pages)), damping=0.85, n_iters=3
+    )
+    top_hosts = (
+        ranks.select(
+            F.col("node").alias("host"), F.round("rank", 6).alias("host_pr")
+        )
+        .orderBy(F.desc("host_pr"), F.asc("host"))
+        .limit(8)
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string(
+            "h%d.example.com", F.col("doc_id") % _LINK_HOSTS
+        ).alias("host"),
+    )
+    return docs.join(F.broadcast(top_hosts), "host").select(
+        "doc_id", "host", "host_pr"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1822,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
+        "rank_prioritized_docs": q_rank_prioritized_docs,
     }
 
 
@@ -3083,5 +3121,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
                    round(r, 6) AS pr
             FROM r3
+        """,
+        "rank_prioritized_docs": f"""
+            WITH {_LINK_EDGES_SQL},
+            edges AS (
+                SELECT src_h, dst_h, CAST(count(*) AS DOUBLE) AS w
+                FROM links GROUP BY src_h, dst_h
+            ),
+            nodes AS (
+                SELECT DISTINCT h FROM (
+                    SELECT src_h AS h FROM edges
+                    UNION ALL SELECT dst_h FROM edges
+                )
+            ),
+            nc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+            outw AS (SELECT src_h, sum(w) AS ow FROM edges GROUP BY src_h),
+            r0 AS (
+                SELECT h, CAST(1 AS DOUBLE) / nc.c AS r
+                FROM nodes CROSS JOIN nc
+            ),
+            {_pagerank_iter_sql("0", "1")},
+            {_pagerank_iter_sql("1", "2")},
+            {_pagerank_iter_sql("2", "3")},
+            top_hosts AS (
+                SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+                       round(r, 6) AS host_pr
+                FROM r3
+                ORDER BY round(r, 6) DESC, host ASC
+                LIMIT 8
+            )
+            SELECT d.doc_id,
+                   'h' || CAST(d.doc_id % 23 AS VARCHAR) || '.example.com'
+                       AS host,
+                   t.host_pr
+            FROM documents d
+            JOIN top_hosts t
+              ON t.host = 'h' || CAST(d.doc_id % 23 AS VARCHAR)
+                          || '.example.com'
         """,
     }
