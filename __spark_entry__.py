@@ -1733,6 +1733,34 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T53: webtext normalization as the dedup key.  Each doc is paired with
+    a deterministically typographically-noised twin (spaces → em-spaces,
+    hyphens → en-dashes, a ZWSP injected after every 'e' — all 1:1 rules the
+    normalizer must invert); both variants normalize to ONE md5, proven
+    relationally per doc (n_norm_forms must come back 1 everywhere, and the
+    oracle recomputes the same digests in DuckDB from the SAME pattern
+    constants — `normalize_text_sql` renders them, so the engines cannot
+    drift).  Pure translate/regexp_replace Column chain: whole-stage
+    codegen, no Python at run time."""
+    from pdf_drawing_ocr_recognition_spark.functions.normalize import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    noisy = F.regexp_replace(
+        F.translate(F.col("text"), " -", "\u2003\u2013"), "e", "e\u200b"
+    )
+    variants = docs.select(
+        "doc_id", F.explode(F.array(F.col("text"), noisy)).alias("v")
+    )
+    norm_fp = F.md5(normalize_text(F.col("v")))
+    return variants.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.count_distinct("v").alias("n_raw_forms"),
+        F.count_distinct(norm_fp).alias("n_norm_forms"),
+        F.min(norm_fp).alias("norm_fp"),
+    )
+
+
 def q_rank_prioritized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T52: graph-derived quality prior folded back into the corpus — the
     crawl-prioritization shape (OPIC / Common Crawl's harmonic-centrality
@@ -1860,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
         "rank_prioritized_docs": q_rank_prioritized_docs,
+        "normalized_dedup": q_normalized_dedup,
     }
 
 
@@ -1982,6 +2011,11 @@ def _minhash_sql(n_hashes: int = 16) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_drawing_ocr_recognition_spark.functions.normalize import (
+        normalize_text_sql,
+    )
+
+    _NORM_V_SQL = normalize_text_sql("v")
     shingle5 = _WORD_SHINGLE_SQL
     shingle3 = _SHINGLE_SQL.format(km1=2, k=3)
     sig16 = _minhash_sql(16)
@@ -3121,6 +3155,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
                    round(r, 6) AS pr
             FROM r3
+        """,
+        "normalized_dedup": f"""
+            WITH v AS (
+                SELECT doc_id,
+                       unnest([text,
+                               regexp_replace(
+                                   translate(text, ' -',
+                                             chr(8195) || chr(8211)),
+                                   'e', 'e' || chr(8203), 'g')]) AS v
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   count(*) AS n_variants,
+                   count(DISTINCT v) AS n_raw_forms,
+                   count(DISTINCT md5({_NORM_V_SQL})) AS n_norm_forms,
+                   min(md5({_NORM_V_SQL})) AS norm_fp
+            FROM v GROUP BY doc_id
         """,
         "rank_prioritized_docs": f"""
             WITH {_LINK_EDGES_SQL},
