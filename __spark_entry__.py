@@ -1733,6 +1733,23 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T54: fixed-quota per-stratum sampling — exactly min(k, |stratum|)
+    docs per language, selected by salted-md5 order (rerun-stable, engine-
+    portable).  The naive PARTITION-BY-stratum window would sort each whole
+    stratum in ONE task at 100 TB; `quota_sample` prunes map-side first
+    (Arrow running top-k per partition, memory O(k·strata)), then ranks
+    only the survivors — selection provably identical (pytest + this
+    oracle, which IS the naive window in DuckDB)."""
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = quota_sample(docs, ["lang"], 40, "doc_id")
+    return out.select(
+        "doc_id", "lang", F.col("pick_rank").cast("long").alias("pick_rank")
+    )
+
+
 def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T53: webtext normalization as the dedup key.  Each doc is paired with
     a deterministically typographically-noised twin (spaces → em-spaces,
@@ -1889,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "rank_prioritized_docs": q_rank_prioritized_docs,
         "normalized_dedup": q_normalized_dedup,
+        "quota_sample": q_quota_sample,
     }
 
 
@@ -3155,6 +3173,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
                    round(r, 6) AS pr
             FROM r3
+        """,
+        "quota_sample": """
+            SELECT doc_id, lang, pick_rank FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS pick_rank
+                FROM documents
+            ) WHERE pick_rank <= 40
         """,
         "normalized_dedup": f"""
             WITH v AS (
