@@ -1736,11 +1736,10 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T54: fixed-quota per-stratum sampling — exactly min(k, |stratum|)
     docs per language, selected by salted-md5 order (rerun-stable, engine-
-    portable).  The naive PARTITION-BY-stratum window would sort each whole
-    stratum in ONE task at 100 TB; `quota_sample` prunes map-side first
-    (Arrow running top-k per partition, memory O(k·strata)), then ranks
-    only the survivors — selection provably identical (pytest + this
-    oracle, which IS the naive window in DuckDB)."""
+    portable).  Declarative window + rank filter: Catalyst rewrites it into
+    WindowGroupLimit with a map-side Partial below the Exchange (at most
+    k rows per stratum per input partition ever shuffle) — plan-asserted in
+    tests + PLANS.md, so the scale-safety is checked, not assumed."""
     from pdf_drawing_ocr_recognition_spark.operators.sampling import quota_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")

@@ -1,14 +1,12 @@
-"""T54 fixed-quota sampling: pruned ≡ naive window, quota law, determinism
-under repartitioning, order_col mode, and the plan property (the exact
-Window runs on the pruned survivor set, after the Arrow stage)."""
+"""T54 fixed-quota sampling: quota law, determinism under repartitioning,
+order_col mode, and the load-bearing plan property — Catalyst's
+WindowGroupLimit rewrite fires, with the Partial (map-side) group limit
+below the Exchange, so no whole stratum ever sorts in one task."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from pdf_drawing_ocr_recognition_spark.operators.sampling import (
-    quota_sample,
-    quota_sample_naive,
-)
+from pdf_drawing_ocr_recognition_spark.operators.sampling import quota_sample
 
 
 @pytest.fixture(scope="module")
@@ -23,14 +21,12 @@ def _key(rows):
 
 
 class TestSelection:
-    def test_equals_naive_window(self, corpus):
-        got = quota_sample(corpus, ["lang"], 25, "doc_id").collect()
-        want = quota_sample_naive(corpus, ["lang"], 25, "doc_id").collect()
-        assert _key(got) == _key(want)
-
     def test_exact_quota_per_stratum(self, corpus):
         out = quota_sample(corpus, ["lang"], 25, "doc_id")
-        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        counts = {
+            r["lang"]: r["n"]
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
         assert counts == {"en": 25, "zh": 25, "de": 25, "fr": 25}
 
     def test_small_stratum_keeps_all(self, spark):
@@ -46,15 +42,21 @@ class TestSelection:
         b = quota_sample(corpus.repartition(2), ["lang"], 25, "doc_id").collect()
         assert _key(a) == _key(b)
 
-    def test_order_col_mode_picks_best(self, corpus):
-        out = quota_sample(
-            corpus, ["lang"], 5, "doc_id", order_col="quality"
-        ).collect()
-        # ascending quality: every pick must be <= the stratum's 5th-lowest
-        naive = quota_sample_naive(
-            corpus, ["lang"], 5, "doc_id", order_col="quality"
-        ).collect()
-        assert _key(out) == _key(naive)
+    def test_order_col_mode_picks_lowest(self, corpus):
+        out = quota_sample(corpus, ["lang"], 5, "doc_id", order_col="quality")
+        got = {
+            (r["lang"], r["quality"]) for r in out.collect()
+        }
+        # ascending quality: each stratum's picks are its 5 smallest
+        # (quality, doc_id) pairs — recompute expectation driver-side
+        rows = corpus.collect()
+        want = set()
+        for lang in ("en", "zh", "de", "fr"):
+            members = sorted(
+                ((r["quality"], r["doc_id"]) for r in rows if r["lang"] == lang)
+            )[:5]
+            want |= {(lang, q) for q, _ in members}
+        assert got == want
 
     def test_validation(self, corpus):
         with pytest.raises(ValueError):
@@ -64,13 +66,17 @@ class TestSelection:
 
 
 class TestPlan:
-    def test_window_sorts_survivors_not_corpus(self, corpus):
+    def test_window_group_limit_partial_below_exchange(self, corpus):
         out = quota_sample(corpus.repartition(8), ["lang"], 10, "doc_id")
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # the full-corpus stage is the Arrow prune; the Window must sit
-        # ABOVE it (i.e. printed before MapInPandas in top-down output),
-        # consuming only the pruned survivors
-        win_at = plan.find("Window")
-        arrow_at = plan.find("MapInPandas")
-        assert -1 < win_at < arrow_at
+        # Catalyst must rewrite the rank-limit into WindowGroupLimit with a
+        # map-side Partial below the Exchange: at most k rows per stratum
+        # per input partition shuffle — the property that makes the
+        # declarative window the scale-safe plan
+        partial_at = plan.find("WindowGroupLimit")
+        assert "Partial" in plan and partial_at != -1
+        exch_at = plan.find("Exchange")
+        final_at = plan.find("Final")
+        assert -1 < final_at < exch_at  # top-down print: Final above Exchange
+        assert plan.find("Partial") > exch_at  # Partial below (map side)

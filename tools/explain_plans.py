@@ -162,6 +162,44 @@ def main() -> int:
     grab("host_pagerank", pr_df, "HashAggregate", "BroadcastNestedLoopJoin")
     pr_plan = sections[-1][1]
     checks.append(("host_pagerank", "no window sort", "Window" not in pr_plan))
+    # bloom decontamination: the Arrow bitmap probe (ArrowEvalPython) must sit
+    # BELOW the exact confirm BroadcastHashJoin — the join consumes the pruned
+    # slice, never the full shingle stream
+    grab(
+        "bloom_decontamination",
+        em.q_bloom_decontamination(spark, sf),
+        "ArrowEvalPython",
+        "BroadcastHashJoin",
+    )
+    bd_plan = sections[-1][1]
+    checks.append(
+        ("bloom_decontamination", "probe below confirm join",
+         -1 < bd_plan.find("BroadcastHashJoin") < bd_plan.find("ArrowEvalPython"))
+    )
+    # normalized dedup: the whole normalize chain is pure Column codegen —
+    # no Python stage of any kind in the plan (multi-distinct agg plans as
+    # SortAggregate with map-side partials)
+    grab("normalized_dedup", em.q_normalized_dedup(spark, sf), "SortAggregate", "partial_")
+    nd_plan = sections[-1][1]
+    checks.append(
+        ("normalized_dedup", "no Python stage (codegen only)",
+         all(s not in nd_plan for s in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython")))
+    )
+    # quota sample: Catalyst's WindowGroupLimit rewrite fires, with the
+    # map-side Partial group limit below the Exchange — at most k rows per
+    # stratum per input partition shuffle
+    grab("quota_sample", em.q_quota_sample(spark, sf), "WindowGroupLimit")
+    qs_plan = sections[-1][1]
+    checks.append(
+        ("quota_sample", "map-side Partial group limit below Exchange",
+         -1 < qs_plan.find("Final") < qs_plan.find("Exchange") < qs_plan.find("Partial"))
+    )
+    # graph-prior corpus prioritization: the 23-host rank side broadcasts
+    grab(
+        "rank_prioritized_docs",
+        em.q_rank_prioritized_docs(spark, sf),
+        "BroadcastHashJoin",
+    )
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
