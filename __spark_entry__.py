@@ -924,6 +924,103 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T55: corpus snapshot diff (CDC) — classify every key across two crawl
+    snapshots as added/removed/changed/unchanged via map-side content digests
+    and ONE full-outer join (operators/cdc.py); the daily-crawl sizing step
+    that runs before incremental dedup (T44).  Snapshots are derived
+    deterministically from `documents`: yesterday drops doc_id%10==0, today
+    drops doc_id%10==1 and revises every doc_id%7==0 body — identical
+    derivation in the DuckDB oracle."""
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import (
+        snapshot_diff_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old_snap = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "lang", "text"
+    )
+    new_snap = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff_summary(
+        old_snap, new_snap, "doc_id", ["text"], group_cols=["lang"]
+    )
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T56: domain-blocklist filtering — suffix rules re-expressed as
+    host-ancestor equi-keys and applied via chained map-side broadcast joins
+    (zero corpus-side shuffle; operators/filtering.py).  Hosts are derived
+    deterministically from (doc_id, source) exercising exact match, subdomain
+    match, case folding, and a rule that matches nothing; the DuckDB twin
+    uses the literal `host = s OR host LIKE '%.'||s` semantics."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        domain_block_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    host = (
+        F.when(
+            m == 0,
+            F.when(F.col("doc_id") % 8 == 0, F.lit("ADS.Example.COM")).otherwise(
+                F.lit("ads.example.com")
+            ),
+        )
+        .when(m == 1, F.concat(F.col("source"), F.lit(".example.com")))
+        .when(m == 2, F.concat(F.lit("cdn."), F.col("source"), F.lit(".tracker.net")))
+        .otherwise(F.concat(F.upper(F.col("source")), F.lit(".news.example.org")))
+    )
+    pages = docs.select("doc_id", host.alias("host"))
+    blocklist = spark.createDataFrame(
+        [("ads.example.com",), ("tracker.net",), ("spam.example.org",)],
+        "suffix string",
+    )
+    kept = domain_block_filter(pages, "host", blocklist, mode="block")
+    return kept.groupBy(F.lower(F.col("host")).alias("host")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T57: TF-IDF keyword extraction — top-3 terms per document by
+    tf·N/df (the rational idf form: exact-integer products divided once, so
+    both engines compute bit-identical doubles; log-idf is a monotone
+    transform that cannot change the per-doc ranking when tf=1-dominated
+    corpora are excluded, and the rational form keeps the oracle exact).
+    Document frequency is computed over the FULL corpus; only the audited
+    doc subset (doc_id%17==0) flows into the join + WindowGroupLimit top-3."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") % 17 == 0)
+        .join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf_raw", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w_win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "w", "tf", F.round(F.col("tfidf_raw"), 6).alias("tfidf")
+        )
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md Table B): unionByName + exceptAll — the
     resume-delta algebra (all docs ∪ reprocessed) minus completed."""
@@ -1906,6 +2003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_prioritized_docs": q_rank_prioritized_docs,
         "normalized_dedup": q_normalized_dedup,
         "quota_sample": q_quota_sample,
+        "snapshot_diff": q_snapshot_diff,
+        "blocklist_filter": q_blocklist_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -3182,6 +3282,67 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS pick_rank
                 FROM documents
             ) WHERE pick_rank <= 40
+        """,
+        "snapshot_diff": """
+            WITH o_snap AS (
+                SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0
+            ), n_snap AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 1
+            )
+            SELECT coalesce(n.lang, o.lang) AS lang,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS change_type,
+                   count(*) AS n
+            FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id
+            GROUP BY 1, 2
+        """,
+        "blocklist_filter": """
+            WITH pages AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                                CASE WHEN doc_id % 8 = 0 THEN 'ADS.Example.COM'
+                                     ELSE 'ads.example.com' END
+                            WHEN doc_id % 4 = 1 THEN source || '.example.com'
+                            WHEN doc_id % 4 = 2
+                                THEN 'cdn.' || source || '.tracker.net'
+                            ELSE upper(source) || '.news.example.org'
+                       END AS host
+                FROM documents
+            ), bl AS (
+                SELECT unnest(['ads.example.com', 'tracker.net',
+                               'spam.example.org']) AS suffix
+            )
+            SELECT lower(host) AS host, count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM pages p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM bl b
+                WHERE lower(p.host) = b.suffix
+                   OR lower(p.host) LIKE '%.' || b.suffix)
+            GROUP BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT w, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (
+                SELECT count(*) AS n_docs FROM documents
+            )
+            SELECT doc_id, w, tf, round(tf * n_docs / df, 6) AS tfidf
+            FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+            WHERE doc_id % 17 = 0
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf * n_docs / df DESC, w ASC) <= 3
         """,
         "normalized_dedup": f"""
             WITH v AS (

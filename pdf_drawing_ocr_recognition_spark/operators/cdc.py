@@ -1,0 +1,99 @@
+"""Snapshot diff (CDC) between two corpus snapshots.
+
+The daily-crawl primitive the incremental pipeline (T44/T46) sits on top of:
+given yesterday's snapshot and today's, classify every key as ``added`` /
+``removed`` / ``changed`` / ``unchanged`` by comparing a content digest.
+A production crawl runs this to size the re-extraction workload before any
+content dedup happens (only ``added`` + ``changed`` rows flow downstream).
+
+Scale posture
+-------------
+* The content digest is computed **map-side on each snapshot** before the
+  join, so the full-outer join carries only ``(key, digest)`` plus whatever
+  columns the caller asks to keep — never two copies of the document body.
+* The plan is a single sort-merge full-outer join keyed on ``key_col``; with
+  both snapshots written bucketed on the key (the layout the incremental
+  dedup index T44 already uses) the join needs **zero Exchange** — asserted
+  in ``tests/test_cdc.py``.
+* No driver-side collect anywhere; the classification is a ``when`` chain
+  inside whole-stage codegen.
+
+Reference analogue: the reference engine has no multi-snapshot notion (it
+parses one file per run, ``pdor/pdor_unit.py:97-109``); this is the
+north-rule daily-ingest generalization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_COL = "change_type"
+
+
+def _digest(cols: Sequence[str]) -> F.Column:
+    # NUL-separated concat with an explicit null sentinel so (NULL, "x") and
+    # ("x", NULL) hash differently; md5 keeps the join payload at 32 bytes.
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in cols]
+    return F.md5(F.concat_ws("\x00", *parts))
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Full-outer diff of two snapshots on ``key_col``.
+
+    Returns one row per key present in either snapshot with columns:
+    ``key_col``, ``change_type`` (added|removed|changed|unchanged), and for
+    each requested carry column ``c`` the new-side value when present else
+    the old-side value (``removed`` rows carry their last-known values).
+    """
+    if not compare_cols:
+        raise ValueError("compare_cols must name at least one column")
+    o = old_df.select(
+        F.col(key_col).alias("__k"),
+        _digest(compare_cols).alias("__old_digest"),
+        *[F.col(c).alias(f"__old_{c}") for c in carry_cols],
+    )
+    n = new_df.select(
+        F.col(key_col).alias("__k"),
+        _digest(compare_cols).alias("__new_digest"),
+        *[F.col(c).alias(f"__new_{c}") for c in carry_cols],
+    )
+    joined = o.join(n, "__k", "full_outer")
+    change = (
+        F.when(F.col("__old_digest").isNull(), F.lit("added"))
+        .when(F.col("__new_digest").isNull(), F.lit("removed"))
+        .when(F.col("__old_digest") == F.col("__new_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = [F.col("__k").alias(key_col), change.alias(CHANGE_COL)]
+    out += [
+        F.coalesce(F.col(f"__new_{c}"), F.col(f"__old_{c}")).alias(c)
+        for c in carry_cols
+    ]
+    return joined.select(*out)
+
+
+def snapshot_diff_summary(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Aggregated diff: row counts per (``group_cols``…, ``change_type``).
+
+    The shape a daily ingest dashboards — partial-aggregated, so only the
+    per-group counters cross the final exchange.
+    """
+    diff = snapshot_diff(old_df, new_df, key_col, compare_cols, carry_cols=group_cols)
+    return diff.groupBy(*group_cols, CHANGE_COL).agg(
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,101 @@
+"""Domain blocklist / allowlist filtering (crawl-pipeline URL hygiene).
+
+A crawl pipeline drops documents whose host falls under any blocklisted
+domain *suffix* (``tracker.net`` blocks ``cdn.a.tracker.net`` but not
+``nottracker.net``) before content ever reaches extraction — the standard
+UT1/adult-blocklist stage every webtext corpus (CCNet, RefinedWeb, FineWeb)
+runs first.
+
+Scale posture
+-------------
+Suffix matching is re-expressed as **equi-joins on host-ancestor keys**: the
+ancestor of depth ``d`` is ``substring_index(host, '.', -d)`` (the last ``d``
+labels) — pure whole-stage codegen, no HOF, no regex scan of the blocklist.
+One *broadcast* left join per depth (hosts have ≤ ~6 labels) plus one on the
+full host marks matches entirely **map-side: zero shuffle Exchange on the
+corpus side** (plan-asserted in ``tests/test_filtering.py``).  Contrast the
+naive ``host LIKE '%.'||suffix`` cross scan, which is O(|corpus|·|rules|)
+and unindexable.  For blocklists too large to broadcast raw, the T51 pattern
+applies unchanged: broadcast a Bloom filter over the suffix set as the
+map-side prune and confirm survivors with one exact join.
+
+Reference analogue: none (the reference parses local files); this is the
+north-rule crawl-ingest generalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_LABELS_DEFAULT = 6
+
+
+def host_ancestor(host_col: F.Column, depth: int) -> F.Column:
+    """Last ``depth`` dot-separated labels of a host (codegen-safe)."""
+    return F.substring_index(host_col, ".", -depth)
+
+
+def mark_blocked_hosts(
+    df: DataFrame,
+    host_col: str,
+    blocklist_df: DataFrame,
+    suffix_col: str = "suffix",
+    max_labels: int = MAX_LABELS_DEFAULT,
+    flag_col: str = "is_blocked",
+) -> DataFrame:
+    """Add ``flag_col``: true iff the lowercased host equals, or is a
+    subdomain of, any blocklist suffix.  Zero shuffle on ``df``'s side."""
+    bl = blocklist_df.select(
+        F.lower(F.col(suffix_col)).alias("__bl_suffix")
+    ).distinct()
+    cur = df.withColumn("__host_lc", F.lower(F.col(host_col))).withColumn(
+        "__n_labels", F.size(F.split(F.col("__host_lc"), r"\."))
+    )
+    hit_cols: list[str] = []
+    # depth-d ancestor joins; a null key never equi-matches, so hosts shorter
+    # than d are naturally skipped.  The d == n_labels case doubles as the
+    # exact full-host match for hosts within max_labels …
+    for d in range(1, max_labels + 1):
+        key, hit = f"__anc_{d}", f"__hit_{d}"
+        cur = cur.withColumn(
+            key,
+            F.when(
+                F.col("__n_labels") >= d, host_ancestor(F.col("__host_lc"), d)
+            ),
+        )
+        dim = bl.select(
+            F.col("__bl_suffix").alias(key), F.lit(True).alias(hit)
+        )
+        cur = cur.join(F.broadcast(dim), key, "left").drop(key)
+        hit_cols.append(hit)
+    # … and one join on the raw host covers exact matches deeper than
+    # max_labels (suffix rules deeper than max_labels are out of contract).
+    full_dim = bl.select(
+        F.col("__bl_suffix").alias("__host_lc"), F.lit(True).alias("__hit_full")
+    )
+    cur = cur.join(F.broadcast(full_dim), "__host_lc", "left")
+    hit_cols.append("__hit_full")
+    blocked = F.coalesce(*[F.col(h) for h in hit_cols], F.lit(False))
+    return cur.withColumn(flag_col, blocked).drop(
+        "__host_lc", "__n_labels", *hit_cols
+    )
+
+
+def domain_block_filter(
+    df: DataFrame,
+    host_col: str,
+    blocklist_df: DataFrame,
+    suffix_col: str = "suffix",
+    mode: str = "block",
+    max_labels: int = MAX_LABELS_DEFAULT,
+) -> DataFrame:
+    """Keep rows NOT under any listed domain (``mode='block'``) or ONLY rows
+    under a listed domain (``mode='allow'``)."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    marked = mark_blocked_hosts(
+        df, host_col, blocklist_df, suffix_col, max_labels, flag_col="__blocked"
+    )
+    keep = ~F.col("__blocked") if mode == "block" else F.col("__blocked")
+    return marked.filter(keep).drop("__blocked")

@@ -1,0 +1,131 @@
+"""T55 snapshot diff (CDC): classification law, null sentinel, carry-column
+coalesce, and the bucketed zero-Exchange layout."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.operators.cdc import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
+
+
+def _collect_map(df):
+    return {r["k"]: r["change_type"] for r in df.collect()}
+
+
+class TestSnapshotDiff:
+    def test_classification_law(self, spark):
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "was"), (3, "gone")], "k int, body string"
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "now"), (4, "fresh")], "k int, body string"
+        )
+        got = _collect_map(snapshot_diff(old, new, "k", ["body"]))
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_null_vs_empty_and_column_shift(self, spark):
+        # (NULL, "x") vs ("", "x") and ("a", "b") vs ("ab", "") must both be
+        # `changed` — the digest's NUL sentinel keeps nulls and column
+        # boundaries distinguishable.
+        old = spark.createDataFrame(
+            [(1, None, "x"), (2, "a", "b")], "k int, a string, b string"
+        )
+        new = spark.createDataFrame(
+            [(1, "", "x"), (2, "ab", "")], "k int, a string, b string"
+        )
+        got = _collect_map(snapshot_diff(old, new, "k", ["a", "b"]))
+        assert got == {1: "changed", 2: "changed"}
+
+    def test_carry_cols_coalesce_new_over_old(self, spark):
+        old = spark.createDataFrame(
+            [(1, "t", "en"), (2, "t", "de")], "k int, body string, lang string"
+        )
+        new = spark.createDataFrame(
+            [(1, "t2", "fr"), (3, "t", "es")], "k int, body string, lang string"
+        )
+        rows = {
+            r["k"]: (r["change_type"], r["lang"])
+            for r in snapshot_diff(
+                old, new, "k", ["body"], carry_cols=["lang"]
+            ).collect()
+        }
+        # changed row carries the NEW value; removed carries last-known OLD.
+        assert rows == {
+            1: ("changed", "fr"),
+            2: ("removed", "de"),
+            3: ("added", "es"),
+        }
+
+    def test_empty_compare_cols_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "k int, body string")
+        with pytest.raises(ValueError):
+            snapshot_diff(df, df, "k", [])
+
+    def test_summary_counts(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        old = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") % 10 != 1).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit("!")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        got = {
+            r["change_type"]: r["n"]
+            for r in snapshot_diff_summary(old, new, "doc_id", ["text"]).collect()
+        }
+        n = docs.count()
+        ids = [r[0] for r in docs.select("doc_id").collect()]
+        expect = {"added": 0, "removed": 0, "changed": 0, "unchanged": 0}
+        for i in ids:
+            if i % 10 == 0:
+                expect["added"] += 1
+            elif i % 10 == 1:
+                expect["removed"] += 1
+            elif i % 7 == 0:
+                expect["changed"] += 1
+            else:
+                expect["unchanged"] += 1
+        assert got == {k: v for k, v in expect.items() if v} and sum(
+            got.values()
+        ) == len(set(ids)) == n
+
+    def test_bucketed_snapshots_diff_with_zero_exchange(self, spark, sf_dir):
+        """Daily layout: both snapshots bucketed on the key → the full-outer
+        diff join needs NO Exchange (the T44 index layout reused for CDC)."""
+        from pdf_drawing_ocr_recognition_spark.operators.skew import write_bucketed
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_bucketed(
+            docs.select("doc_id", "text"), "cdc_old", 8, "doc_id", "doc_id"
+        )
+        write_bucketed(
+            docs.select("doc_id", "text").filter(F.col("doc_id") % 3 != 0),
+            "cdc_new",
+            8,
+            "doc_id",
+            "doc_id",
+        )
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            diff = snapshot_diff(
+                spark.table("cdc_old"), spark.table("cdc_new"), "doc_id", ["text"]
+            )
+            plan = diff._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            got = {
+                r["change_type"]: r["n"]
+                for r in diff.groupBy("change_type").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            n = docs.count()
+            n_removed = docs.filter(F.col("doc_id") % 3 == 0).count()
+            assert got == {"removed": n_removed, "unchanged": n - n_removed}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.sql("DROP TABLE IF EXISTS cdc_old")
+            spark.sql("DROP TABLE IF EXISTS cdc_new")

@@ -201,6 +201,29 @@ def main() -> int:
         "BroadcastHashJoin",
     )
 
+    # snapshot diff (T55): ONE full-outer join with map-side digests
+    grab("snapshot_diff", em.q_snapshot_diff(spark, sf), "FullOuter")
+    sd_plan = sections[-1][1]
+    checks.append(
+        ("snapshot_diff", "single join (one FullOuter, no residual joins)",
+         sd_plan.count("Join") == sd_plan.count("FullOuter"))
+    )
+
+    # blocklist filter (T56): every suffix-depth join broadcasts — the corpus
+    # side is marked entirely map-side, never shuffled
+    grab("blocklist_filter", em.q_blocklist_filter(spark, sf), "BroadcastHashJoin")
+    bl_plan = sections[-1][1]
+    checks.append(
+        ("blocklist_filter", "7 broadcast joins, zero sort-merge/shuffled-hash",
+         bl_plan.count("BroadcastHashJoin") == 7
+         and "SortMergeJoin" not in bl_plan
+         and "ShuffledHashJoin" not in bl_plan)
+    )
+
+    # tf-idf top terms (T57): the per-doc top-3 window gets the map-side
+    # WindowGroupLimit rewrite (never a whole-doc-group sort spill)
+    grab("tfidf_top_terms", em.q_tfidf_top_terms(spark, sf), "WindowGroupLimit")
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
