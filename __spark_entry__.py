@@ -992,12 +992,13 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T57: TF-IDF keyword extraction — top-3 terms per document by
-    tf·N/df (the rational idf form: exact-integer products divided once, so
-    both engines compute bit-identical doubles; log-idf is a monotone
-    transform that cannot change the per-doc ranking when tf=1-dominated
-    corpora are excluded, and the rational form keeps the oracle exact).
-    Document frequency is computed over the FULL corpus; only the audited
-    doc subset (doc_id%17==0) flows into the join + WindowGroupLimit top-3."""
+    tf·N/df, the rational-idf variant (idf without the log): exact-integer
+    products divided once, so both engines compute bit-identical doubles
+    and the oracle is exact.  The log-idf form is a one-expression swap but
+    cross-engine float-log parity is not guaranteed, so the rational form
+    is the oracled contract.  Document frequency is computed over the FULL
+    corpus; only the audited doc subset (doc_id%17==0) flows into the join
+    + WindowGroupLimit top-3."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
@@ -1018,6 +1019,76 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "w", "tf", F.round(F.col("tfidf_raw"), 6).alias("tfidf")
         )
+    )
+
+
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T58: n-gram LM quality scoring (the KenLM/CCNet perplexity-filter
+    shape, quantized): per-doc mean bigram conditional probability under a
+    corpus-trained bigram model.  Each bigram contributes the INTEGER
+    floor(1e6 · c(w1,w2)/c(w1·)) so every cross-row aggregate is an exact
+    integer sum — deterministic under any partitioning, no float-sum order
+    dependence.  This orders docs by MEAN bigram probability (perplexity is
+    the geometric mean — a different but equally standard typicality order);
+    the arithmetic-mean quantized form is what keeps the oracle exact.
+    Scale posture: both count dims aggregate with map-side partials; the
+    bigram dim is too large to broadcast at web scale so the confirm join
+    shuffles on (w1,w2), while the vocabulary-sized prefix dim broadcasts;
+    the audited doc subset filters BEFORE the joins.  The per-doc lead()
+    window is the relational form — at 100 TB the T2 Arrow shingle kernel
+    emits bigrams without the per-key sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(w_ord).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.filter(F.col("doc_id") % 13 == 0)
+        .join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .withColumn("q", F.floor(F.col("n2") * 1000000 / F.col("n1")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q").cast("bigint").alias("lm_score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lm_score_sum",
+            F.round(F.col("lm_score_sum") / F.col("n_bigrams"), 4).alias(
+                "avg_bigram_q"
+            ),
+        )
+    )
+
+
+def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T60: compression-ratio quality signal (Gopher/FineWeb spam proxy) —
+    per-doc deflate/raw byte ratio via an Arrow-batched pandas_udf
+    (functions/compress.py).  Rows-only by contract: zlib is not
+    SQL-expressible in DuckDB; the kernel twin is pinned by pytest.  Output
+    is per-row (no float aggregation), so it is deterministic under any
+    partitioning."""
+    from pdf_drawing_ocr_recognition_spark.functions.compress import (
+        compression_ratio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0)
+    return docs.select(
+        "doc_id",
+        "source",
+        compression_ratio(F.col("text")).alias("deflate_ratio"),
     )
 
 
@@ -2006,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "blocklist_filter": q_blocklist_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "compression_signals": q_compression_signals,
     }
 
 
@@ -3343,6 +3416,36 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id
                 ORDER BY tf * n_docs / df DESC, w ASC) <= 3
+        """,
+        "bigram_lm_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(lower(text), ' '), 1)
+                           AS pos,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), bg AS (
+                SELECT * FROM (
+                    SELECT doc_id, w AS w1,
+                           lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                               AS w2
+                    FROM toks
+                ) WHERE w2 IS NOT NULL
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+            ), scored AS (
+                SELECT b.doc_id,
+                       CAST(floor(n2 * 1000000 / n1) AS BIGINT) AS q
+                FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                WHERE b.doc_id % 13 = 0
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(q) AS BIGINT) AS lm_score_sum,
+                   round(CAST(sum(q) AS BIGINT) / count(*), 4)
+                       AS avg_bigram_q
+            FROM scored GROUP BY 1
         """,
         "normalized_dedup": f"""
             WITH v AS (

@@ -224,6 +224,10 @@ def main() -> int:
     # WindowGroupLimit rewrite (never a whole-doc-group sort spill)
     grab("tfidf_top_terms", em.q_tfidf_top_terms(spark, sf), "WindowGroupLimit")
 
+    # bigram LM scores (T58): the vocabulary-sized prefix dim broadcasts;
+    # the bigram confirm join shuffles (too big to broadcast at web scale)
+    grab("bigram_lm_scores", em.q_bigram_lm_scores(spark, sf), "BroadcastHashJoin")
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
