@@ -1,0 +1,142 @@
+"""spark-submit entrypoint for the full daily crawl ingest — the composition
+the whole engine exists for:
+
+    WARC segments (or a pages parquet drop)
+      → snapshot diff vs yesterday (CDC, T55): only added/changed urls go on
+      → extraction kernel over the delta only (A-series pipeline)
+      → incremental dedup probe against the persisted index (T44)
+      → survivors land under <out>/day=<label>; state advances atomically-ish
+        (snapshot digests overwritten AFTER the survivors are materialized).
+
+    spark-submit --py-files dist/pdor_spark.zip jobs/run_daily_ingest.py \
+        --warc <segment dir> --patterns <registry.json> \
+        --state <state dir> --out <output dir> --day 2024-03-05
+
+State layout (all tiny relative to the corpus — the corpus itself is never
+rescanned):
+    <state>/snapshot/   (url, html_digest)  — yesterday's page digests
+    <state>/index/      dedup index (digests + minhash bands, T44 layout)
+
+Work per day scales with |today's crawl| for the diff and with |delta| for
+extraction + dedup: the diff's full-outer join is the only stage that touches
+every url, and it carries 32-byte digests, not bodies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None, spark=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--warc", help="directory of .warc segment files")
+    src.add_argument("--pages", help="pages parquet directory")
+    parser.add_argument("--patterns", required=True, help="pattern registry JSON")
+    parser.add_argument("--state", required=True, help="persistent state dir")
+    parser.add_argument("--out", required=True, help="survivor output dir")
+    parser.add_argument("--day", required=True, help="partition label, e.g. 2024-03-05")
+    parser.add_argument("--langs", default="", help="comma-separated lang filter")
+    parser.add_argument("--max-try", type=int, default=2)
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import snapshot_diff
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        append_to_dedup_index,
+        incremental_dedupe,
+        write_dedup_index,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.extract import extract_pages
+    from pdf_drawing_ocr_recognition_spark.plans.session import build_session
+    from pdf_drawing_ocr_recognition_spark.sources.pattern_registry import (
+        load_patterns,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.pages import read_pages
+    from pdf_drawing_ocr_recognition_spark.sources.warc import read_warc
+
+    own_session = spark is None
+    if own_session:
+        spark = build_session(app="pdor-daily-ingest", master=args.master)
+    patterns = load_patterns(args.patterns)
+    langs = tuple(s for s in args.langs.split(",") if s)
+
+    if args.warc:
+        pages = read_warc(spark, args.warc, default_lang=langs[0] if langs else "en")
+    else:
+        pages = read_pages(spark, args.pages, langs=langs or None)
+
+    # --- CDC: diff today's digests against yesterday's snapshot ------------
+    today = pages.select(
+        "url", F.md5(F.col("html")).alias("html_digest")
+    ).dropDuplicates(["url"])
+    snap_path = f"{args.state}/snapshot"
+    try:
+        prev = spark.read.parquet(snap_path)
+        first_day = False
+    except Exception:
+        prev = spark.createDataFrame([], "url string, html_digest string")
+        first_day = True
+    diff = snapshot_diff(prev, today, "url", ["html_digest"])
+    delta_urls = diff.filter(
+        F.col("change_type").isin("added", "changed")
+    ).select("url")
+    n_today = today.count()
+    delta_pages = pages.join(delta_urls, "url", "left_semi")
+
+    # --- extraction over the delta only -------------------------------------
+    docs = extract_pages(delta_pages, patterns, max_try=args.max_try).filter(
+        F.col("status") == "ok"
+    )
+
+    # --- incremental dedup probe against ALL history ------------------------
+    index_path = f"{args.state}/index"
+    try:
+        digests = spark.read.parquet(f"{index_path}/digests")
+        bands = spark.read.parquet(f"{index_path}/bands")
+        have_index = True
+    except Exception:
+        have_index = False
+    if have_index:
+        survivors = incremental_dedupe(docs, digests, bands, "extracted_text", "url")
+    else:
+        survivors = docs
+
+    out_path = f"{args.out}/day={args.day}"
+    survivors.write.mode("overwrite").parquet(out_path)
+    kept = spark.read.parquet(out_path)
+    n_delta, n_kept = delta_pages.count(), kept.count()
+
+    # --- advance state AFTER the survivors are materialized -----------------
+    if have_index:
+        append_to_dedup_index(kept, index_path, "extracted_text", "url")
+    else:
+        write_dedup_index(kept, index_path, "extracted_text", "url")
+    # `today` derives only from the input paths (never from snap_path), and
+    # every plan that read `prev` has already been materialized above, so a
+    # direct overwrite cannot self-read.
+    today.write.mode("overwrite").parquet(snap_path)
+
+    print(
+        json.dumps(
+            {
+                "day": args.day,
+                "first_day": first_day,
+                "pages_today": n_today,
+                "delta_pages": n_delta,
+                "survivors": n_kept,
+                "out": out_path,
+            }
+        )
+    )
+    if own_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

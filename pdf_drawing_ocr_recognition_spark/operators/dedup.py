@@ -78,6 +78,9 @@ def minhash_signatures(
 
     prefixes = [s.encode() + b"|" for s in salts]
     src = docs.select(key_col, text_col)
+    # key-type-agnostic: long doc ids and string urls both key dedup indexes
+    key_ddl = src.schema[key_col].dataType.simpleString()
+    key_dtype = "int64" if key_ddl in ("bigint", "int", "smallint") else object
     par = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par, key_col)
@@ -107,12 +110,12 @@ def minhash_signatures(
             # coerced to a 2-D string ndarray that Arrow cannot convert
             yield pd.DataFrame(
                 {
-                    key_col: pd.Series(keys, dtype="int64"),
+                    key_col: pd.Series(keys, dtype=key_dtype),
                     "sig": pd.Series(sigs, dtype=object),
                 }
             )
 
-    return src.mapInPandas(sign, f"{key_col} long, sig array<string>")
+    return src.mapInPandas(sign, f"{key_col} {key_ddl}, sig array<string>")
 
 
 def minhash_signatures_exploded(
