@@ -1982,6 +1982,133 @@ def q_rank_prioritized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_noisy_text() -> F.Column:
+    """Deterministic noisy twin of documents.text exercising every funnel
+    rule (the corpus itself is clean synthetic prose): doc_id%7 selects a
+    punctuation spike, a digit spike, or a long-token spike — identical
+    derivation in the DuckDB oracle."""
+    m = F.col("doc_id") % 7
+    zzz = " ".join(["z" * 200] * 3)
+    return (
+        F.when(m == 0, F.concat(F.col("text"), F.lit(" !!!###$$$%%%&&&*** ((()))___+++===???")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" 101 202 303 404 505 606 707 808 909 111 222 333")))
+        .when(m == 2, F.concat(F.col("text"), F.lit(" " + zzz)))
+        .otherwise(F.col("text"))
+    )
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T62: Gopher-style quality-filter funnel with first-fail drop
+    attribution (operators/quality_funnel.py) — six ordered rules (word-count
+    band, mean word length, punctuation ratio, digit-run fraction, stopword
+    floor) evaluated in ONE codegen scan; per-rule n_in/n_dropped/n_out from
+    the label rollup plus a rules-sized cumulative window.  Every ratio is an
+    exact-integer division so both engines compare bit-identical doubles."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        word_count,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
+        filter_funnel,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        _funnel_noisy_text().alias("text")
+    )
+    t = F.col("text")
+    wc = word_count(t)
+    mwl = F.length(F.regexp_replace(t, r"\s", "")) / wc
+    digit_frac = F.regexp_count(t, F.lit("[0-9]+")) / wc
+    rules = [
+        ("min_words", wc >= 15),
+        ("max_words", wc <= 95),
+        ("mean_word_len", (mwl >= 2.0) & (mwl <= 12.0)),
+        ("punct_ratio", punct_ratio(t) <= 0.1),
+        ("digit_frac", digit_frac <= 0.1),
+        ("stopword_floor", stopword_ratio(t) >= 0.02),
+    ]
+    return filter_funnel(docs, rules)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T63: robots.txt REP rule matching (operators/politeness.py) —
+    longest-prefix-wins, allow beats disallow on ties, no-rule means allowed;
+    decided via one broadcast host equi-join + one max_by hash-agg (no
+    window, no cross product).  Hosts/paths derived deterministically from
+    (doc_id, source); the rule set exercises longest-match override, a
+    draft-subtree disallow under an allowed tree, an exact length tie, and
+    rule-free hosts."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        robots_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("/admin/"), k))
+        .when(m == 1, F.concat(F.lit("/static/js/"), k))
+        .when(m == 2, F.concat(F.lit("/article/"), k))
+        .when(m == 3, F.concat(F.lit("/article/draft/"), k))
+        .when(m == 4, F.lit("/"))
+        .otherwise(F.concat(F.lit("/api/v1/"), k))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        path.alias("path"),
+    )
+    rules = spark.createDataFrame(
+        ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    decided = robots_filter(pages, rules)
+    return decided.groupBy("host").agg(
+        F.sum(F.col("is_allowed").cast("int")).cast("bigint").alias("n_allowed"),
+        F.sum((~F.col("is_allowed")).cast("int")).cast("bigint").alias("n_blocked"),
+        F.sum(F.when(F.col("is_allowed"), F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("allowed_id_sum"),
+    )
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T64: per-host crawl-delay scheduling (operators/politeness.py) — the
+    sequential queueing recurrence sched_i = max(ts_i, sched_{i-1}+d)
+    unrolled to its prefix-max closed form, so it runs as ONE running-max
+    window per host (exact BIGINT micros end-to-end) and the per-host audit
+    reuses the same hash partitioning: one shuffle total.  Fetch log derived
+    from events (host = user_id mod 25)."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        host_schedule_summary,
+        politeness_schedule,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("host"),
+        _us(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    sched = politeness_schedule(
+        fetches, "host", "ts_us", order_cols=("event_id",), delay_us=5_000_000
+    )
+    return host_schedule_summary(sched, "host", "ts_us", "sched_us")
+
+
+ROBOTS_RULES = [
+    ("src0.example.com", "/", False),
+    ("src0.example.com", "/article/", True),
+    ("src1.example.com", "/admin/", False),
+    ("src1.example.com", "/api/", False),
+    ("src2.example.com", "/article/draft/", False),
+    ("src2.example.com", "/article/", True),
+    ("src3.example.com", "/static/", False),
+    ("src4.example.com", "/api/v1/", False),
+    ("src4.example.com", "/api/v1/", True),
+]
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2079,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_lm_scores": q_bigram_lm_scores,
         "compression_signals": q_compression_signals,
+        "quality_funnel": q_quality_funnel,
+        "robots_filter": q_robots_filter,
+        "politeness_schedule": q_politeness_schedule,
     }
 
 
@@ -2089,6 +2219,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _dim_values_sql() -> str:
     return ", ".join(f"('{s}', {d})" for s, d in SOURCE_DIM)
+
+
+def _robots_rules_sql() -> str:
+    """Shared-source-of-truth VALUES list for the robots_filter oracle."""
+    return ", ".join(
+        f"('{h}', '{p}', {'true' if a else 'false'})" for h, p, a in ROBOTS_RULES
+    )
 
 
 def _planes_sql() -> str:
@@ -3500,5 +3637,105 @@ def oracle_sql() -> dict[str, str]:
             JOIN top_hosts t
               ON t.host = 'h' || CAST(d.doc_id % 23 AS VARCHAR)
                           || '.example.com'
+        """,
+        "quality_funnel": f"""
+            WITH noisy AS (
+                SELECT CASE doc_id % 7
+                    WHEN 0 THEN text || ' !!!###$$$%%%&&&*** ((()))___+++===???'
+                    WHEN 1 THEN text || ' 101 202 303 404 505 606 707 808 909 111 222 333'
+                    WHEN 2 THEN text || ' ' || repeat('z', 200) || ' '
+                                || repeat('z', 200) || ' ' || repeat('z', 200)
+                    ELSE text END AS text
+                FROM documents
+            ), base AS (
+                SELECT text, ' ' || lower(text) || ' ' AS p FROM noisy
+            ), labeled AS (
+                SELECT CASE
+                    WHEN (({wc}) >= 15) IS NOT TRUE THEN 'min_words'
+                    WHEN (({wc}) <= 95) IS NOT TRUE THEN 'max_words'
+                    WHEN (length(regexp_replace(text, '\\s', '', 'g')) / ({wc}) >= 2.0
+                          AND length(regexp_replace(text, '\\s', '', 'g')) / ({wc}) <= 12.0)
+                         IS NOT TRUE THEN 'mean_word_len'
+                    WHEN (({punct}) <= 0.1) IS NOT TRUE THEN 'punct_ratio'
+                    WHEN (len(regexp_extract_all(text, '[0-9]+')) / ({wc}) <= 0.1)
+                         IS NOT TRUE THEN 'digit_frac'
+                    WHEN (({stop_ratio}) >= 0.02) IS NOT TRUE THEN 'stopword_floor'
+                    ELSE 'keep' END AS rule
+                FROM base
+            ), counts AS (
+                SELECT rule, count(*) AS n FROM labeled GROUP BY rule
+            ), dim AS (
+                SELECT * FROM (VALUES
+                    (1, 'min_words'), (2, 'max_words'), (3, 'mean_word_len'),
+                    (4, 'punct_ratio'), (5, 'digit_frac'), (6, 'stopword_floor')
+                ) AS d(rule_idx, rule)
+            ), tot AS (SELECT sum(n) AS t FROM counts),
+            j AS (
+                SELECT d.rule_idx, d.rule, COALESCE(c.n, 0) AS n_dropped
+                FROM dim d LEFT JOIN counts c USING (rule)
+            )
+            SELECT rule_idx, rule, n_in, n_dropped,
+                   n_in - n_dropped AS n_out
+            FROM (
+                SELECT rule_idx, rule,
+                       CAST(t - COALESCE(sum(n_dropped) OVER (
+                           ORDER BY rule_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS n_in,
+                       CAST(n_dropped AS BIGINT) AS n_dropped
+                FROM j CROSS JOIN tot
+            )
+        """,
+        "robots_filter": f"""
+            WITH pages AS (
+                SELECT doc_id, source || '.example.com' AS host,
+                       CASE doc_id % 6
+                           WHEN 0 THEN '/admin/' || CAST(doc_id % 50 AS VARCHAR)
+                           WHEN 1 THEN '/static/js/' || CAST(doc_id % 50 AS VARCHAR)
+                           WHEN 2 THEN '/article/' || CAST(doc_id % 50 AS VARCHAR)
+                           WHEN 3 THEN '/article/draft/' || CAST(doc_id % 50 AS VARCHAR)
+                           WHEN 4 THEN '/'
+                           ELSE '/api/v1/' || CAST(doc_id % 50 AS VARCHAR)
+                       END AS path
+                FROM documents
+            ), rules AS (
+                SELECT * FROM (VALUES {_robots_rules_sql()}) AS r(host, prefix, allow)
+            ), decided AS (
+                SELECT p.doc_id, p.host,
+                       max(CASE WHEN r.prefix IS NOT NULL
+                                     AND starts_with(p.path, r.prefix)
+                                THEN length(r.prefix) * 2 + CAST(r.allow AS INT)
+                                ELSE -1 END) AS rnk
+                FROM pages p LEFT JOIN rules r ON p.host = r.host
+                GROUP BY p.doc_id, p.host
+            )
+            SELECT host,
+                   CAST(sum(CASE WHEN rnk < 0 OR rnk % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+                   CAST(sum(CASE WHEN rnk < 0 OR rnk % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+                   CAST(sum(CASE WHEN rnk < 0 OR rnk % 2 = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS allowed_id_sum
+            FROM decided GROUP BY host
+        """,
+        "politeness_schedule": """
+            WITH f AS (
+                SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+                       epoch_us(ts) AS ts_us, event_id
+                FROM events
+            ), staged AS (
+                SELECT host, ts_us, event_id,
+                       CAST(row_number() OVER w - 1 AS BIGINT) AS k,
+                       ts_us - CAST(row_number() OVER w - 1 AS BIGINT) * 5000000 AS base
+                FROM f WINDOW w AS (PARTITION BY host ORDER BY ts_us, event_id)
+            ), sched AS (
+                SELECT host, ts_us,
+                       k * 5000000 + max(base) OVER (
+                           PARTITION BY host ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sched_us
+                FROM staged
+            )
+            SELECT host, count(*) AS n_fetches,
+                   CAST(sum(sched_us - ts_us) AS BIGINT) AS total_wait_us,
+                   CAST(max(sched_us) - min(ts_us) AS BIGINT) AS makespan_us
+            FROM sched GROUP BY host
         """,
     }
