@@ -228,6 +228,31 @@ def main() -> int:
     # the bigram confirm join shuffles (too big to broadcast at web scale)
     grab("bigram_lm_scores", em.q_bigram_lm_scores(spark, sf), "BroadcastHashJoin")
 
+    # quality funnel (T62): attribution label + rollup are pure codegen with
+    # a map-side partial count — no Python stage anywhere in the scan pass
+    grab("quality_funnel", em.q_quality_funnel(spark, sf), "partial_count")
+    qf_plan = sections[-1][1]
+    checks.append(
+        ("quality_funnel", "no Python stage (one codegen scan)",
+         all(s not in qf_plan for s in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython")))
+    )
+    # robots filter (T63): rules broadcast onto the page stream; the REP
+    # winner is a hash-agg argmax — never a window, never a nested loop
+    grab("robots_filter", em.q_robots_filter(spark, sf), "BroadcastHashJoin", "max_by")
+    rf_plan = sections[-1][1]
+    checks.append(
+        ("robots_filter", "no window / nested-loop",
+         "Window" not in rf_plan and "NestedLoopJoin" not in rf_plan)
+    )
+    # politeness schedule (T64): the host window's hash partitioning is
+    # reused by the per-host audit agg — exactly one Exchange end to end
+    grab("politeness_schedule", em.q_politeness_schedule(spark, sf), "Window")
+    ps_plan = sections[-1][1]
+    checks.append(
+        ("politeness_schedule", "single exchange (window partitioning reused)",
+         ps_plan.count("Exchange") == 1)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
