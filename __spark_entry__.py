@@ -2096,6 +2096,53 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_schedule_summary(sched, "host", "ts_us", "sched_us")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T65: CCNet head/middle/tail corpus mixing — per-language EXACT LM-score
+    tertiles computed from the score *histogram* (operators/mixing.py), never
+    an ntile over per-document sorts (language partitions are the skewed
+    kind).  Scoring reuses the T58 quantized bigram LM (exact-integer bigram
+    contributions, round-4 mean) over ALL documents; the cumulative window
+    runs over distinct score values only and the bucket dim broadcasts back.
+    Tie rule: equal scores share a bucket (threshold semantics, identical in
+    the DuckDB twin)."""
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        histogram_quantile_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(w_ord).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    per_doc = (
+        bg.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .withColumn("q", F.floor(F.col("n2") * 1000000 / F.col("n1")))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.sum("q") / F.count(F.lit(1)), 4)).alias("avg_q"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    bucketed = histogram_quantile_buckets(
+        per_doc, "avg_q", 3, ("lang",), labels=("tail", "middle", "head")
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.min("avg_q").alias("min_q"),
+        F.max("avg_q").alias("max_q"),
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2209,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "robots_filter": q_robots_filter,
         "politeness_schedule": q_politeness_schedule,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -3737,5 +3785,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sched_us - ts_us) AS BIGINT) AS total_wait_us,
                    CAST(max(sched_us) - min(ts_us) AS BIGINT) AS makespan_us
             FROM sched GROUP BY host
+        """,
+        "perplexity_buckets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), bg AS (
+                SELECT * FROM (
+                    SELECT doc_id, w AS w1,
+                           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                    FROM toks
+                ) WHERE w2 IS NOT NULL
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+            ), per_doc AS (
+                SELECT b.doc_id,
+                       round(sum(CAST(floor(n2 * 1000000 / n1) AS BIGINT)) / count(*), 4) AS avg_q
+                FROM bg b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY b.doc_id
+            ), scored AS (
+                SELECT p.doc_id, p.avg_q, d.lang
+                FROM per_doc p JOIN documents d USING (doc_id)
+            ), dist AS (
+                SELECT lang, avg_q, count(*) AS c,
+                       CAST(sum(doc_id) AS BIGINT) AS ids,
+                       min(avg_q) AS mn, max(avg_q) AS mx
+                FROM scored GROUP BY lang, avg_q
+            ), cum AS (
+                SELECT lang, avg_q, c, ids,
+                       sum(c) OVER (PARTITION BY lang ORDER BY avg_q
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM dist
+            ), lab AS (
+                SELECT lang, avg_q, c, ids,
+                       CAST(floor((3 * cum_le + n - 1) / n) AS INT) AS idx
+                FROM cum
+            )
+            SELECT lang,
+                   CASE idx WHEN 1 THEN 'tail' WHEN 2 THEN 'middle'
+                            ELSE 'head' END AS bucket,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(sum(ids) AS BIGINT) AS id_sum,
+                   min(avg_q) AS min_q, max(avg_q) AS max_q
+            FROM lab GROUP BY 1, 2
         """,
     }

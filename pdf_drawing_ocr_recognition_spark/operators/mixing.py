@@ -1,0 +1,83 @@
+"""CCNet-style corpus mixing: exact per-group quantile buckets without a
+per-row sort.
+
+CCNet splits each language's corpus into head/middle/tail perplexity
+tertiles and trains on a bucket mix.  The naive form is ntile(3) OVER
+(PARTITION BY lang ORDER BY score) — a full per-language sort of every
+document, and language partitions are exactly the skewed kind (English is
+half the web).  This module computes the SAME exact buckets from the score
+*histogram*: aggregate (group, score) counts (map-side combinable hash agg),
+take the cumulative count over each group's DISTINCT score values (a window
+over histogram rows, bounded by score cardinality — with round-4 scores that
+is ≤ a few million rows regardless of corpus size), derive each score's
+bucket from integer cumulative arithmetic, and broadcast the (group, score →
+bucket) dim back onto the rows.  No document-sized sort or window anywhere.
+
+Tie semantics: all rows sharing one score value land in one bucket (the
+bucket where the value's cumulative count falls) — the standard
+threshold-bucketing contract, deterministic under any partitioning, and
+exactly reproducible in ANSI SQL (the DuckDB twin).
+
+Reference analogue: none (single-machine reference); generalizes the
+north-rule corpus tiering for training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 3,
+    group_cols: tuple[str, ...] = (),
+    labels: tuple[str, ...] | None = None,
+    bucket_col: str = "bucket",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Assign each row an exact quantile bucket of ``value_col`` within its
+    group, labeled by ``labels`` in ASCENDING value order (default
+    ``b1..bN``).  Bucket of a value v with cumulative count c(≤v) out of n
+    rows is ``ceil(n_buckets·c/n)`` — pure integer math, identical across
+    engines.  Rows with NULL values are dropped (undefined score).
+
+    ``broadcast_dim`` controls the bucket-dim join strategy; disable when
+    score cardinality approaches the broadcast limit (the join stays a plain
+    equi-join on (group, value) either way).
+    """
+    if labels is None:
+        labels = tuple(f"b{i + 1}" for i in range(n_buckets))
+    if len(labels) != n_buckets:
+        raise ValueError(f"need exactly {n_buckets} labels, got {len(labels)}")
+    gcols = list(group_cols)
+    rows = df.filter(F.col(value_col).isNotNull())
+    dist = rows.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_part = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_cum = w_part.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = w_part.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    dim = (
+        dist.withColumn("__cum_le", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .withColumn(
+            "__idx",
+            F.floor(
+                (F.lit(n_buckets) * F.col("__cum_le") + F.col("__n") - 1)
+                / F.col("__n")
+            ).cast("int"),
+        )
+        .select(
+            *gcols,
+            F.col(value_col),
+            F.element_at(label_arr, F.col("__idx")).alias(bucket_col),
+        )
+    )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return rows.join(dim, gcols + [value_col])

@@ -1,0 +1,96 @@
+"""Histogram-based exact quantile bucketing (CCNet head/middle/tail mixing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _buckets(spark, rows, n=3, groups=("g",), labels=("tail", "middle", "head")):
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        histogram_quantile_buckets,
+    )
+
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = histogram_quantile_buckets(df, "v", n, groups, labels=labels)
+    return {r["id"]: r["bucket"] for r in out.collect()}
+
+
+def _reference(rows, n_buckets):
+    """Threshold-bucketing oracle: bucket of v = ceil(n_buckets * c_le(v) / n)."""
+    by_g = {}
+    for _id, g, v in rows:
+        by_g.setdefault(g, []).append((v, _id))
+    out = {}
+    for g, vs in by_g.items():
+        n = len(vs)
+        for v, _id in vs:
+            c_le = sum(1 for (u, _) in vs if u <= v)
+            out[_id] = -(-(n_buckets * c_le) // n)  # ceil
+    return out
+
+
+def test_buckets_match_threshold_reference(spark):
+    rows = [
+        (i, "en" if i % 3 else "de", float((i * 37) % 11)) for i in range(60)
+    ]
+    got = _buckets(spark, rows)
+    ref = _reference(rows, 3)
+    label = {1: "tail", 2: "middle", 3: "head"}
+    assert got == {i: label[b] for i, b in ref.items()}
+
+
+def test_ties_share_a_bucket(spark):
+    # 6 rows, scores [1,1,1,1,2,3]: the four 1s have cum_le=4 of 6 ->
+    # ceil(12/6)=2 -> ALL land in 'middle'; 2 -> ceil(15/6)=3 head; 3 -> head
+    rows = [(i, "g", 1.0) for i in range(4)] + [(4, "g", 2.0), (5, "g", 3.0)]
+    got = _buckets(spark, rows)
+    assert got == {0: "middle", 1: "middle", 2: "middle", 3: "middle",
+                   4: "head", 5: "head"}
+
+
+def test_null_scores_dropped_and_label_count_enforced(spark):
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        histogram_quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", None)], "id int, g string, v double"
+    )
+    out = histogram_quantile_buckets(df, "v", 2, ("g",))
+    assert [r["id"] for r in out.collect()] == [1]
+    with pytest.raises(ValueError):
+        histogram_quantile_buckets(df, "v", 3, ("g",), labels=("a", "b"))
+
+
+def test_no_group_single_distribution(spark):
+    rows = [(i, "x", float(i)) for i in range(9)]
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        histogram_quantile_buckets,
+    )
+
+    df = spark.createDataFrame(rows, "id int, g string, v double")
+    out = histogram_quantile_buckets(df, "v", 3, (), labels=("lo", "mid", "hi"))
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    assert got == {0: "lo", 1: "lo", 2: "lo", 3: "mid", 4: "mid", 5: "mid",
+                   6: "hi", 7: "hi", 8: "hi"}
+
+
+def test_window_runs_on_histogram_not_rows(spark):
+    """The per-group sort must be over DISTINCT values (the histogram), with
+    the row stream only hash-joined against the broadcast bucket dim — no
+    document-sized Sort above the row scan."""
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        histogram_quantile_buckets,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    )
+    out = histogram_quantile_buckets(df, "v", 3, ("g",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Window sits above the aggregated histogram (HashAggregate),
+    # i.e. the plan has exactly one Window and it follows an aggregate
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan, plan

@@ -252,6 +252,15 @@ def main() -> int:
         ("politeness_schedule", "single exchange (window partitioning reused)",
          ps_plan.count("Exchange") == 1)
     )
+    # perplexity buckets (T65): the bucket dim (cumulative window over the
+    # score HISTOGRAM) broadcasts back onto the scored rows — never a
+    # sort-merge join of documents against buckets
+    grab(
+        "perplexity_buckets",
+        em.q_perplexity_buckets(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
