@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "window_tumbling_events",
     "broadcast_pattern_join",
     "rollup_doc_metrics",
+    "quality_funnel",
 ]
 
 
