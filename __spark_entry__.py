@@ -2143,6 +2143,40 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T66: encoding-anomaly signals (functions/encoding.py) — mojibake
+    signature counts (fixed literal set via length/replace arithmetic),
+    U+FFFD replacement chars, C0 control chars, and a per-char anomaly
+    density; all pure JVM codegen columns.  A corrupted twin of the corpus
+    is derived deterministically (doc_id%9 selects latin-1 double-encoding,
+    cp1252 smart-quote soup, lossy-decode replacement chars, or stray
+    controls) — identical derivation in the DuckDB oracle."""
+    from pdf_drawing_ocr_recognition_spark.functions.encoding import (
+        control_char_count,
+        encoding_anomaly_score,
+        mojibake_count,
+        replacement_char_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 9
+    corrupted = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit("e"), F.lit("Ã©")))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" â€œquotedâ€\x9d Â· â€“ mixed")))
+        .when(m == 2, F.replace(F.col("text"), F.lit("a"), F.lit("�")))
+        .when(m == 3, F.concat(F.col("text"), F.lit("\x07\x01\x1f")))
+        .otherwise(F.col("text"))
+    )
+    t = F.col("text")
+    return docs.select("doc_id", corrupted.alias("text")).select(
+        "doc_id",
+        mojibake_count(t).alias("n_mojibake"),
+        replacement_char_count(t).alias("n_repl"),
+        control_char_count(t).alias("n_ctrl"),
+        encoding_anomaly_score(t).alias("anomaly"),
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2257,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "politeness_schedule": q_politeness_schedule,
         "perplexity_buckets": q_perplexity_buckets,
+        "encoding_anomalies": q_encoding_anomalies,
     }
 
 
@@ -2267,6 +2302,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _dim_values_sql() -> str:
     return ", ".join(f"('{s}', {d})" for s, d in SOURCE_DIM)
+
+
+def _moji_sql() -> str:
+    from pdf_drawing_ocr_recognition_spark.functions.encoding import (
+        mojibake_markers_sql_counts,
+    )
+
+    return mojibake_markers_sql_counts("text")
 
 
 def _robots_rules_sql() -> str:
@@ -3833,5 +3876,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(ids) AS BIGINT) AS id_sum,
                    min(avg_q) AS min_q, max(avg_q) AS max_q
             FROM lab GROUP BY 1, 2
+        """,
+        "encoding_anomalies": f"""
+            WITH corrupted AS (
+                SELECT doc_id,
+                       CASE doc_id % 9
+                           WHEN 0 THEN replace(text, 'e', 'Ã©')
+                           WHEN 1 THEN text || ' â€œquotedâ€' || chr(157)
+                                       || ' Â· â€“ mixed'
+                           WHEN 2 THEN replace(text, 'a', chr(65533))
+                           WHEN 3 THEN text || chr(7) || chr(1) || chr(31)
+                           ELSE text END AS text
+                FROM documents
+            ), sig AS (
+                SELECT doc_id, text,
+                       {_moji_sql()} AS n_mojibake,
+                       (length(text) - length(replace(text, chr(65533), ''))) AS n_repl,
+                       len(regexp_extract_all(text,
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_ctrl
+                FROM corrupted
+            )
+            SELECT doc_id, n_mojibake, n_repl, n_ctrl,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round((2 * n_mojibake + n_repl + n_ctrl)
+                                   / length(text), 6) END AS anomaly
+            FROM sig
         """,
     }
