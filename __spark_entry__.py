@@ -2177,6 +2177,59 @@ def q_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T67: corpus datasheet ("dataset card") rollup — per-language AND
+    overall rows from ONE scan via GROUPING SETS ((lang),()): doc counts,
+    exact word totals, duplicate-document counts (md5-fingerprint cluster
+    membership — signatures shuffle, never documents), exact-integer mean
+    quality (quality·10⁴ as BIGINT so the cross-row sum has no float-order
+    dependence), and the T62 funnel keep count.  The reporting artifact a
+    corpus release ships; every aggregate is exact-integer or a round() of
+    an exact-integer division."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        fingerprint,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        word_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    wc = word_count(t)
+    mwl = F.length(F.regexp_replace(t, r"\s", "")) / wc
+    digit = F.regexp_count(t, F.lit("[0-9]+")) / wc
+    keep = (
+        (wc >= 15) & (wc <= 95)
+        & (mwl >= 2.0) & (mwl <= 12.0)
+        & (punct_ratio(t) <= 0.1)
+        & (digit <= 0.1)
+        & (stopword_ratio(t) >= 0.02)
+    )
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        wc.alias("wcnt"),
+        F.round(quality_score(t) * 10000).cast("bigint").alias("q_e4"),
+        fingerprint(t).alias("fp"),
+        keep.cast("int").alias("keep"),
+    )
+    fpc = sig.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    sig.join(fpc, "fp").createOrReplaceTempView("corpus_card_sig")
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_g,
+               count(*) AS n_docs,
+               CAST(sum(wcnt) AS BIGINT) AS total_words,
+               CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               round(sum(q_e4) / count(*), 4) AS mean_quality_e4,
+               CAST(sum(keep) AS BIGINT) AS n_kept
+        FROM corpus_card_sig
+        GROUP BY GROUPING SETS ((lang), ())
+        """
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2292,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "perplexity_buckets": q_perplexity_buckets,
         "encoding_anomalies": q_encoding_anomalies,
+        "corpus_card": q_corpus_card,
     }
 
 
@@ -3901,5 +3955,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round((2 * n_mojibake + n_repl + n_ctrl)
                                    / length(text), 6) END AS anomaly
             FROM sig
+        """,
+        "corpus_card": f"""
+            WITH sig AS (
+                SELECT doc_id, lang,
+                       {wc} AS wcnt,
+                       CAST(round(round((
+                           (CASE WHEN {wc} >= 20 THEN 1.0 ELSE {wc} / 20.0 END) +
+                           (CASE WHEN {punct} <= 0.2 THEN 1.0
+                                 ELSE greatest(0.0, 1.0 - ({punct} - 0.2) * 5) END) +
+                           (CASE WHEN {stop_ratio} >= 0.05 THEN 1.0
+                                 ELSE {stop_ratio} / 0.05 END)
+                       ) / 3.0, 4) * 10000) AS BIGINT) AS q_e4,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                       CASE WHEN ({wc}) >= 15 AND ({wc}) <= 95
+                                 AND length(regexp_replace(text, '\\s', '', 'g')) / ({wc}) >= 2.0
+                                 AND length(regexp_replace(text, '\\s', '', 'g')) / ({wc}) <= 12.0
+                                 AND ({punct}) <= 0.1
+                                 AND len(regexp_extract_all(text, '[0-9]+')) / ({wc}) <= 0.1
+                                 AND ({stop_ratio}) >= 0.02
+                            THEN 1 ELSE 0 END AS keep
+                FROM (SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p
+                      FROM documents)
+            ), fpc AS (
+                SELECT fp, count(*) AS c FROM sig GROUP BY fp
+            ), j AS (
+                SELECT s.*, f.c FROM sig s JOIN fpc f USING (fp)
+            )
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang_g,
+                   count(*) AS n_docs,
+                   CAST(sum(wcnt) AS BIGINT) AS total_words,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+                   round(CAST(sum(q_e4) AS BIGINT) / count(*), 4) AS mean_quality_e4,
+                   CAST(sum(keep) AS BIGINT) AS n_kept
+            FROM j
+            GROUP BY GROUPING SETS ((lang), ())
         """,
     }
