@@ -2230,6 +2230,41 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T68: MOSS-style near-dup PAIR detection over winnowing fingerprints —
+    the local-match guarantee family (any shared run ≥ w+k−1 chars yields a
+    shared fingerprint), complementing MinHash (global Jaccard) and SimHash
+    (Hamming).  Fingerprints act as LSH keys: explode → equi-join on fp →
+    per-pair shared-count hash agg, confirm at ≥ 10 shared (top-decile of intersecting pairs on this fixture) — never a doc×doc
+    product.  At 100 TB the hot-fp cap (boilerplate fingerprints) follows
+    the T3 banded-bucket pattern; the audited subset here keeps the oracle
+    pair count exact."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        kgram_hashes,
+        winnow_minima,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(par)
+        .select("doc_id", kgram_hashes(F.col("text"), 8).alias("gh"))
+        .repartition(par, "doc_id")
+    )
+    fps = hashed.select(
+        "doc_id", F.explode(winnow_minima(F.col("gh"), 6)).alias("fp")
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2346,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "encoding_anomalies": q_encoding_anomalies,
         "corpus_card": q_corpus_card,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -3990,5 +4026,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(keep) AS BIGINT) AS n_kept
             FROM j
             GROUP BY GROUPING SETS ((lang), ())
+        """,
+        "winnow_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+                FROM documents WHERE doc_id < 100
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(
+                           generate_series(1, greatest(0, length(s) - 7)),
+                           i -> md5(substr(s, i, 8))) AS gh
+                FROM norm
+            ), winnowed AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(0, len(gh) - 5)),
+                           i -> list_min(gh[i:i+5]))) AS fps
+                FROM hashed
+                WHERE len(gh) >= 6
+            ), fps AS (
+                SELECT doc_id, unnest(fps) AS fp FROM winnowed
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 10
         """,
     }
