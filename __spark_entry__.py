@@ -2265,6 +2265,45 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T69: threshold boilerplate-line removal (operators/dedup.py:
+    boilerplate_line_removal) — the CCNet per-shard line-dedup policy: a
+    line occurring in ≥ 3 distinct documents of the same host is removed
+    from EVERY document (contrast T47's first-occurrence paragraph dedup).
+    A multi-line twin is derived deterministically (per-source header, a
+    doc_id%5 nav line, a doc_id%2 copyright footer around the unique body)
+    — identical derivation in the DuckDB oracle; reassembled text compared
+    by md5."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        boilerplate_line_removal,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    twin = F.concat(
+        F.lit("HEADER "),
+        F.col("source"),
+        F.lit("\n"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("NAV | Home | About\n")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\nCopyright Example Corp")
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", "source", twin.alias("text"))
+    out = boilerplate_line_removal(
+        pages, "text", "doc_id", host_col="source", min_docs=3
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_fp"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2382,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_anomalies": q_encoding_anomalies,
         "corpus_card": q_corpus_card,
         "winnow_pairs": q_winnow_pairs,
+        "boilerplate_lines": q_boilerplate_lines,
     }
 
 
@@ -4054,5 +4094,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 10
+        """,
+        "boilerplate_lines": """
+            WITH twin AS (
+                SELECT doc_id, source,
+                       'HEADER ' || source || chr(10)
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN 'NAV | Home | About' || chr(10) ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'Copyright Example Corp' ELSE '' END
+                           AS t
+                FROM documents
+            ), lined AS (
+                SELECT doc_id, source,
+                       generate_subscripts(string_split(t, chr(10)), 1) AS lidx,
+                       unnest(string_split(t, chr(10))) AS line
+                FROM twin
+            ), freq AS (
+                SELECT source, line, count(DISTINCT doc_id) AS nd
+                FROM lined WHERE length(line) >= 1
+                GROUP BY 1, 2
+            ), flagged AS (
+                SELECT l.doc_id, l.source, l.lidx, l.line,
+                       CASE WHEN length(l.line) < 1 THEN TRUE
+                            WHEN f.nd IS NULL OR f.nd < 3 THEN TRUE
+                            ELSE FALSE END AS kept
+                FROM lined l
+                LEFT JOIN freq f ON f.source = l.source AND f.line = l.line
+            )
+            SELECT doc_id, source,
+                   md5(coalesce(string_agg(line, chr(10) ORDER BY lidx)
+                                FILTER (WHERE kept), '')) AS text_fp,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+                   CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+            FROM flagged GROUP BY 1, 2
         """,
     }

@@ -627,3 +627,58 @@ def url_dedupe(
         F.count(F.lit(1)).alias("n_versions"),
         F.max(prefer_col).alias(f"best_{prefer_col}"),
     )
+
+
+def boilerplate_line_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    host_col: str | None = None,
+    sep: str = "\n",
+    min_docs: int = 3,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Threshold boilerplate removal (CCNet's per-shard line dedup): a line
+    is boilerplate iff it occurs in >= *min_docs* DISTINCT documents (within
+    its *host_col* group when given — navigation/footer text is host-local),
+    and boilerplate lines are removed from EVERY document, including the
+    first.  Contrast ``paragraph_dedupe``: that keeps first occurrences
+    (corpus-wide exact dedup); this drops whole repeated-line classes
+    (header/nav/footer residue) by document-frequency evidence.
+
+    Scale: lines travel as (host, digest, key, idx) rows; the distinct-doc
+    frequency is a count(DISTINCT key) per (host, digest) — Spark plans it
+    as two hash aggregations, so a footer repeated 10^8 times spreads over
+    its doc keys before the final count (no single hot reducer); the
+    boilerplate marker set joins back as a plain equi-join and each document
+    reassembles in original order.  Short/empty lines are exempt (policy +
+    hot-key guard, same as paragraph_dedupe).  Returns one row per document:
+    (key [, host], text, n_lines_kept, n_lines_dropped).
+    """
+    group = [host_col] if host_col else []
+    lines = docs.select(
+        F.col(key_col),
+        *[F.col(c) for c in group],
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_lidx", "_line"),
+    ).withColumn("_digest", F.md5(F.encode(F.col("_line"), "utf-8")))
+    boiler = (
+        lines.where(F.length("_line") >= min_chars)
+        .groupBy(*group, "_digest")
+        .agg(F.countDistinct(F.col(key_col)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= min_docs)
+        .select(*group, "_digest", F.lit(True).alias("_bp"))
+    )
+    flagged = lines.join(boiler, group + ["_digest"], "left").withColumn(
+        "_kept",
+        (F.length("_line") < min_chars) | F.col("_bp").isNull(),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("_kept"), F.struct("_lidx", "_line")))
+    )
+    return flagged.groupBy(key_col, *group).agg(
+        F.concat_ws(sep, F.transform(kept_structs, lambda s: s["_line"])).alias(
+            text_col
+        ),
+        F.sum(F.col("_kept").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("_kept")).cast("long")).alias("n_lines_dropped"),
+    )

@@ -210,3 +210,56 @@ def test_politeness_single_shuffle_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# threshold boilerplate-line removal (T69)
+# ---------------------------------------------------------------------------
+
+
+def _boiler(spark, rows, **kw):
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        boilerplate_line_removal,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = boilerplate_line_removal(df, "text", "doc_id", host_col="source", **kw)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_boilerplate_removed_from_every_doc_including_first(spark):
+    rows = [
+        (1, "h", "FOOTER\nbody one"),
+        (2, "h", "body two\nFOOTER"),
+        (3, "h", "FOOTER\nbody three\nFOOTER"),
+    ]
+    got = _boiler(spark, rows, min_docs=3)
+    assert got[1]["text"] == "body one"
+    assert got[2]["text"] == "body two"
+    assert got[3]["text"] == "body three"
+    assert got[3]["n_lines_dropped"] == 2
+
+
+def test_below_threshold_and_cross_host_lines_kept(spark):
+    rows = [
+        (1, "a", "SHARED\nuniq1"),
+        (2, "a", "SHARED\nuniq2"),   # only 2 docs on host a -> kept
+        (3, "b", "SHARED\nuniq3"),   # host b alone -> kept
+    ]
+    got = _boiler(spark, rows, min_docs=3)
+    assert got[1]["text"] == "SHARED\nuniq1"
+    assert got[3]["text"] == "SHARED\nuniq3"
+
+
+def test_boilerplate_order_preserved_and_duplicate_doc_counts_once(spark):
+    # the same doc repeating a line twice counts as ONE distinct doc
+    rows = [
+        (1, "h", "X\nmid\nX"),
+        (2, "h", "X\nother"),
+    ]
+    got = _boiler(spark, rows, min_docs=3)
+    assert got[1]["text"] == "X\nmid\nX"  # distinct-doc freq is 2 < 3
+    rows3 = rows + [(3, "h", "pre\nX")]
+    got3 = _boiler(spark, rows3, min_docs=3)
+    assert got3[1]["text"] == "mid"
+    assert got3[3]["text"] == "pre"
