@@ -2004,31 +2004,15 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor) evaluated in ONE codegen scan; per-rule n_in/n_dropped/n_out from
     the label rollup plus a rules-sized cumulative window.  Every ratio is an
     exact-integer division so both engines compare bit-identical doubles."""
-    from pdf_drawing_ocr_recognition_spark.functions.text import (
-        punct_ratio,
-        stopword_ratio,
-        word_count,
-    )
     from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
         filter_funnel,
+        webtext_rules,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
         _funnel_noisy_text().alias("text")
     )
-    t = F.col("text")
-    wc = word_count(t)
-    mwl = F.length(F.regexp_replace(t, r"\s", "")) / wc
-    digit_frac = F.regexp_count(t, F.lit("[0-9]+")) / wc
-    rules = [
-        ("min_words", wc >= 15),
-        ("max_words", wc <= 95),
-        ("mean_word_len", (mwl >= 2.0) & (mwl <= 12.0)),
-        ("punct_ratio", punct_ratio(t) <= 0.1),
-        ("digit_frac", digit_frac <= 0.1),
-        ("stopword_floor", stopword_ratio(t) >= 0.02),
-    ]
-    return filter_funnel(docs, rules)
+    return filter_funnel(docs, webtext_rules(F.col("text")))
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,26 +2170,21 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence), and the T62 funnel keep count.  The reporting artifact a
     corpus release ships; every aggregate is exact-integer or a round() of
     an exact-integer division."""
+    from functools import reduce
+
     from pdf_drawing_ocr_recognition_spark.functions.text import (
         fingerprint,
-        punct_ratio,
         quality_score,
-        stopword_ratio,
         word_count,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
+        webtext_rules,
     )
 
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
     wc = word_count(t)
-    mwl = F.length(F.regexp_replace(t, r"\s", "")) / wc
-    digit = F.regexp_count(t, F.lit("[0-9]+")) / wc
-    keep = (
-        (wc >= 15) & (wc <= 95)
-        & (mwl >= 2.0) & (mwl <= 12.0)
-        & (punct_ratio(t) <= 0.1)
-        & (digit <= 0.1)
-        & (stopword_ratio(t) >= 0.02)
-    )
+    keep = reduce(lambda a, b: a & b, [p for _, p in webtext_rules(t)])
     sig = docs.select(
         "doc_id",
         "lang",

@@ -2,8 +2,12 @@
 the whole engine exists for:
 
     WARC segments (or a pages parquet drop)
+      → crawl hygiene (optional): domain-blocklist drop (T56) and robots.txt
+        REP filtering (T63) on URLs — before any content is touched
       → snapshot diff vs yesterday (CDC, T55): only added/changed urls go on
       → extraction kernel over the delta only (A-series pipeline)
+      → content hygiene (optional): the standard webtext quality funnel
+        (T62 rules) on extracted text
       → incremental dedup probe against the persisted index (T44)
       → survivors land under <out>/day=<label>; state advances atomically-ish
         (snapshot digests overwritten AFTER the survivors are materialized).
@@ -41,6 +45,24 @@ def main(argv=None, spark=None) -> int:
     parser.add_argument("--langs", default="", help="comma-separated lang filter")
     parser.add_argument("--max-try", type=int, default=2)
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--blocklist",
+        default=None,
+        help="file of domain suffixes (one per line, # comments) to drop pre-CDC",
+    )
+    parser.add_argument(
+        "--robots",
+        default=None,
+        help="JSON file [[host, prefix, allow], ...] of REP rules applied pre-CDC",
+    )
+    parser.add_argument(
+        "--quality-funnel",
+        action="store_true",
+        help="apply the standard webtext rule chain to extracted text "
+        "(thresholds are calibrated for PROSE corpora — structured "
+        "extraction output will mostly fail the punctuation/stopword "
+        "gates; tune via operators.quality_funnel.webtext_rules)",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -70,6 +92,55 @@ def main(argv=None, spark=None) -> int:
     else:
         pages = read_pages(spark, args.pages, langs=langs or None)
 
+    # --- crawl hygiene: URL-level gates BEFORE any content work ------------
+    n_blocked = n_robots = 0
+    if args.blocklist or args.robots:
+        from pdf_drawing_ocr_recognition_spark.functions.urls import (
+            url_host,
+            url_path,
+        )
+
+        n_pages_in = pages.count()
+        if args.blocklist:
+            from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+                domain_block_filter,
+            )
+
+            with open(args.blocklist, encoding="utf-8") as f:
+                suffixes = [
+                    s.strip() for s in f
+                    if s.strip() and not s.strip().startswith("#")
+                ]
+            bl = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+            pages = domain_block_filter(
+                pages.withColumn("__host", url_host(F.col("url"))),
+                "__host",
+                bl,
+                mode="block",
+            ).drop("__host")
+            n_after_bl = pages.count()
+            n_blocked = n_pages_in - n_after_bl
+        else:
+            n_after_bl = n_pages_in
+        if args.robots:
+            from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+                robots_filter,
+            )
+
+            with open(args.robots, encoding="utf-8") as f:
+                rule_rows = [tuple(r) for r in json.load(f)]
+            rules = spark.createDataFrame(
+                rule_rows, "host string, prefix string, allow boolean"
+            )
+            slim = pages.select(
+                "url",
+                url_host(F.col("url")).alias("host"),
+                url_path(F.col("url")).alias("path"),
+            ).dropDuplicates(["url"])
+            allowed = robots_filter(slim, rules).filter(F.col("is_allowed"))
+            pages = pages.join(allowed.select("url"), "url", "left_semi")
+            n_robots = n_after_bl - pages.count()
+
     # --- CDC: diff today's digests against yesterday's snapshot ------------
     today = pages.select(
         "url", F.md5(F.col("html")).alias("html_digest")
@@ -92,6 +163,18 @@ def main(argv=None, spark=None) -> int:
     docs = extract_pages(delta_pages, patterns, max_try=args.max_try).filter(
         F.col("status") == "ok"
     )
+
+    # --- content hygiene: the standard webtext funnel on extracted text -----
+    n_quality_dropped = 0
+    if args.quality_funnel:
+        from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
+            apply_funnel,
+            webtext_rules,
+        )
+
+        n_docs_in = docs.count()
+        docs = apply_funnel(docs, webtext_rules(F.col("extracted_text")))
+        n_quality_dropped = n_docs_in - docs.count()
 
     # --- incremental dedup probe against ALL history ------------------------
     index_path = f"{args.state}/index"
@@ -129,6 +212,9 @@ def main(argv=None, spark=None) -> int:
                 "pages_today": n_today,
                 "delta_pages": n_delta,
                 "survivors": n_kept,
+                "blocked_urls": n_blocked,
+                "robots_disallowed": n_robots,
+                "quality_dropped": n_quality_dropped,
                 "out": out_path,
             }
         )

@@ -50,3 +50,18 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of *url* (port and userinfo stripped); '' when the
+    value is not a scheme://host URL."""
+    host = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")   # userinfo
+    host = F.regexp_replace(host, r":[0-9]*$", "")  # port
+    return F.lower(host)
+
+
+def url_path(url: Column) -> Column:
+    """Path component of *url*; '/' for host-only URLs."""
+    p = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)

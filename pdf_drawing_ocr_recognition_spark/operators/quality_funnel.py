@@ -102,6 +102,40 @@ def filter_funnel(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     )
 
 
+def webtext_rules(
+    t: Column,
+    min_words: int = 15,
+    max_words: int = 95,
+    mwl_lo: float = 2.0,
+    mwl_hi: float = 12.0,
+    max_punct: float = 0.1,
+    max_digit: float = 0.1,
+    min_stopword: float = 0.02,
+) -> list[tuple[str, Column]]:
+    """The standard Gopher-style webtext rule chain in funnel order — the
+    ONE definition shared by the audited query (`quality_funnel`), the
+    corpus datasheet keep flag, and the daily-ingest job's hygiene stage.
+    Every ratio is an exact-integer division so engine twins compare
+    bit-identical doubles."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        punct_ratio,
+        stopword_ratio,
+        word_count,
+    )
+
+    wc = word_count(t)
+    mwl = F.length(F.regexp_replace(t, r"\s", "")) / wc
+    digit = F.regexp_count(t, F.lit("[0-9]+")) / wc
+    return [
+        ("min_words", wc >= min_words),
+        ("max_words", wc <= max_words),
+        ("mean_word_len", (mwl >= mwl_lo) & (mwl <= mwl_hi)),
+        ("punct_ratio", punct_ratio(t) <= max_punct),
+        ("digit_frac", digit <= max_digit),
+        ("stopword_floor", stopword_ratio(t) >= min_stopword),
+    ]
+
+
 def apply_funnel(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     """Survivor stream: documents passing EVERY rule (the funnel's kept set),
     as one conjunctive filter — fully pushdown-eligible."""

@@ -17,7 +17,7 @@ def _page(i: int, h: int) -> dict:
     }
 
 
-def _run(spark, tmp_path, capsys, day: str, records: list[dict]):
+def _run(spark, tmp_path, capsys, day: str, records: list[dict], extra=()):
     from pdf_drawing_ocr_recognition_spark.sources.pattern_registry import (
         save_patterns,
     )
@@ -37,6 +37,7 @@ def _run(spark, tmp_path, capsys, day: str, records: list[dict]):
             "--state", str(tmp_path / "state"),
             "--out", str(tmp_path / "out"),
             "--day", day,
+            *extra,
         ],
         spark=spark,
     )
@@ -86,3 +87,37 @@ class TestDailyIngest:
         s_again = _run(spark, tmp_path, capsys, "d1", day1)
         # identical crawl → zero delta, zero new survivors, state unchanged
         assert s_again["delta_pages"] == 0 and s_again["survivors"] == 0
+
+    def test_hygiene_gates_blocklist_robots_and_funnel(
+        self, spark, tmp_path, capsys
+    ):
+        day = [_page(i, 700 + i) for i in range(4)]
+        # one page on a blocklisted domain, one under a robots-disallowed path
+        day.append({**_page(5, 750), "url": "https://cdn.ads.tracker/p"})
+        day.append({**_page(6, 760), "url": "https://t0.example/private/x"})
+        (tmp_path / "bl.txt").write_text("# crawl blocklist\nads.tracker\n")
+        (tmp_path / "robots.json").write_text(
+            json.dumps([["t0.example", "/private/", False]])
+        )
+        s = _run(
+            spark,
+            tmp_path,
+            capsys,
+            "d1",
+            day,
+            extra=(
+                "--blocklist", str(tmp_path / "bl.txt"),
+                "--robots", str(tmp_path / "robots.json"),
+                "--quality-funnel",
+            ),
+        )
+        assert s["blocked_urls"] == 1
+        assert s["robots_disallowed"] == 1
+        # only the 4 clean pages reach CDC/extraction
+        assert s["pages_today"] == 4 and s["delta_pages"] == 4
+        # funnel accounting is consistent: extracted = survivors + dropped
+        surv = spark.read.parquet(s["out"])
+        urls = {r["url"] for r in surv.select("url").collect()}
+        assert "https://cdn.ads.tracker/p" not in urls
+        assert "https://t0.example/private/x" not in urls
+        assert surv.count() + s["quality_dropped"] == 4
