@@ -2283,6 +2283,27 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70: exact max-min-fair crawl-budget waterfilling
+    (operators/politeness.py:crawl_budget_waterfill) — the frontier
+    scheduler's per-host fetch allocation under a global budget, solved in
+    CLOSED FORM from the demand histogram (the T64/T65 pattern: prefix sums
+    over distinct demand values, one scalar breakpoint row broadcast back)
+    instead of iterative level-raising; deterministic remainder assignment.
+    Demand derived from events (host = user_id mod 40); budget 6000."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        crawl_budget_waterfill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    demands = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    return crawl_budget_waterfill(demands, budget=6000)
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2401,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "winnow_pairs": q_winnow_pairs,
         "boilerplate_lines": q_boilerplate_lines,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -4108,5 +4130,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
                    CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
             FROM flagged GROUP BY 1, 2
+        """,
+        "crawl_budget": """
+            WITH demands AS (
+                SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+                       count(*) AS demand
+                FROM events GROUP BY 1
+            ), hist AS (
+                SELECT demand AS v, count(*) AS nh FROM demands GROUP BY 1
+                UNION ALL SELECT 0, 0
+            ), cum AS (
+                SELECT v, nh,
+                       sum(v * nh) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum_d,
+                       sum(nh) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS cum_nh,
+                       sum(nh) OVER () AS tot_nh
+                FROM hist
+            ), bp0 AS (
+                SELECT v, (tot_nh - cum_nh) AS n_gt,
+                       (cum_d + v * (tot_nh - cum_nh)) AS A
+                FROM cum
+                WHERE (cum_d + v * (tot_nh - cum_nh)) <= 6000
+                ORDER BY v DESC LIMIT 1
+            ), bp AS (
+                SELECT CASE WHEN n_gt > 0
+                            THEN v + CAST(floor((6000 - A) / n_gt) AS BIGINT)
+                            ELSE v END AS level,
+                       A, v, n_gt
+                FROM bp0
+            ), bp2 AS (
+                SELECT level,
+                       6000 - (A + (level - v) * n_gt) AS leftover
+                FROM bp
+            ), ranked AS (
+                SELECT d.host, d.demand, b.level, b.leftover,
+                       d.demand > b.level AS capped,
+                       CASE WHEN d.demand > b.level THEN
+                           row_number() OVER (
+                               PARTITION BY (d.demand > b.level)
+                               ORDER BY d.demand DESC, d.host ASC)
+                       END AS rk
+                FROM demands d CROSS JOIN bp2 b
+            )
+            SELECT host, CAST(demand AS BIGINT) AS demand,
+                   CAST(least(demand, level)
+                        + CASE WHEN capped AND rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM ranked
         """,
     }

@@ -128,3 +128,97 @@ def host_schedule_summary(
         ),
         (F.max(sched_col) - F.min(ts_col)).cast("bigint").alias("makespan_us"),
     )
+
+
+def crawl_budget_waterfill(
+    demands: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    alloc_col: str = "alloc",
+) -> DataFrame:
+    """Exact max-min-fair (water-filling) allocation of a global crawl
+    budget across hosts: every host gets min(demand, L) fetch slots where L
+    is the water level with Σ min(demand, L) ≤ budget < Σ min(demand, L+1),
+    and the remaining `budget − Σ min(demand, L)` slots go one each to the
+    largest-demand capped hosts (demand DESC, host ASC — deterministic).
+    Σ alloc == min(budget, Σ demand) exactly.
+
+    The waterfill looks iterative but has a histogram closed form (the T64/
+    T65 pattern): aggregate hosts to DISTINCT demand values, prefix-sum the
+    histogram (a window over distinct demands only), locate the breakpoint
+    row v with A(v) ≤ budget < A(next), and solve L = v + ⌊(budget−A(v)) /
+    n_gt(v)⌋ — all exact integer arithmetic, one scalar row broadcast back.
+    The only per-host passes are one hash agg and one bounded window over
+    the CAPPED hosts (d > L) for remainder assignment.
+
+    Reference analogue: none; north-rule crawl-frontier generalization.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    d = F.col(demand_col)
+    hist = demands.groupBy(d.alias("_v")).agg(
+        F.count(F.lit(1)).alias("_nh")
+    )
+    # virtual d=0 row makes the below-min-demand case uniform
+    zero = demands.sparkSession.createDataFrame([(0, 0)], "_v long, _nh long")
+    hist = zero.unionByName(hist.select(F.col("_v").cast("long"), "_nh"))
+    w_ord = Window.orderBy("_v")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bp = (
+        hist.withColumn("_cum_d", F.sum(F.col("_v") * F.col("_nh")).over(w_cum))
+        .withColumn("_cum_nh", F.sum("_nh").over(w_cum))
+        .withColumn("_tot_nh", F.sum("_nh").over(w_all))
+        .withColumn("_n_gt", F.col("_tot_nh") - F.col("_cum_nh"))
+        .withColumn("_A", F.col("_cum_d") + F.col("_v") * F.col("_n_gt"))
+        .filter(F.col("_A") <= F.lit(budget))
+        .orderBy(F.desc("_v"))
+        .limit(1)
+        .select(
+            F.when(
+                F.col("_n_gt") > 0,
+                F.col("_v")
+                + F.floor((F.lit(budget) - F.col("_A")) / F.col("_n_gt")),
+            )
+            .otherwise(F.col("_v"))
+            .cast("long")
+            .alias("_level"),
+            "_A",
+            "_v",
+            "_n_gt",
+        )
+        .select(
+            "_level",
+            (
+                F.lit(budget)
+                - (F.col("_A") + (F.col("_level") - F.col("_v")) * F.col("_n_gt"))
+            ).cast("long").alias("_leftover"),
+        )
+    )
+    staged = demands.crossJoin(F.broadcast(bp)).withColumn(
+        "_capped", d > F.col("_level")
+    )
+    ranked = staged.withColumn(
+        "_rk",
+        F.when(
+            F.col("_capped"),
+            F.row_number().over(
+                Window.partitionBy("_capped").orderBy(
+                    F.desc(demand_col), F.asc(host_col)
+                )
+            ),
+        ).otherwise(F.lit(None)),
+    )
+    return ranked.select(
+        host_col,
+        d.alias(demand_col),
+        (
+            F.least(d, F.col("_level"))
+            + F.when(
+                F.col("_capped") & (F.col("_rk") <= F.col("_leftover")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(alloc_col),
+    )

@@ -263,3 +263,60 @@ def test_boilerplate_order_preserved_and_duplicate_doc_counts_once(spark):
     got3 = _boiler(spark, rows3, min_docs=3)
     assert got3[1]["text"] == "mid"
     assert got3[3]["text"] == "pre"
+
+
+# ---------------------------------------------------------------------------
+# crawl-budget waterfilling (T70)
+# ---------------------------------------------------------------------------
+
+
+def _ref_waterfill(dem: dict, budget: int) -> dict:
+    """Brute-force reference: raise the level one unit at a time."""
+    total = sum(dem.values())
+    if budget >= total:
+        return dict(dem)
+    level = 0
+    while sum(min(d, level + 1) for d in dem.values()) <= budget:
+        level += 1
+    base = {h: min(d, level) for h, d in dem.items()}
+    leftover = budget - sum(base.values())
+    capped = sorted(
+        (h for h, d in dem.items() if d > level), key=lambda h: (-dem[h], h)
+    )
+    for h in capped[:leftover]:
+        base[h] += 1
+    return base
+
+
+def _spark_waterfill(spark, dem: dict, budget: int) -> dict:
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        crawl_budget_waterfill,
+    )
+
+    df = spark.createDataFrame(
+        [(h, d) for h, d in dem.items()], "host string, demand long"
+    )
+    out = crawl_budget_waterfill(df, budget)
+    return {r["host"]: r["alloc"] for r in out.collect()}
+
+
+def test_waterfill_matches_reference_across_budgets(spark):
+    dem = {"a": 100, "b": 40, "c": 40, "d": 7, "e": 1}
+    total = sum(dem.values())
+    for budget in (0, 3, 5, 50, 90, 150, total, total + 10):
+        got = _spark_waterfill(spark, dem, budget)
+        ref = _ref_waterfill(dem, budget)
+        assert got == ref, (budget, got, ref)
+        assert sum(got.values()) == min(budget, total)
+
+
+def test_waterfill_negative_budget_rejected(spark):
+    import pytest as _pytest
+
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        crawl_budget_waterfill,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "host string, demand long")
+    with _pytest.raises(ValueError):
+        crawl_budget_waterfill(df, -1)
