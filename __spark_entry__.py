@@ -2304,6 +2304,28 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T71: cross-document exact-substring dedup (operators/dedup.py:
+    exact_substring_dedupe) — the ExactSubstr pass of Lee et al. 2022 /
+    RefinedWeb: every 8-token window whose bytes occur ≥2 times corpus-wide
+    is duplicated, and all covered tokens are removed from EVERY document
+    (interval-union coverage, linear Arrow sweep), contrast T47's
+    first-occurrence paragraph keep and T69's doc-frequency line threshold.
+    Reassembled text compared by md5."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        exact_substring_dedupe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedupe(docs, "text", "doc_id", k=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_fp"),
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -2423,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "boilerplate_lines": q_boilerplate_lines,
         "crawl_budget": q_crawl_budget,
+        "exact_substring_dedup": q_exact_substring_dedup,
     }
 
 
@@ -4178,5 +4201,40 @@ def oracle_sql() -> dict[str, str]:
                         + CASE WHEN capped AND rk <= leftover THEN 1 ELSE 0 END
                         AS BIGINT) AS alloc
             FROM ranked
+        """,
+        "exact_substring_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), wins AS (
+                SELECT doc_id, i - 1 AS widx,
+                       md5(array_to_string(t[i:i+7], ' ')) AS digest
+                FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+            ), dup AS (
+                SELECT digest FROM wins GROUP BY 1 HAVING count(*) >= 2
+            ), starts AS (
+                SELECT doc_id, widx FROM wins
+                WHERE digest IN (SELECT digest FROM dup)
+            ), tokrows AS (
+                SELECT doc_id,
+                       generate_subscripts(t, 1) - 1 AS tidx,
+                       unnest(t) AS tok
+                FROM toks
+            ), kept AS (
+                SELECT r.doc_id, r.tidx, r.tok,
+                       NOT EXISTS (
+                           SELECT 1 FROM starts s
+                           WHERE s.doc_id = r.doc_id
+                             AND r.tidx >= s.widx AND r.tidx < s.widx + 8
+                       ) AS keep
+                FROM tokrows r
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(tok, ' ' ORDER BY tidx)
+                                FILTER (WHERE keep), '')) AS text_fp,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tokens_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_tokens_dropped
+            FROM kept GROUP BY 1
         """,
     }

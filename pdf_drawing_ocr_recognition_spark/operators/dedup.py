@@ -682,3 +682,110 @@ def boilerplate_line_removal(
         F.sum(F.col("_kept").cast("long")).alias("n_lines_kept"),
         F.sum((~F.col("_kept")).cast("long")).alias("n_lines_dropped"),
     )
+
+
+def exact_substring_dedupe(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring dedup (the ExactSubstr pass of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb runs the same stage after MinHash): any run of *k* consecutive
+    word tokens whose bytes occur >= *min_count* times corpus-wide is
+    duplicated, and every token covered by a duplicated window is removed
+    from EVERY document, the remainder reassembled in original order.
+    Distinct from ``paragraph_dedupe`` (structural units, first occurrence
+    kept) and ``boilerplate_line_removal`` (doc-frequency threshold on
+    lines): this matches duplication at ARBITRARY token offsets — the memorized
+    span hiding mid-paragraph — which is exactly what the suffix-array pass
+    in the paper finds.  Token windows stand in for the paper's byte
+    suffixes: corpus-scale suffix arrays don't distribute, rolling windows
+    do, and the window form is the standard Spark reformulation.
+
+    Plan: one narrow per-doc projection emits (key, widx, digest) window
+    rows (no window-function sort — the windows come from slicing the
+    token array in place); duplicated digests fall out of a map-side
+    combinable count; survivors anti-join back per doc, and ONE Arrow
+    kernel rebuilds each document with a linear interval sweep (diff-array
+    coverage union — O(tokens + starts) per doc, never O(n^2)).  Two
+    shuffles total: the digest count and the per-doc start-list collect;
+    both keyed near-uniformly (a digest group is bounded by corpus
+    duplication, the per-doc list by doc length).
+
+    Returns one row per input doc: (key, text, n_tokens_kept,
+    n_tokens_dropped).
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = F.split(F.col(text_col), " ")
+    win = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.alias("widx"),
+                F.md5(
+                    F.encode(F.concat_ws(" ", F.slice(toks, i + 1, k)), "utf-8")
+                ).alias("digest"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<widx:int,digest:string>>"))
+    wins = docs.select(F.col(key_col), F.explode(win).alias("_w")).select(
+        key_col,
+        F.col("_w.widx").alias("_widx"),
+        F.col("_w.digest").alias("_digest"),
+    )
+    dup = (
+        wins.groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+    )
+    starts = (
+        wins.join(dup.select("_digest"), "_digest", "left_semi")
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_set("_widx")).alias("_starts"))
+    )
+    key_ddl = docs.schema[key_col].dataType.simpleString()
+    key_dtype = "int64" if key_ddl in ("bigint", "int", "smallint") else object
+    joined = docs.select(key_col, text_col).join(starts, key_col, "left")
+
+    def rebuild(batches):
+        for pdf in batches:
+            keys, texts, kept_n, drop_n = [], [], [], []
+            for key, text, st in zip(
+                pdf[key_col], pdf[text_col], pdf["_starts"]
+            ):
+                words = text.split(" ")
+                n = len(words)
+                if st is None or len(st) == 0:
+                    out, dropped = words, 0
+                else:
+                    diff = np.zeros(n + 1, dtype=np.int64)
+                    for s in st:
+                        diff[s] += 1
+                        diff[min(s + k, n)] -= 1
+                    cov = np.cumsum(diff[:n]) > 0
+                    out = [w for w, c in zip(words, cov) if not c]
+                    dropped = int(cov.sum())
+                keys.append(key)
+                texts.append(" ".join(out))
+                kept_n.append(n - dropped)
+                drop_n.append(dropped)
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(keys, dtype=key_dtype),
+                    text_col: texts,
+                    "n_tokens_kept": pd.Series(kept_n, dtype="int64"),
+                    "n_tokens_dropped": pd.Series(drop_n, dtype="int64"),
+                }
+            )
+
+    return joined.mapInPandas(
+        rebuild,
+        f"{key_col} {key_ddl}, {text_col} string, "
+        "n_tokens_kept bigint, n_tokens_dropped bigint",
+    )

@@ -886,3 +886,57 @@ class TestUrlDedupe:
         assert (x["keeper_doc_id"], x["n_versions"], x["best_n_chars"]) == (
             2, 3, 300)
         assert got["https://a.com/y"]["keeper_doc_id"] == 4
+
+
+class TestExactSubstringDedupe:
+    """T71: ExactSubstr-style duplicated token-window removal."""
+
+    @pytest.fixture(scope="class")
+    def sub_docs(self, spark):
+        rows = [
+            (1, "a b c d e f"),          # shares window "b c d" with doc 2
+            (2, "x b c d y z"),
+            (3, "p q r"),                 # unique: intact
+            (4, "m n"),                   # shorter than k: no windows
+            (5, ""),                      # empty doc
+            (6, "u v w u v w u v w"),     # within-doc repetition
+        ]
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def _result(self, docs):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            exact_substring_dedupe,
+        )
+
+        out = exact_substring_dedupe(docs, k=3, min_count=2)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_duplicated_window_removed_from_every_doc(self, sub_docs):
+        got = self._result(sub_docs)
+        # unlike paragraph_dedupe there is no first-occurrence keep:
+        # the shared "b c d" span vanishes from BOTH documents
+        assert got[1]["text"] == "a e f"
+        assert (got[1]["n_tokens_kept"], got[1]["n_tokens_dropped"]) == (3, 3)
+        assert got[2]["text"] == "x y z"
+        assert (got[2]["n_tokens_kept"], got[2]["n_tokens_dropped"]) == (3, 3)
+
+    def test_unique_short_and_empty_docs_intact(self, sub_docs):
+        got = self._result(sub_docs)
+        assert set(got) == {1, 2, 3, 4, 5, 6}
+        assert got[3]["text"] == "p q r"
+        assert got[4]["text"] == "m n"
+        assert got[4]["n_tokens_dropped"] == 0
+        assert got[5]["text"] == ""
+        assert got[5]["n_tokens_dropped"] == 0
+
+    def test_within_doc_repetition_fully_covered(self, sub_docs):
+        # "u v w" (and its rotations) repeat inside doc 6 alone — min_count
+        # counts total corpus occurrences, so the whole doc is covered
+        got = self._result(sub_docs)
+        assert got[6]["text"] == ""
+        assert (got[6]["n_tokens_kept"], got[6]["n_tokens_dropped"]) == (0, 9)
+
+    def test_stable_under_repartition(self, sub_docs):
+        got = self._result(sub_docs.repartition(5))
+        assert got[1]["text"] == "a e f"
+        assert got[6]["text"] == ""
