@@ -2304,6 +2304,35 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+# fixed lexical query set for BM25 retrieval (shared with the oracle SQL);
+# 'dup' is the one rare vocabulary term, so idf contrast is exercised
+BM25_QUERIES = [
+    ("q1", "hash"),
+    ("q1", "join"),
+    ("q1", "dup"),
+    ("q2", "spark"),
+    ("q2", "stream"),
+    ("q3", "vector"),
+    ("q3", "sort"),
+    ("q3", "dup"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T72: BM25 lexical retrieval top-k (operators/retrieval.py:bm25_topk)
+    — the sparse baseline next to the dense ANN stack: broadcast query-term
+    semi-join prunes the token stream map-side, per-term contributions are
+    integer-quantized (floor 1e6, the T58 determinism discipline) before the
+    per-(query, doc) sum, top-10 per query via bounded window."""
+    from pdf_drawing_ocr_recognition_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return bm25_topk(docs, qt, top_k=10)
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T71: cross-document exact-substring dedup (operators/dedup.py:
     exact_substring_dedupe) — the ExactSubstr pass of Lee et al. 2022 /
@@ -2446,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "crawl_budget": q_crawl_budget,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2464,6 +2494,11 @@ def _moji_sql() -> str:
     )
 
     return mojibake_markers_sql_counts("text")
+
+
+def _bm25_queries_sql() -> str:
+    """Shared-source-of-truth VALUES list for the bm25_topk oracle."""
+    return ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
 
 
 def _robots_rules_sql() -> str:
@@ -4236,5 +4271,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_tokens_dropped
             FROM kept GROUP BY 1
+        """,
+        "bm25_topk": f"""
+            WITH qt(query_id, term) AS (VALUES {_bm25_queries_sql()}),
+            toks AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS dl,
+                       unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, dl, count(*) AS tf
+                FROM toks
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY 1, 2, 3
+            ), dfd AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n,
+                       sum(len(string_split(text, ' '))) / count(*) AS avgdl
+                FROM documents
+            ), contrib AS (
+                SELECT q.query_id, t.doc_id,
+                       CAST(floor(
+                           1e6
+                           * ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                           * ((t.tf * 2.2)
+                              / (t.tf + 1.2 * (1.0 - 0.75
+                                               + 0.75 * t.dl / s.avgdl)))
+                       ) AS BIGINT) AS qv
+                FROM tf t
+                JOIN qt q USING (term)
+                JOIN dfd d USING (term)
+                CROSS JOIN stats s
+            ), scored AS (
+                SELECT query_id, doc_id,
+                       CAST(sum(qv) AS BIGINT) AS bm25_scaled
+                FROM contrib GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, bm25_scaled, CAST(rnk AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY bm25_scaled DESC, doc_id ASC) AS rnk
+                FROM scored
+            ) WHERE rnk <= 10
         """,
     }

@@ -1,0 +1,61 @@
+"""T72: BM25 lexical retrieval — ranking semantics on a hand-checkable corpus."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_corpus(spark):
+    rows = [
+        (1, "cat dog"),                       # short doc, one cat
+        (2, "cat cat cat filler filler pad"), # high tf, longer
+        (3, "bird"),                          # rare term only
+        (4, "filler pad pad pad filler pad"), # matches nothing
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _run(spark, docs, queries, top_k=10):
+    from pdf_drawing_ocr_recognition_spark.operators.retrieval import bm25_topk
+
+    qt = spark.createDataFrame(queries, "query_id string, term string")
+    out = bm25_topk(docs, qt, top_k=top_k).collect()
+    return {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["bm25_scaled"])
+        for r in out
+    }
+
+
+def test_tf_and_length_norm_order(spark, tiny_corpus):
+    got = _run(spark, tiny_corpus, [("q1", "cat")])
+    # doc 2 has tf=3: saturating tf-norm still beats doc 1's single hit
+    assert got[("q1", 1)][0] == 2
+    assert got[("q1", 2)][0] == 1
+    assert ("q1", 3) not in got  # docs without the term never score
+
+
+def test_rare_term_idf_exceeds_common(spark, tiny_corpus):
+    got = _run(spark, tiny_corpus, [("qb", "bird"), ("qc", "cat")])
+    # df(bird)=1 < df(cat)=2 and dl(doc3)=1, so the bird hit outscores
+    # every cat hit despite tf=1
+    bird_score = got[("qb", 1)][1]
+    assert got[("qb", 1)][0] == 3
+    assert bird_score > got[("qc", 1)][1]
+
+
+def test_multi_term_sum_and_topk_bound(spark, tiny_corpus):
+    got = _run(spark, tiny_corpus, [("q", "cat"), ("q", "dog")], top_k=1)
+    # doc 1 matches both terms; top_k=1 keeps only the winner per query
+    assert list(got) == [("q", 1)]
+    assert got[("q", 1)][0] in (1, 2)
+
+
+def test_tie_break_is_min_key(spark):
+    spark_ = spark
+    docs = spark_.createDataFrame(
+        [(7, "x y"), (5, "x y")], "doc_id LONG, text STRING"
+    )
+    got = _run(spark_, docs, [("q", "x")])
+    # identical tf/dl → identical score → ascending key breaks the tie
+    assert got[("q", 1)][0] == 5
+    assert got[("q", 2)][0] == 7
+    assert got[("q", 1)][1] == got[("q", 2)][1]

@@ -262,6 +262,22 @@ def main() -> int:
         "partial_count",
     )
 
+    # BM25 top-k (T72): query terms semi-join the token stream as a
+    # broadcast (map-side posting prune); every dim join broadcasts; the
+    # per-query top-10 gets the WindowGroupLimit map-side rewrite
+    grab(
+        "bm25_topk",
+        em.q_bm25_topk(spark, sf),
+        "BroadcastHashJoin",
+        "LeftSemi",
+        "WindowGroupLimit",
+    )
+    bm_plan = sections[-1][1]
+    checks.append(
+        ("bm25_topk", "no sort-merge join (all dims broadcast)",
+         "SortMergeJoin" not in bm_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
