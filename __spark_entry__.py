@@ -2304,6 +2304,22 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T73: DSIR importance-resampling weights (operators/mixing.py:
+    dsir_logweights, Xie et al. NeurIPS 2023) — per-doc hashed-unigram
+    log-likelihood ratio of the target domain (lang='en') vs the raw
+    corpus, 256 md5-prefix buckets, add-one smoothing, integer-quantized
+    per-bucket log-ratios (floor 1e6·ln) so all aggregates are exact."""
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        dsir_logweights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    return dsir_logweights(docs, "is_target")
+
+
 # fixed lexical query set for BM25 retrieval (shared with the oracle SQL);
 # 'dup' is the one rare vocabulary term, so idf contrast is exercised
 BM25_QUERIES = [
@@ -2476,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "exact_substring_dedup": q_exact_substring_dedup,
         "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -4315,5 +4332,36 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY bm25_scaled DESC, doc_id ASC) AS rnk
                 FROM scored
             ) WHERE rnk <= 10
+        """,
+        "dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang = 'en' AS t,
+                       substr(md5(unnest(string_split(lower(text), ' '))),
+                              1, 2) AS b
+                FROM documents
+            ), c AS (
+                SELECT doc_id, b, count(*) AS c, bool_or(t) AS t
+                FROM toks GROUP BY 1, 2
+            ), raw AS (
+                SELECT b, CAST(sum(c) AS BIGINT) AS cq FROM c GROUP BY 1
+            ), tgt AS (
+                SELECT b, CAST(sum(c) AS BIGINT) AS ct
+                FROM c WHERE t GROUP BY 1
+            ), totals AS (
+                SELECT (SELECT CAST(sum(cq) AS BIGINT) FROM raw) AS tq,
+                       (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt
+            ), dim AS (
+                SELECT r.b,
+                       CAST(floor(1e6 * ln(
+                           ((coalesce(g.ct, 0) + 1) / (s.tt + 256))
+                           / ((r.cq + 1) / (s.tq + 256))
+                       )) AS BIGINT) AS lr
+                FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN totals s
+            )
+            SELECT c.doc_id,
+                   CAST(sum(c.c * d.lr) AS BIGINT) AS dsir_scaled,
+                   CAST(sum(c.c) AS BIGINT) AS n_tokens
+            FROM c JOIN dim d USING (b)
+            GROUP BY 1
         """,
     }

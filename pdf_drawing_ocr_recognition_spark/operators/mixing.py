@@ -81,3 +81,80 @@ def histogram_quantile_buckets(
     if broadcast_dim:
         dim = F.broadcast(dim)
     return rows.join(dim, gcols + [value_col])
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    for Language Models via Importance Resampling"): score every document by
+    how much likelier its hashed unigram features are under the TARGET
+    domain's distribution than under the raw corpus distribution,
+
+        log w(d) = Σ_b  c_d[b] · ( ln p_target[b] − ln q_raw[b] )
+
+    with add-one smoothing over B = 16^prefix_len md5-prefix buckets
+    (DSIR's hashed n-gram feature space; the hex-prefix bucket is the
+    engine-portable form of its hash-mod).  *target_col* is a boolean
+    column marking the target-domain docs (e.g. a quality gate or a
+    wiki-like source flag).  Per-bucket log-ratios are quantized to
+    integers (floor 1e6·ln) so every cross-row aggregate is an exact
+    integer sum — deterministic under any partitioning.
+
+    Scale: the token stream reduces map-side to ≤B rows per document; both
+    distribution dims are B-row aggregates (two scalars for the totals)
+    broadcast back — nothing document-sized ever shuffles twice, and the
+    final per-doc sum is one hash agg.  Returns (key, dsir_scaled BIGINT,
+    n_tokens BIGINT); resampling = rank/threshold on dsir_scaled.
+    """
+    n_buckets = 16 ** prefix_len
+    toks = docs.select(
+        F.col(key_col),
+        F.col(target_col).alias("_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w"),
+    ).select(
+        key_col,
+        "_t",
+        F.substring(
+            F.md5(F.encode(F.col("_w"), "utf-8")), 1, prefix_len
+        ).alias("_b"),
+    )
+    c = toks.groupBy(key_col, "_b").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("_t").alias("_t")
+    )
+    raw = c.groupBy("_b").agg(F.sum("_c").alias("_cq"))
+    tgt = c.where(F.col("_t")).groupBy("_b").agg(F.sum("_c").alias("_ct"))
+    totals = raw.agg(F.sum("_cq").alias("_tq")).crossJoin(
+        tgt.agg(F.sum("_ct").alias("_tt"))
+    )
+    dim = (
+        raw.join(tgt, "_b", "left")
+        .withColumn("_ct", F.coalesce(F.col("_ct"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    ((F.col("_ct") + 1) / (F.col("_tt") + n_buckets))
+                    / ((F.col("_cq") + 1) / (F.col("_tq") + n_buckets))
+                )
+            )
+            .cast("bigint")
+            .alias("_lr"),
+        )
+    )
+    return (
+        c.join(F.broadcast(dim), "_b")
+        .groupBy(key_col)
+        .agg(
+            F.sum(F.col("_c") * F.col("_lr")).cast("bigint").alias(
+                "dsir_scaled"
+            ),
+            F.sum("_c").cast("bigint").alias("n_tokens"),
+        )
+    )

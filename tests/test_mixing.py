@@ -94,3 +94,50 @@ def test_window_runs_on_histogram_not_rows(spark):
     # i.e. the plan has exactly one Window and it follows an aggregate
     assert plan.count("Window") >= 1
     assert "SortMergeJoin" not in plan, plan
+
+
+class TestDsirLogweights:
+    """T73: DSIR hashed-unigram importance weights."""
+
+    @pytest.fixture(scope="class")
+    def weights(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            dsir_logweights,
+        )
+
+        rows = [
+            (1, "wiki clean text", True),
+            (2, "wiki good text", True),
+            (3, "spam spam buy", False),
+            (4, "wiki text", False),   # target-like candidate
+            (5, "spam buy", False),    # raw-like candidate
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, is_target BOOLEAN"
+        )
+        out = dsir_logweights(docs, "is_target")
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_target_like_doc_outweighs_raw_like(self, weights):
+        # every token of doc 4 is overrepresented in the target domain,
+        # every token of doc 5 underrepresented → strict weight order
+        assert weights[4]["dsir_scaled"] > weights[5]["dsir_scaled"]
+        assert weights[5]["dsir_scaled"] < 0
+
+    def test_token_counts_and_coverage(self, weights):
+        assert set(weights) == {1, 2, 3, 4, 5}
+        assert weights[4]["n_tokens"] == 2
+        assert weights[3]["n_tokens"] == 3
+
+    def test_weight_is_sum_of_per_token_logratios(self, weights):
+        # doc 4 = "wiki text": both tokens also appear in docs 1/2, so its
+        # weight equals the wiki + text contributions of doc 1 minus the
+        # "clean" contribution — cross-check additivity via doc 2's tokens
+        d1, d2, d4 = (weights[k]["dsir_scaled"] for k in (1, 2, 4))
+        # docs 1 and 2 differ by one token ("clean" vs "good", both unique:
+        # same smoothed log-ratio) → identical total weight
+        assert d1 == d2
+        # absolute sign is smoothing-dominated at toy scale (256 buckets vs
+        # 13 tokens pulls every ratio toward ct/cq < 1); the resampling
+        # ORDER is the contract: target-like docs rank above raw-like ones
+        assert d4 > weights[3]["dsir_scaled"]
