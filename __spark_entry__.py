@@ -2304,6 +2304,55 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T74: train-test overlap report (the GPT-3/PaLM appendix-style
+    contamination table) — BENCHMARK-item-centric, contrast
+    `decontamination` (corpus-doc-centric): for each held-out benchmark
+    item, the fraction of its distinct 5-gram shingles appearing anywhere
+    in the training corpus, plus the dirty flag at the standard 30%
+    threshold.  Scale posture: the benchmark shingle set is small by
+    construction and broadcasts twice — once semi-joining the corpus
+    shingle stream map-side (only benchmark-matching shingles survive the
+    scan stage), once marking matches; the distinct-hit set is bounded by
+    the benchmark's own shingle count, never the corpus's."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 10 == 7
+    bench_sh = (
+        docs.filter(is_bench)
+        .select("doc_id", F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
+        .distinct()
+    )
+    totals = bench_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hit_set = (
+        docs.filter(~is_bench)
+        .select(F.explode(word_shingles(F.col("text"), 5)).alias("sh"))
+        .join(F.broadcast(bench_sh.select("sh").distinct()), "sh", "left_semi")
+        .distinct()
+    )
+    matched = (
+        bench_sh.join(F.broadcast(hit_set), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    ratio = F.coalesce(F.col("n_matched"), F.lit(0)) / F.col("n_shingles")
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matched"),
+            F.round(ratio, 4).alias("overlap_pct"),
+            (ratio >= 0.3).alias("dirty"),
+        )
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T73: DSIR importance-resampling weights (operators/mixing.py:
     dsir_logweights, Xie et al. NeurIPS 2023) — per-doc hashed-unigram
@@ -2493,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
+        "contamination_report": q_contamination_report,
     }
 
 
@@ -4363,5 +4413,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(c.c) AS BIGINT) AS n_tokens
             FROM c JOIN dim d USING (b)
             GROUP BY 1
+        """,
+        "contamination_report": """
+            WITH sh5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split(lower(text), ' ')) - 4)),
+                           i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+4], ' ')))
+                           AS sh
+                FROM documents
+            ), b AS (
+                SELECT DISTINCT doc_id, sh FROM sh5 WHERE doc_id % 10 = 7
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_shingles FROM b GROUP BY 1
+            ), hits AS (
+                SELECT DISTINCT sh FROM sh5
+                WHERE doc_id % 10 != 7
+                  AND sh IN (SELECT sh FROM b)
+            ), matched AS (
+                SELECT doc_id, count(*) AS n_matched
+                FROM b WHERE sh IN (SELECT sh FROM hits)
+                GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(t.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+                   round(coalesce(m.n_matched, 0) / t.n_shingles, 4)
+                       AS overlap_pct,
+                   coalesce(m.n_matched, 0) / t.n_shingles >= 0.3 AS dirty
+            FROM totals t LEFT JOIN matched m USING (doc_id)
         """,
     }
