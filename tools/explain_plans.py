@@ -278,6 +278,47 @@ def main() -> int:
          "SortMergeJoin" not in bm_plan)
     )
 
+    # exact-substring dedup (T71): window digests come from in-place array
+    # slicing (no window-function sort of the token stream), the rebuild is
+    # ONE Arrow stage, and nothing joins pairwise
+    grab(
+        "exact_substring_dedup",
+        em.q_exact_substring_dedup(spark, sf),
+        "MapInPandas",
+    )
+    es_plan = sections[-1][1]
+    checks.append(
+        ("exact_substring_dedup", "no window-function token sort; one Arrow stage",
+         "WindowExec" not in es_plan
+         and es_plan.count("MapInPandas") == 1
+         and "CartesianProduct" not in es_plan)
+    )
+
+    # DSIR weights (T73): both distribution dims + the log-ratio dim are
+    # broadcast (≤256 rows); the document-sized stream shuffles only for
+    # its own aggregations, never in a sort-merge join
+    grab("dsir_weights", em.q_dsir_weights(spark, sf), "BroadcastHashJoin")
+    dw_plan = sections[-1][1]
+    checks.append(
+        ("dsir_weights", "no sort-merge join / no Python stage",
+         "SortMergeJoin" not in dw_plan
+         and all(s not in dw_plan for s in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython")))
+    )
+
+    # contamination report (T74): the benchmark shingle set broadcasts into
+    # BOTH probe joins (corpus-stream prune + match marking)
+    grab(
+        "contamination_report",
+        em.q_contamination_report(spark, sf),
+        "BroadcastHashJoin",
+        "LeftSemi",
+    )
+    cr_plan = sections[-1][1]
+    checks.append(
+        ("contamination_report", "no sort-merge join (benchmark set broadcast)",
+         "SortMergeJoin" not in cr_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
