@@ -2304,6 +2304,22 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T75: weight-balanced export sharding (operators/packing.py:
+    balanced_shards) — snake/LPT dealing over the global (n_chars DESC,
+    doc_id) rank into 7 shards; the rank comes from the T43 two-job range
+    sort, never a single-reducer window.  Final imbalance bounded by one
+    document's weight."""
+    from pdf_drawing_ocr_recognition_spark.operators.packing import (
+        balanced_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return balanced_shards(docs, "n_chars", 7).select(
+        "doc_id", "n_chars", "rank", "shard"
+    )
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T74: train-test overlap report (the GPT-3/PaLM appendix-style
     contamination table) — BENCHMARK-item-centric, contrast
@@ -2543,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "contamination_report": q_contamination_report,
+        "balanced_shards": q_balanced_shards,
     }
 
 
@@ -4444,5 +4461,17 @@ def oracle_sql() -> dict[str, str]:
                        AS overlap_pct,
                    coalesce(m.n_matched, 0) / t.n_shingles >= 0.3 AS dirty
             FROM totals t LEFT JOIN matched m USING (doc_id)
+        """,
+        "balanced_shards": """
+            SELECT doc_id, n_chars, rank,
+                   CAST(CASE WHEN ((rank - 1) // 7) % 2 = 0
+                             THEN (rank - 1) % 7
+                             ELSE 6 - ((rank - 1) % 7) END AS INT) AS shard
+            FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                           AS rank
+                FROM documents
+            )
         """,
     }

@@ -80,3 +80,41 @@ def packing_stats(packed: DataFrame, tokens_col: str = "n_chunk_tokens") -> Data
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(tokens_col).alias("tokens"),
     )
+
+
+def balanced_shards(
+    docs: DataFrame,
+    weight_col: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-balanced export sharding: assign every document to one of
+    *n_shards* output shards so per-shard weight totals are near-equal —
+    the "write S balanced training files" step after curation.  Docs are
+    globally ranked by (weight DESC, key ASC) with the scalable two-job
+    range sort (``global_row_numbers`` — never a single-reducer window),
+    then dealt boustrophedon (snake): 0-based rank r goes to shard r mod S
+    on even passes and S−1−(r mod S) on odd passes.  Snake dealing over
+    descending weights is the one-pass approximation of LPT scheduling:
+    every shard receives exactly one doc per pass in alternating order, so
+    consecutive pass-pairs cancel each other's spread and the final
+    imbalance is bounded by a single document's weight — independent of
+    corpus size.  Deterministic: the assignment depends only on the total
+    order, not on partitioning (pytest-asserted).
+
+    Returns the input plus (rank BIGINT 1-based, shard INT).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from .order import global_row_numbers
+
+    ranked = global_row_numbers(
+        docs,
+        [F.col(weight_col).desc(), F.col(key_col).asc()],
+        id_col="rank",
+    )
+    r0 = F.col("rank") - 1
+    pos = r0 % n_shards
+    even_pass = (F.floor(r0 / n_shards) % 2) == 0
+    shard = F.when(even_pass, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int"))

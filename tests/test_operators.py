@@ -581,3 +581,63 @@ class TestGlobalRowNumbers:
             ).collect()
         }
         assert a == b
+
+
+class TestBalancedShards:
+    """T75: snake-dealt weight-balanced export shards."""
+
+    def _shards(self, spark, rows, s):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        docs = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+        return balanced_shards(docs, "w", s, key_col="doc_id").collect()
+
+    def test_snake_assignment_order(self, spark):
+        # weights 8..1 over 3 shards: pass 0 deals 0,1,2; pass 1 deals
+        # 2,1,0; pass 2 deals 0,1,2 again
+        rows = [(i, 9 - i) for i in range(1, 9)]
+        got = {r["doc_id"]: (r["rank"], r["shard"]) for r in
+               self._shards(spark, rows, 3)}
+        assert got == {
+            1: (1, 0), 2: (2, 1), 3: (3, 2),
+            4: (4, 2), 5: (5, 1), 6: (6, 0),
+            7: (7, 0), 8: (8, 1),
+        }
+
+    def test_balance_bound_single_doc_weight(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [(i, rng.randint(1, 1000)) for i in range(200)]
+        out = self._shards(spark, rows, 5)
+        totals = {}
+        for r in out:
+            totals[r["shard"]] = totals.get(r["shard"], 0) + r["w"]
+        spread = max(totals.values()) - min(totals.values())
+        assert spread <= max(w for _, w in rows)
+
+    def test_deterministic_under_repartition(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        rows = [(i, (i * 37) % 50) for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+        a = {r["doc_id"]: r["shard"]
+             for r in balanced_shards(docs, "w", 4).collect()}
+        b = {r["doc_id"]: r["shard"]
+             for r in balanced_shards(docs.repartition(13), "w", 4).collect()}
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        docs = spark.createDataFrame([(1, 1)], "doc_id LONG, w LONG")
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        with _pytest.raises(ValueError):
+            balanced_shards(docs, "w", 0)
