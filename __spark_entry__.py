@@ -2304,6 +2304,40 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T76: vocabulary build + OOV coverage — the tokenizer-prep audit: the
+    top-20 corpus vocabulary by frequency (count DESC, term ASC — a total
+    order), then each document's out-of-vocabulary token fraction.  Scale
+    posture: term frequencies reduce map-side to one row per (task, term);
+    the ranked vocabulary is VOCABULARY-sized (Zipf: ≪ corpus) so its
+    top-V window is bounded and the resulting V-row dim broadcasts back
+    onto the token stream; the per-doc OOV agg is one hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("w").asc())
+            ),
+        )
+        .where(F.col("r") <= 20)
+        .select("w")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("_iv", F.lit(True))), "w", "left"
+    )
+    oov = F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.round(oov / F.count(F.lit(1)), 4).alias("oov_pct"),
+    )
+
+
 def q_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T75: weight-balanced export sharding (operators/packing.py:
     balanced_shards) — snake/LPT dealing over the global (n_chars DESC,
@@ -2560,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "contamination_report": q_contamination_report,
         "balanced_shards": q_balanced_shards,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -4473,5 +4508,27 @@ def oracle_sql() -> dict[str, str]:
                            AS rank
                 FROM documents
             )
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), freq AS (
+                SELECT w, count(*) AS n FROM toks GROUP BY 1
+            ), vocab AS (
+                SELECT w FROM (
+                    SELECT w, row_number() OVER (ORDER BY n DESC, w ASC) AS r
+                    FROM freq
+                ) WHERE r <= 20
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                         / count(*), 4) AS oov_pct
+            FROM toks t LEFT JOIN vocab v ON v.w = t.w
+            GROUP BY 1
         """,
     }
