@@ -2304,6 +2304,31 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_alpha_sampling_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T77: temperature-sampled language quotas — the XLM-R/mBERT
+    multilingual sampling rule p_l ∝ q_l^α at α = 0.5, made EXACT: weights
+    floor(1e6·√n_l) (IEEE sqrt is correctly rounded in both engines →
+    bitwise-portable integers) apportioned by Hamilton largest-remainder
+    (operators/mixing.py:largest_remainder_quotas) so Σ quota ≡ budget with
+    zero float accumulation.  Budget 1000 docs over the language dim."""
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        largest_remainder_quotas,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = counts.select(
+        "lang",
+        F.floor(F.lit(1e6) * F.sqrt(F.col("n_docs")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    out = largest_remainder_quotas(weights, "w", 1000, key_col="lang")
+    return out.join(counts, "lang").select(
+        "lang", "n_docs", F.col("w").alias("weight_scaled"), "quota"
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T76: vocabulary build + OOV coverage — the tokenizer-prep audit: the
     top-20 corpus vocabulary by frequency (count DESC, term ASC — a total
@@ -2595,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "balanced_shards": q_balanced_shards,
         "vocab_coverage": q_vocab_coverage,
+        "alpha_sampling_quotas": q_alpha_sampling_quotas,
     }
 
 
@@ -4530,5 +4556,35 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS oov_pct
             FROM toks t LEFT JOIN vocab v ON v.w = t.w
             GROUP BY 1
+        """,
+        "alpha_sampling_quotas": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+            ), w AS (
+                SELECT lang, n_docs,
+                       CAST(floor(1e6 * sqrt(n_docs)) AS BIGINT) AS w
+                FROM counts
+            ), dim AS (
+                SELECT lang, n_docs, w,
+                       (SELECT CAST(sum(w) AS BIGINT) FROM w) AS tw
+                FROM w
+            ), based AS (
+                SELECT lang, n_docs, w,
+                       (1000 * w) // tw AS base,
+                       (1000 * w) % tw AS rem
+                FROM dim
+            ), lx AS (
+                SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover
+                FROM based
+            ), ranked AS (
+                SELECT *, row_number() OVER (ORDER BY rem DESC, lang ASC)
+                           AS rk
+                FROM based
+            )
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   w AS weight_scaled,
+                   CAST(base + CASE WHEN rk <= (SELECT leftover FROM lx)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM ranked
         """,
     }

@@ -158,3 +158,54 @@ def dsir_logweights(
             F.sum("_c").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def largest_remainder_quotas(
+    weights: DataFrame,
+    weight_col: str,
+    budget: int,
+    key_col: str = "lang",
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: split an integer *budget*
+    across the rows of a small weight dim proportionally to INTEGER
+    *weight_col*, exactly — Σ quota ≡ budget, each quota within 1 of its
+    real share (no float accumulation anywhere: base = ⌊budget·w/W⌋ and the
+    budget−Σbase leftovers go to the largest remainders budget·w mod W,
+    key-ordered ties).  The standard deterministic quota rule for sampling
+    plans.  *weights* is dimension-sized (languages, sources, hosts-of-
+    interest) — every window here is over that dim, never over documents.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = weights.select(key_col, F.col(weight_col).alias("_w"))
+    # totals as 1-row broadcast aggregates (never a window over the dim —
+    # and exact: `div` is integral division, where a double `/` + floor
+    # could misround exactly-divisible long products)
+    tot = base.agg(F.sum("_w").alias("_tw"))
+    dim = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.expr(f"({budget} * _w) div _tw"))
+        .withColumn("_rem", F.lit(budget) * F.col("_w") % F.col("_tw"))
+    )
+    left = dim.agg((F.lit(budget) - F.sum("_base")).alias("_left"))
+    # the remainder-rank window runs over the DIMENSION (languages/sources
+    # of interest — bounded by construction), never over documents
+    ranked = (
+        dim.crossJoin(F.broadcast(left))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_rem").desc(), F.col(key_col).asc())
+            ),
+        )
+    )
+    return ranked.select(
+        key_col,
+        F.col("_w").alias(weight_col),
+        (
+            F.col("_base")
+            + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

@@ -141,3 +141,45 @@ class TestDsirLogweights:
         # 13 tokens pulls every ratio toward ct/cq < 1); the resampling
         # ORDER is the contract: target-like docs rank above raw-like ones
         assert d4 > weights[3]["dsir_scaled"]
+
+
+class TestLargestRemainderQuotas:
+    """T77: Hamilton apportionment — exact integer quota splits."""
+
+    def _quotas(self, spark, rows, budget):
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            largest_remainder_quotas,
+        )
+
+        dim = spark.createDataFrame(rows, "lang STRING, w LONG")
+        return {
+            r["lang"]: r["quota"]
+            for r in largest_remainder_quotas(dim, "w", budget).collect()
+        }
+
+    def test_sum_equals_budget_and_within_one_of_share(self, spark):
+        rows = [("a", 218), ("b", 75), ("c", 73), ("d", 70), ("e", 64)]
+        total = sum(w for _, w in rows)
+        for budget in (0, 1, 7, 100, 999):
+            got = self._quotas(spark, rows, budget)
+            assert sum(got.values()) == budget
+            for lang, w in rows:
+                exact = budget * w / total
+                assert exact - 1 < got[lang] < exact + 1
+
+    def test_largest_remainder_tiebreak_is_key_order(self, spark):
+        # equal weights, budget not divisible: leftovers go to the
+        # lexicographically smallest keys
+        got = self._quotas(spark, [("x", 5), ("y", 5), ("z", 5)], 7)
+        assert got == {"x": 3, "y": 2, "z": 2}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            largest_remainder_quotas,
+        )
+
+        dim = spark.createDataFrame([("a", 1)], "lang STRING, w LONG")
+        with _pytest.raises(ValueError):
+            largest_remainder_quotas(dim, "w", -1)
