@@ -2304,6 +2304,26 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T78: day-over-day distribution drift (operators/cdc.py:
+    category_drift) — exact-rational total-variation distance of the
+    event-type mix between consecutive days; the upstream-shift monitor.
+    Only the (day, type) count touches corpus-scale data; all drift
+    arithmetic runs on the days×types dim with BIGINT cross products."""
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import category_drift
+
+    ev = _t(spark, sf_dir, "events")
+    out = category_drift(ev, "ts", "event_type")
+    # day as yyyy-MM-dd STRING: pandas widens DATE to datetime64, so the
+    # value-hash would diverge on representation, not value
+    return out.select(
+        F.date_format(F.col("day"), "yyyy-MM-dd").alias("day"),
+        "tvd_num",
+        "tvd_den",
+        "tvd",
+    )
+
+
 def q_alpha_sampling_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T77: temperature-sampled language quotas — the XLM-R/mBERT
     multilingual sampling rule p_l ∝ q_l^α at α = 0.5, made EXACT: weights
@@ -2621,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards": q_balanced_shards,
         "vocab_coverage": q_vocab_coverage,
         "alpha_sampling_quotas": q_alpha_sampling_quotas,
+        "category_drift": q_category_drift,
     }
 
 
@@ -4586,5 +4607,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(base + CASE WHEN rk <= (SELECT leftover FROM lx)
                                     THEN 1 ELSE 0 END AS BIGINT) AS quota
             FROM ranked
+        """,
+        "category_drift": """
+            WITH counts AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       event_type AS cat, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), dense AS (
+                SELECT d.day, c.cat, coalesce(k.n, 0) AS n
+                FROM (SELECT DISTINCT day FROM counts) d
+                CROSS JOIN (SELECT DISTINCT cat FROM counts) c
+                LEFT JOIN counts k ON k.day = d.day AND k.cat = c.cat
+            ), tot AS (
+                SELECT day, CAST(sum(n) AS BIGINT) AS n_tot
+                FROM dense GROUP BY 1
+            ), pair AS (
+                SELECT a.day, a.cat, a.n, b.n AS n_prev,
+                       ta.n_tot, tb.n_tot AS n_prev_tot
+                FROM dense a
+                JOIN dense b ON b.day + 1 = a.day AND b.cat = a.cat
+                JOIN tot ta ON ta.day = a.day
+                JOIN tot tb ON tb.day + 1 = a.day
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(sum(abs(n * n_prev_tot - n_prev * n_tot))
+                        AS BIGINT) AS tvd_num,
+                   CAST(2 * max(n_tot) * max(n_prev_tot) AS BIGINT)
+                       AS tvd_den,
+                   round(CAST(sum(abs(n * n_prev_tot - n_prev * n_tot))
+                              AS BIGINT)
+                         / CAST(2 * max(n_tot) * max(n_prev_tot) AS BIGINT),
+                         6) AS tvd
+            FROM pair GROUP BY 1
         """,
     }

@@ -97,3 +97,77 @@ def snapshot_diff_summary(
     return diff.groupBy(*group_cols, CHANGE_COL).agg(
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def category_drift(
+    df: DataFrame,
+    time_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Day-over-day distribution-drift monitor: the total-variation distance
+    TVD(d) = ½ Σ_c |p_d(c) − p_{d−1}(c)| of a categorical column between
+    consecutive days — the standing check a crawl pipeline runs to catch
+    upstream shifts (a source going dark, a parser regression changing the
+    type mix) before they poison training mixes.
+
+    Exact integer arithmetic: with counts n_d(c) and day totals N_d,
+    TVD = Σ_c |n_d(c)·N_{d−1} − n_{d−1}(c)·N_d|  /  (2·N_d·N_{d−1}),
+    so numerator and denominator are BIGINTs and the only float is the
+    final reported ratio.  (At 10^12-row days the cross products overflow
+    int64 — quantize counts to parts-per-million shares first; the
+    rational form is exact for day volumes up to ~3·10^9.)
+
+    Scale posture: the ONLY corpus-scale stage is the (day, category) count
+    — one map-side-combinable hash agg; everything after runs on the
+    days×categories dim (dense grid via crossJoin of two distinct dims,
+    missing cells coalesced to 0 so appearing/vanishing categories count
+    their full mass).  Returns (day, tvd_num, tvd_den, tvd) for every day
+    with a previous day.
+    """
+    base = df.select(
+        F.to_date(F.col(time_col)).alias("day"), F.col(cat_col).alias("cat")
+    )
+    counts = base.groupBy("day", "cat").agg(F.count(F.lit(1)).alias("n"))
+    dense = (
+        counts.select("day").distinct()
+        .crossJoin(counts.select("cat").distinct())
+        .join(counts, ["day", "cat"], "left")
+        .select("day", "cat", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    tot = dense.groupBy("day").agg(F.sum("n").alias("n_tot"))
+    prev = dense.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        "cat",
+        F.col("n").alias("n_prev"),
+    )
+    prev_tot = tot.select(
+        F.date_add(F.col("day"), 1).alias("day"),
+        F.col("n_tot").alias("n_prev_tot"),
+    )
+    pair = (
+        dense.join(prev, ["day", "cat"])
+        .join(tot, "day")
+        .join(prev_tot, "day")
+    )
+    return (
+        pair.groupBy("day")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n") * F.col("n_prev_tot")
+                    - F.col("n_prev") * F.col("n_tot")
+                )
+            )
+            .cast("bigint")
+            .alias("tvd_num"),
+            (F.lit(2) * F.max("n_tot") * F.max("n_prev_tot"))
+            .cast("bigint")
+            .alias("tvd_den"),
+        )
+        .select(
+            "day",
+            "tvd_num",
+            "tvd_den",
+            F.round(F.col("tvd_num") / F.col("tvd_den"), 6).alias("tvd"),
+        )
+    )

@@ -129,3 +129,46 @@ class TestSnapshotDiff:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
             spark.sql("DROP TABLE IF EXISTS cdc_old")
             spark.sql("DROP TABLE IF EXISTS cdc_new")
+
+
+class TestCategoryDrift:
+    """T78: exact-rational day-over-day total-variation drift."""
+
+    def _drift(self, spark, rows):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import (
+            category_drift,
+        )
+
+        df = spark.createDataFrame(rows, "ts TIMESTAMP, cat STRING")
+        out = category_drift(df, "ts", "cat")
+        return {
+            str(r["day"]): (r["tvd_num"], r["tvd_den"], r["tvd"])
+            for r in out.collect()
+        }
+
+    def test_identical_mix_zero_and_disjoint_mix_one(self, spark):
+        from datetime import datetime as dt
+
+        rows = (
+            # day 1: 2a + 2b; day 2: same mix (scaled) -> TVD 0
+            [(dt(2024, 1, 1, 1), "a")] * 2 + [(dt(2024, 1, 1, 2), "b")] * 2
+            + [(dt(2024, 1, 2, 1), "a")] * 3 + [(dt(2024, 1, 2, 2), "b")] * 3
+            # day 3: all c (c appears, a/b vanish) -> TVD 1
+            + [(dt(2024, 1, 3, 1), "c")] * 4
+        )
+        got = self._drift(spark, rows)
+        assert got["2024-01-02"][2] == 0.0
+        assert got["2024-01-03"][2] == 1.0
+        assert "2024-01-01" not in got  # no previous day
+
+    def test_hand_computed_rational(self, spark):
+        from datetime import datetime as dt
+
+        # day1: a=3, b=1 (N=4); day2: a=1, b=1 (N=2)
+        # TVD = (|1*4-3*2| + |1*4-1*2|)/(2*2*4) = (2+2)/16 = 0.25
+        rows = (
+            [(dt(2024, 1, 1, 1), "a")] * 3 + [(dt(2024, 1, 1, 2), "b")]
+            + [(dt(2024, 1, 2, 1), "a"), (dt(2024, 1, 2, 2), "b")]
+        )
+        got = self._drift(spark, rows)
+        assert got["2024-01-02"] == (4, 16, 0.25)
