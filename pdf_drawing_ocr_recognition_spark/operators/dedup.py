@@ -721,6 +721,15 @@ def exact_substring_dedupe(
     import numpy as np
     import pandas as pd
 
+    # a 100-TB scan yields more file splits than cores; only the
+    # small-local-file case (fewer partitions than parallelism) needs one
+    # spreading repartition, or the window/digest stages single-thread
+    src = docs.select(key_col, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, key_col)
+    docs = src
+
     toks = F.split(F.col(text_col), " ")
     win = F.when(
         F.size(toks) >= k,
