@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "broadcast_pattern_join",
     "rollup_doc_metrics",
     "quality_funnel",
+    "exact_substring_dedup",
+    "dsir_weights",
 ]
 
 

@@ -705,15 +705,21 @@ def exact_substring_dedupe(
     suffixes: corpus-scale suffix arrays don't distribute, rolling windows
     do, and the window form is the standard Spark reformulation.
 
-    Plan: one narrow per-doc projection emits (key, widx, digest) window
-    rows (no window-function sort — the windows come from slicing the
-    token array in place); duplicated digests fall out of a map-side
-    combinable count; survivors anti-join back per doc, and ONE Arrow
-    kernel rebuilds each document with a linear interval sweep (diff-array
-    coverage union — O(tokens + starts) per doc, never O(n^2)).  Two
-    shuffles total: the digest count and the per-doc start-list collect;
-    both keyed near-uniformly (a digest group is bounded by corpus
-    duplication, the per-doc list by doc length).
+    Plan: window digests are WHOLE-STAGE-CODEGEN projections — posexplode
+    the tokens, build each k-window with lead() over the per-doc position
+    order, md5 as a plain column (a transform()-over-token-array HOF
+    formulation is CodegenFallback: interpreted eval measured ~9x slower
+    once any mapInPandas job shares the JVM — memory/spark-graft-hof-jit —
+    and this operator ITSELF runs one for the rebuild).  Duplicated
+    digests fall out of a map-side combinable count; survivors semi-join
+    back per doc, and ONE Arrow kernel rebuilds each document with a
+    linear interval sweep (diff-array coverage union — O(tokens + starts)
+    per doc, never O(n^2)).  The window's per-doc sort shares its hash
+    partitioning with nothing downstream, but is bounded by doc length
+    (the same trade accepted by the T58 bigram scorer; the T2 Arrow
+    shingle kernel is the alternative when the per-key sort dominates —
+    measured SLOWER here because per-window Python md5 costs more than
+    the JVM sort + codegen md5).
 
     Returns one row per input doc: (key, text, n_tokens_kept,
     n_tokens_dropped).
@@ -730,23 +736,25 @@ def exact_substring_dedupe(
         src = src.repartition(par, key_col)
     docs = src
 
-    toks = F.split(F.col(text_col), " ")
-    win = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.struct(
-                i.alias("widx"),
-                F.md5(
-                    F.encode(F.concat_ws(" ", F.slice(toks, i + 1, k)), "utf-8")
-                ).alias("digest"),
+    words = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    )
+    w_ord = Window.partitionBy(key_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [
+        F.lead("_tok", i).over(w_ord) for i in range(1, k)
+    ]
+    wins = (
+        words.select(
+            F.col(key_col),
+            F.col("_pos").alias("_widx"),
+            F.md5(F.encode(F.concat_ws(" ", *parts), "utf-8")).alias(
+                "_digest"
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<widx:int,digest:string>>"))
-    wins = docs.select(F.col(key_col), F.explode(win).alias("_w")).select(
-        key_col,
-        F.col("_w.widx").alias("_widx"),
-        F.col("_w.digest").alias("_digest"),
+            parts[-1].alias("_lasttok"),
+        )
+        .filter(F.col("_lasttok").isNotNull())
+        .drop("_lasttok")
     )
     dup = (
         wins.groupBy("_digest")

@@ -278,19 +278,21 @@ def main() -> int:
          "SortMergeJoin" not in bm_plan)
     )
 
-    # exact-substring dedup (T71): window digests come from in-place array
-    # slicing (no window-function sort of the token stream), the rebuild is
-    # ONE Arrow stage, and nothing joins pairwise
+    # exact-substring dedup (T71): window digests are whole-stage-codegen
+    # lead() projections (a HOF transform would be CodegenFallback — the
+    # 9x-after-mapInPandas cliff, measured in-bench), the rebuild is ONE
+    # Arrow stage, and nothing joins pairwise
     grab(
         "exact_substring_dedup",
         em.q_exact_substring_dedup(spark, sf),
         "MapInPandas",
+        "Window",
     )
     es_plan = sections[-1][1]
     checks.append(
-        ("exact_substring_dedup", "no window-function token sort; one Arrow stage",
-         "WindowExec" not in es_plan
-         and es_plan.count("MapInPandas") == 1
+        ("exact_substring_dedup", "one Arrow stage, no HOF digests, no pairwise join",
+         es_plan.count("MapInPandas") == 1
+         and "transform(" not in es_plan
          and "CartesianProduct" not in es_plan)
     )
 
