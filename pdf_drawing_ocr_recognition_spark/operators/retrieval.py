@@ -91,3 +91,91 @@ def bm25_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", key_col, "bm25_scaled", "rank")
     )
+
+
+def write_postings_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the inverted index ONCE: (term, key, tf, dl) postings as a
+    Hive-bucketed table keyed by term, plus a 1-row ``<table>_stats`` side
+    table (corpus doc count + token total).  The write-once/probe-many
+    contract of a search index (the T38 ANN-index pattern applied to text):
+    every later ``bm25_topk_indexed`` probe scans pre-hashed term buckets
+    and aggregates/joins on term with ZERO postings-side Exchange — at
+    10^12 docs the tokenize+tf pass runs once, never per query batch.
+    Document frequencies are NOT materialized: a probed term's df is just
+    its postings-row count, already in the probed slice.
+    """
+    from .skew import write_bucketed
+
+    toks = docs.select(
+        F.col(key_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    )
+    postings = toks.groupBy("term", key_col, "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    write_bucketed(postings, table, n_buckets, "term")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    stats.write.mode("overwrite").saveAsTable(f"{table}_stats")
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    key_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 top-k over a persisted postings index (``spark.table`` of
+    ``write_postings_index``) — result-identical to ``bm25_topk`` on the
+    same corpus (pytest-asserted), zero postings-side Exchange: the
+    broadcast term semi-join and the df aggregation both run on the
+    index's own term bucketing.  Only matched postings (query-term-sized,
+    never corpus-sized) flow into the per-(query, doc) sum.
+    """
+    p = postings.join(
+        F.broadcast(query_terms.select("term").distinct()), "term", "left_semi"
+    )
+    df_dim = p.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    st = stats.select(
+        F.col("n_docs").alias("_n"),
+        (F.col("n_tokens") / F.col("n_docs")).alias("_avgdl"),
+    )
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
+    )
+    contrib = (
+        p.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(df_dim), "term")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "query_id",
+            key_col,
+            F.floor(F.lit(1e6) * idf * tf_norm).cast("bigint").alias("_q"),
+        )
+    )
+    scored = contrib.groupBy("query_id", key_col).agg(
+        F.sum("_q").cast("bigint").alias("bm25_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25_scaled").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", key_col, "bm25_scaled", "rank")
+    )

@@ -59,3 +59,40 @@ def test_tie_break_is_min_key(spark):
     assert got[("q", 1)][0] == 5
     assert got[("q", 2)][0] == 7
     assert got[("q", 1)][1] == got[("q", 2)][1]
+
+
+class TestBm25Indexed:
+    """T79: persisted postings index — write-once/probe-many BM25."""
+
+    QUERIES = [("q1", "cat"), ("q1", "dog"), ("q2", "bird")]
+
+    def test_indexed_equals_direct_and_zero_postings_exchange(
+        self, spark, tiny_corpus
+    ):
+        from pdf_drawing_ocr_recognition_spark.operators.retrieval import (
+            bm25_topk,
+            bm25_topk_indexed,
+            write_postings_index,
+        )
+
+        qt = spark.createDataFrame(self.QUERIES, "query_id string, term string")
+        try:
+            write_postings_index(tiny_corpus, "bm25_postings_t", n_buckets=4)
+            postings = spark.table("bm25_postings_t")
+            stats = spark.table("bm25_postings_t_stats")
+            got = bm25_topk_indexed(postings, stats, qt)
+            direct = bm25_topk(tiny_corpus, qt)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, direct.collect())
+            )
+            # write-once/probe-many: every Exchange in the probe plan hashes
+            # query-derived frames, never the bucketed postings scan
+            import re
+
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            for frag in re.findall(r"Exchange [^\n]*", plan):
+                assert "bm25_postings_t" not in frag, plan
+            assert "bm25_postings_t" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bm25_postings_t")
+            spark.sql("DROP TABLE IF EXISTS bm25_postings_t_stats")
