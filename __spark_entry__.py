@@ -2304,6 +2304,27 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_source_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T80: empirical-Bayes source-quality priors (operators/mixing.py:
+    shrunk_group_means) — per-source mean quality shrunk toward the global
+    mean with prior strength 20 (the small-host noise guard before using
+    host quality as a crawl/selection prior).  Quality is the q·10⁴ BIGINT
+    quantization (T67 discipline) so all sums are exact; one group agg +
+    a 1-row broadcast of the global totals."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import quality_score
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        shrunk_group_means,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.round(quality_score(F.col("text")) * 10000)
+        .cast("bigint")
+        .alias("q_e4"),
+    )
+    return shrunk_group_means(docs, "source", "q_e4", prior_strength=20)
+
+
 def q_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T78: day-over-day distribution drift (operators/cdc.py:
     category_drift) — exact-rational total-variation distance of the
@@ -2642,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "alpha_sampling_quotas": q_alpha_sampling_quotas,
         "category_drift": q_category_drift,
+        "source_quality_priors": q_source_quality_priors,
     }
 
 
@@ -4639,5 +4661,31 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(2 * max(n_tot) * max(n_prev_tot) AS BIGINT),
                          6) AS tvd
             FROM pair GROUP BY 1
+        """,
+        "source_quality_priors": f"""
+            WITH q AS (
+                SELECT source,
+                       CAST(round(round((
+                           (CASE WHEN {wc} >= 20 THEN 1.0 ELSE {wc} / 20.0 END) +
+                           (CASE WHEN {punct} <= 0.2 THEN 1.0
+                                 ELSE greatest(0.0, 1.0 - ({punct} - 0.2) * 5) END) +
+                           (CASE WHEN {stop_ratio} >= 0.05 THEN 1.0
+                                 ELSE {stop_ratio} / 0.05 END)
+                       ) / 3.0, 4) * 10000) AS BIGINT) AS q_e4
+                FROM (SELECT source, text, ' ' || lower(text) || ' ' AS p
+                      FROM documents)
+            ), g AS (
+                SELECT source, CAST(sum(q_e4) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM q GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(s) AS BIGINT) AS sg,
+                       CAST(sum(n) AS BIGINT) AS ng
+                FROM g
+            )
+            SELECT source, n,
+                   round(s / n, 4) AS mean_raw,
+                   round((s + 20 * (sg / ng)) / (n + 20), 4) AS mean_shrunk
+            FROM g CROSS JOIN tot
         """,
     }

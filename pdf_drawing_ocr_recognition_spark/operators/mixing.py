@@ -209,3 +209,44 @@ def largest_remainder_quotas(
         .cast("bigint")
         .alias("quota"),
     )
+
+
+def shrunk_group_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    prior_strength: int = 20,
+) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-group means toward the global mean
+    — the small-group noise guard for host/source-level quality priors: a
+    host with 3 pages must not earn a trusted quality score from 3 samples.
+    The additive-smoothing posterior mean
+
+        shrunk_g = (S_g + k·μ) / (n_g + k),   μ = ΣS / Σn
+
+    pulls low-n groups toward μ with prior strength *k* (≈ "k virtual docs
+    at the global mean") and leaves high-n groups at their raw mean.
+
+    *value_col* MUST be integer-quantized by the caller (the q·10⁴ BIGINT
+    discipline) so the sums are exact under any partitioning; the only
+    floats are the two reported ratios.  Scale: one map-side-combinable
+    group agg; the global totals are a 1-row broadcast; output is
+    group-dim sized.  Returns (group, n, mean_raw, mean_shrunk), means
+    rounded to 4dp.
+    """
+    if prior_strength < 0:
+        raise ValueError(f"prior_strength must be >= 0, got {prior_strength}")
+    g = df.groupBy(group_col).agg(
+        F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    tot = g.agg(F.sum("_s").alias("_sg"), F.sum("_n").alias("_ng"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(F.col("_s") / F.col("_n"), 4).alias("mean_raw"),
+        F.round(
+            (F.col("_s") + F.lit(prior_strength) * (F.col("_sg") / F.col("_ng")))
+            / (F.col("_n") + F.lit(prior_strength)),
+            4,
+        ).alias("mean_shrunk"),
+    )

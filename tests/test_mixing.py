@@ -183,3 +183,47 @@ class TestLargestRemainderQuotas:
         dim = spark.createDataFrame([("a", 1)], "lang STRING, w LONG")
         with _pytest.raises(ValueError):
             largest_remainder_quotas(dim, "w", -1)
+
+
+class TestShrunkGroupMeans:
+    """T80: empirical-Bayes shrinkage of per-group means."""
+
+    def _run(self, spark, rows, k):
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            shrunk_group_means,
+        )
+
+        df = spark.createDataFrame(rows, "g STRING, v LONG")
+        return {
+            r["g"]: r.asDict()
+            for r in shrunk_group_means(df, "g", "v", k).collect()
+        }
+
+    def test_small_group_pulled_to_global_mean_big_group_stays(self, spark):
+        # global mean = 5000; "tiny" (one doc at 10000) must shrink hard,
+        # "big" (100 docs at 4950) barely moves
+        rows = [("big", 4950)] * 100 + [("tiny", 10000)]
+        got = self._run(spark, rows, 20)
+        tiny, big = got["tiny"], got["big"]
+        assert tiny["mean_raw"] == 10000.0
+        # posterior with k=20 virtual docs at mu: (10000 + 20*mu)/21
+        mu = (4950 * 100 + 10000) / 101
+        # output is rounded to 4dp
+        assert tiny["mean_shrunk"] == round((10000 + 20 * mu) / 21, 4)
+        assert abs(big["mean_shrunk"] - big["mean_raw"]) < abs(
+            tiny["mean_shrunk"] - tiny["mean_raw"]
+        )
+
+    def test_zero_prior_is_identity_and_validation(self, spark):
+        import pytest as _pytest
+
+        rows = [("a", 10), ("a", 20), ("b", 100)]
+        got = self._run(spark, rows, 0)
+        assert got["a"]["mean_shrunk"] == got["a"]["mean_raw"] == 15.0
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            shrunk_group_means,
+        )
+
+        df = spark.createDataFrame(rows, "g STRING, v LONG")
+        with _pytest.raises(ValueError):
+            shrunk_group_means(df, "g", "v", -1)
