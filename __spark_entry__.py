@@ -2304,6 +2304,58 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T81: PMI collocation extraction (Church & Hanks) — the multiword-
+    expression mining pass of a text pipeline: top-20 adjacent word pairs
+    by pointwise mutual information ln(p(w1,w2)/(p(w1)p(w2))), min bigram
+    count 5, quantized floor(1e6·ln) per the T58 discipline (per-row value,
+    no float accumulation).  Scale posture: bigram/unigram counts are
+    map-side-combinable hash aggs; everything after the ≥5 threshold runs
+    on a vocabulary²-bounded candidate dim (Zipf ≪ corpus), marginals
+    broadcast onto it twice; top-20 via TakeOrdered-able window.  At web
+    scale the integer cross products in the ratio exceed int64 — compute
+    the ratio in log space (ln n2 + 2·ln Nu − ln Nb − ln c1 − ln c2) there;
+    the direct rational form is exact-input at these corpus sizes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        F.col("w").alias("w1"), F.lead("w").over(w_ord).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    tot = toks.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
+        bg.select(F.count(F.lit(1)).alias("nb"))
+    )
+    cand = (
+        c2.where(F.col("n2") >= 5)
+        .join(F.broadcast(c1.selectExpr("w as w1", "n1 as c1a")), "w1")
+        .join(F.broadcast(c1.selectExpr("w as w2", "n1 as c1b")), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("n2") * F.col("nu") * F.col("nu"))
+            / (F.col("nb") * F.col("c1a") * F.col("c1b"))
+        )
+    ).cast("bigint")
+    ranked = cand.select("w1", "w2", "n2", pmi.alias("pmi_scaled")).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("pmi_scaled").desc(), F.col("w1").asc(), F.col("w2").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rnk") <= 20).select(
+        "w1", "w2", "n2", "pmi_scaled", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
 def q_source_quality_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T80: empirical-Bayes source-quality priors (operators/mixing.py:
     shrunk_group_means) — per-source mean quality shrunk toward the global
@@ -2664,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_sampling_quotas": q_alpha_sampling_quotas,
         "category_drift": q_category_drift,
         "source_quality_priors": q_source_quality_priors,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4687,5 +4740,48 @@ def oracle_sql() -> dict[str, str]:
                    round(s / n, 4) AS mean_raw,
                    round((s + 20 * (sg / ng)) / (n + 20), 4) AS mean_shrunk
             FROM g CROSS JOIN tot
+        """,
+        "pmi_collocations": """
+            WITH toks AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(lower(text), ' '), 1)
+                           AS pos,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), bg AS (
+                SELECT * FROM (
+                    SELECT w AS w1,
+                           lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                               AS w2
+                    FROM toks
+                ) WHERE w2 IS NOT NULL
+            ), c2 AS (
+                SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w, count(*) AS n1 FROM toks GROUP BY 1
+            ), tot AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks) AS nu,
+                       (SELECT CAST(count(*) AS BIGINT) FROM bg) AS nb
+            ), cand AS (
+                SELECT c2.w1, c2.w2, c2.n2,
+                       a.n1 AS c1a, b.n1 AS c1b, t.nu, t.nb
+                FROM c2
+                JOIN c1 a ON a.w = c2.w1
+                JOIN c1 b ON b.w = c2.w2
+                CROSS JOIN tot t
+                WHERE c2.n2 >= 5
+            ), ranked AS (
+                SELECT w1, w2, CAST(n2 AS BIGINT) AS n2,
+                       CAST(floor(1e6 * ln(
+                           (n2 * nu * nu) / (nb * c1a * c1b)
+                       )) AS BIGINT) AS pmi_scaled
+                FROM cand
+            )
+            SELECT w1, w2, n2, pmi_scaled, CAST(rnk AS INT) AS rnk
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC) AS rnk
+                FROM ranked
+            ) WHERE rnk <= 20
         """,
     }
