@@ -2304,6 +2304,30 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_budget_waterfill(demands, budget=6000)
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T82: corpus concentration audit — the Herfindahl–Hirschman index of
+    the source mix plus the head share, the diversity number a release
+    card reports (an HHI drifting up means the corpus is collapsing onto
+    few sources).  Exact-rational: HHI = Σ n_s² / N² as BIGINT
+    numerator/denominator (ratios are the only floats, round 6); one
+    map-side-combinable count per source, then source-dim arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("hhi_num"),
+        (F.sum("n") * F.sum("n")).cast("bigint").alias("hhi_den"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    ).select(
+        "n_sources",
+        "hhi_num",
+        "hhi_den",
+        F.round(F.col("hhi_num") / F.col("hhi_den"), 6).alias("hhi"),
+        F.round(F.col("top_n") / F.col("n_total"), 6).alias("top_share"),
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T81: PMI collocation extraction (Church & Hanks) — the multiword-
     expression mining pass of a text pipeline: top-20 adjacent word pairs
@@ -2717,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "source_quality_priors": q_source_quality_priors,
         "pmi_collocations": q_pmi_collocations,
+        "source_concentration": q_source_concentration,
     }
 
 
@@ -4783,5 +4808,21 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC) AS rnk
                 FROM ranked
             ) WHERE rnk <= 20
+        """,
+        "source_concentration": """
+            WITH per AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ), agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                       CAST(sum(n * n) AS BIGINT) AS hhi_num,
+                       CAST(sum(n) * sum(n) AS BIGINT) AS hhi_den,
+                       CAST(max(n) AS BIGINT) AS top_n,
+                       CAST(sum(n) AS BIGINT) AS n_total
+                FROM per
+            )
+            SELECT n_sources, hhi_num, hhi_den,
+                   round(hhi_num / hhi_den, 6) AS hhi,
+                   round(top_n / n_total, 6) AS top_share
+            FROM agg
         """,
     }
