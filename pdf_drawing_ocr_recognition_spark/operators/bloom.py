@@ -25,10 +25,14 @@ Implementation notes
   The Arrow stage only does k vectorized bitmap lookups per row against the
   broadcast bitmap (``numpy`` byte indexing), the cheapest possible Python
   surface.
-* ``bloom_build`` aggregates DISTINCT bit positions distributively and
-  collects them — the driver transfer is bounded by m (the bitmap size),
-  NEVER by the filter-side cardinality: a 10⁸-element filter side still
-  sends at most m/8 bytes of information.  (Spark's own
+* ``bloom_build`` aggregates the bitmap DISTRIBUTIVELY: positions fold into
+  64-bit words via a whole-stage-codegen ``bit_or`` hash aggregate (map-side
+  partial combine — a position set 10⁶ times sends one partial per map
+  task), words pack into fixed-size binary chunks in one small Arrow stage,
+  and the driver collects only those packed chunks — exactly m/8 BYTES of
+  transfer (+ ~16 bytes/chunk of row overhead at 128 KiB per chunk), never
+  per-position rows.  A 10⁸-element filter at the ln2 optimum (m ≈ 10⁹)
+  therefore costs the driver ~120 MB, not tens of GB.  (Spark's own
   ``BloomFilterAggregate`` is not exposed to PySpark; this keeps the same
   merge-by-OR structure with an explicit, testable bitmap.)
 * Sizing: m_bits ≈ -n·ln(p)/(ln2)² and k ≈ (m/n)·ln2 for target fp-rate p;
@@ -78,33 +82,79 @@ def _bit_positions(col: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+# 2^14 little-endian int64 words = 2^20 bits = 128 KiB of bitmap per chunk:
+# small enough that one applyInPandas group is ~8 MB of word rows worst-case,
+# large enough that a 10^9-bit bloom is under 1,000 collected chunk rows.
+_CHUNK_WORDS_SHIFT = 14
+_CHUNK_WORDS = 1 << _CHUNK_WORDS_SHIFT
+_CHUNK_BYTES = _CHUNK_WORDS * 8
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def bloom_bitmap_chunks(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
+    """Distributed bloom bitmap over ``df[col]`` as (chunk_id, 128 KiB binary).
+
+    Plan shape (the part that must survive 100 TB):
+
+    1. k JVM-side positions per value (codegen ``pmod(xxhash64)``),
+    2. fold positions into 64-bit words with a ``bit_or`` HASH AGGREGATE —
+       whole-stage codegen with map-side partial combine, so shuffle volume
+       is bounded by min(rows·k, m/64) words per map task, and
+    3. one tiny Arrow stage packs each chunk's words into little-endian
+       bitmap bytes (bit i of the filter = byte i>>3, mask 1<<(i&7); an
+       int64 word w covers bits [64w, 64w+64) so ``<i8`` byte order IS the
+       filter's bit layout).
+
+    Only packed binary chunks leave this frame — m/8 bytes total.
+    """
+    words = (
+        df.select(F.explode(F.array(*_bit_positions(F.col(col), m_bits, k))).alias("p"))
+        .select(
+            F.shiftright(F.col("p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .withColumn("chunk_id", F.shiftright(F.col("w"), _CHUNK_WORDS_SHIFT))
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = int(pdf["chunk_id"].iloc[0])
+        arr = np.zeros(_CHUNK_WORDS, dtype="<i8")
+        idx = pdf["w"].to_numpy(dtype=np.int64) - cid * _CHUNK_WORDS
+        arr[idx] = pdf["bits"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"chunk_id": [cid], "bitmap": [arr.tobytes()]})
+
+    return words.groupBy("chunk_id").applyInPandas(
+        _pack, "chunk_id long, bitmap binary"
+    )
+
+
 def bloom_build(df: DataFrame, col: str, m_bits: int, k: int) -> bytes:
     """One-pass distributed bloom build over ``df[col]`` → bitmap bytes.
 
-    Each value contributes k bit positions (JVM-side hashing); positions are
-    DISTINCT-aggregated distributively and only the surviving positions —
-    at most m_bits of information, independent of ``df``'s row count —
-    cross to the driver, where they are packed into a little-endian-bit
-    bitmap (bit i of the filter = byte i>>3, mask 1<<(i&7)).
+    Each value contributes k bit positions (JVM-side hashing); the bitmap is
+    aggregated distributively (``bloom_bitmap_chunks``) and the driver
+    collects only packed binary chunks — exactly m/8 bytes regardless of
+    ``df``'s row count, fixing the earlier per-position-row collect whose
+    Row overhead was ~50–100 bytes per set bit.
     """
     if m_bits % 8 != 0 or m_bits < 64:
         raise ValueError(f"m_bits must be a multiple of 8 and >= 64, got {m_bits}")
     if not (1 <= k <= 16):
         raise ValueError(f"k must be in [1, 16], got {k}")
-    pos_df = (
-        df.select(F.explode(F.array(*_bit_positions(F.col(col), m_bits, k))).alias("p"))
-        .distinct()
-    )
-    positions = np.fromiter(
-        (r[0] for r in pos_df.collect()), dtype=np.int64
-    )
-    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
-    if positions.size:
-        np.bitwise_or.at(bitmap, positions >> 3, np.uint8(1) << (positions & 7).astype(np.uint8))
+    n_bytes = m_bits // 8
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in bloom_bitmap_chunks(df, col, m_bits, k).collect():
+        off = row[0] * _CHUNK_BYTES
+        seg = np.frombuffer(row[1], dtype=np.uint8)
+        end = min(off + seg.size, n_bytes)
+        bitmap[off:end] |= seg[: end - off]
     # an optimally sized bloom fills to exactly 1/2 (the ln2 optimum), so
     # 0.5 is HEALTHY; 0.75 means the input is ~2x past design capacity and
     # the fp-rate has left the design regime
-    fill = positions.size / m_bits
+    fill = int(_POPCOUNT8[bitmap].sum(dtype=np.int64)) / m_bits
     if fill > 0.75:
         warnings.warn(
             f"bloom_build: fill fraction {fill:.2f} > 0.75 — the filter is "

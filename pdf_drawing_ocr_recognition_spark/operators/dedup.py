@@ -80,7 +80,9 @@ def minhash_signatures(
     src = docs.select(key_col, text_col)
     # key-type-agnostic: long doc ids and string urls both key dedup indexes
     key_ddl = src.schema[key_col].dataType.simpleString()
-    key_dtype = "int64" if key_ddl in ("bigint", "int", "smallint") else object
+    key_dtype = (
+        "int64" if key_ddl in ("bigint", "int", "smallint", "tinyint") else object
+    )
     par = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par, key_col)
@@ -690,6 +692,7 @@ def exact_substring_dedupe(
     key_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring dedup (the ExactSubstr pass of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models Better";
@@ -729,11 +732,20 @@ def exact_substring_dedupe(
 
     # a 100-TB scan yields more file splits than cores; only the
     # small-local-file case (fewer partitions than parallelism) needs one
-    # spreading repartition, or the window/digest stages single-thread
+    # spreading repartition, or the window/digest stages single-thread.
+    # `spread_partitions` is the explicit hint: N > 0 forces repartition(N),
+    # 0 declares the scan already wide (skip the probe entirely); None
+    # falls back to an RDD partition-count probe — the probe forces an
+    # RDD conversion of the plan, so callers on a hot path should pass
+    # the hint.
     src = docs.select(key_col, text_col)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, key_col)
+    if spread_partitions is not None:
+        if spread_partitions > 0:
+            src = src.repartition(spread_partitions, key_col)
+    else:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par, key_col)
     docs = src
 
     words = docs.select(
@@ -767,7 +779,9 @@ def exact_substring_dedupe(
         .agg(F.array_sort(F.collect_set("_widx")).alias("_starts"))
     )
     key_ddl = docs.schema[key_col].dataType.simpleString()
-    key_dtype = "int64" if key_ddl in ("bigint", "int", "smallint") else object
+    key_dtype = (
+        "int64" if key_ddl in ("bigint", "int", "smallint", "tinyint") else object
+    )
     joined = docs.select(key_col, text_col).join(starts, key_col, "left")
 
     def rebuild(batches):

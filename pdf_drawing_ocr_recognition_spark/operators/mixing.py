@@ -128,8 +128,11 @@ def dsir_logweights(
     )
     raw = c.groupBy("_b").agg(F.sum("_c").alias("_cq"))
     tgt = c.where(F.col("_t")).groupBy("_b").agg(F.sum("_c").alias("_ct"))
+    # zero target-domain docs leaves sum(_ct) null — coalesce to 0 so the
+    # add-one smoothing still yields finite ratios instead of silently
+    # nulling every log-ratio (and with it every dsir_scaled)
     totals = raw.agg(F.sum("_cq").alias("_tq")).crossJoin(
-        tgt.agg(F.sum("_ct").alias("_tt"))
+        tgt.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_tt"))
     )
     dim = (
         raw.join(tgt, "_b", "left")
@@ -174,14 +177,41 @@ def largest_remainder_quotas(
     key-ordered ties).  The standard deterministic quota rule for sampling
     plans.  *weights* is dimension-sized (languages, sources, hosts-of-
     interest) — every window here is over that dim, never over documents.
+
+    Degenerate inputs fail loudly instead of returning null quotas: an
+    all-zero or negative weight raises at execution (in-plan assert_true,
+    pruning-proof because it is folded into the `_tw` column the math
+    uses).  An EMPTY dim returns an empty frame (the optimizer's
+    empty-relation propagation collapses the plan before any assert runs;
+    nothing-to-apportion is the documented contract there).
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     base = weights.select(key_col, F.col(weight_col).alias("_w"))
     # totals as 1-row broadcast aggregates (never a window over the dim —
     # and exact: `div` is integral division, where a double `/` + floor
-    # could misround exactly-divisible long products)
-    tot = base.agg(F.sum("_w").alias("_tw"))
+    # could misround exactly-divisible long products).  Guarded in-plan:
+    # an all-zero / negative / empty weight dim would otherwise null out
+    # `div _tw` and silently leave the budget unapportioned, so assert_true
+    # raises at execution (matching the eager budget<0 guard, but lazily —
+    # the function never forces an action itself).
+    # the asserts are folded INTO _tw (assert_true yields null on success)
+    # so column pruning can never optimize the guard away
+    tot = base.agg(
+        F.sum("_w").alias("_tw"), F.min("_w").alias("_minw")
+    ).select(
+        F.when(
+            F.assert_true(
+                F.col("_tw") > 0,
+                F.lit("largest_remainder_quotas: sum(weight) must be > 0"),
+            ).isNull()
+            & F.assert_true(
+                F.col("_minw") >= 0,
+                F.lit("largest_remainder_quotas: negative weight"),
+            ).isNull(),
+            F.col("_tw"),
+        ).alias("_tw")
+    )
     dim = (
         base.crossJoin(F.broadcast(tot))
         .withColumn("_base", F.expr(f"({budget} * _w) div _tw"))

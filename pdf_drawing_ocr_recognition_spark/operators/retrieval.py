@@ -44,6 +44,12 @@ def bm25_topk(
     is quantized to ``floor(1e6 * idf * tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)))``
     so the per-(query, doc) sum is an exact integer aggregate.
 
+    Duplicate (query_id, term) rows in *query_terms* are deliberately NOT
+    deduplicated: a term listed n times contributes n× its score — i.e.
+    duplicate rows act as query-term-frequency weighting, the standard
+    qtf extension of BM25.  Pass a distinct frame for unweighted queries.
+    (The DuckDB oracle twin mirrors this contract.)
+
     Returns (query_id, <key_col>, bm25_scaled BIGINT, rank INT) with
     rank 1..top_k per query (score desc, key asc tie-break).
     """

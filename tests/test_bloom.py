@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdf_drawing_ocr_recognition_spark.operators.bloom import (
+    _CHUNK_BYTES,
+    _bit_positions,
+    bloom_bitmap_chunks,
     bloom_build,
     bloom_might_contain,
     bloom_params,
@@ -68,6 +71,41 @@ class TestBuildProbe:
             bloom_build(df, "v", 64, 0)
         with pytest.raises(ValueError):
             bloom_might_contain(df, "v", b"\x00" * 8, 128, 4)  # size mismatch
+
+    def test_bitmap_matches_position_replay(self, spark):
+        # the distributed bit_or/word-pack path must produce the exact bitmap
+        # a naive per-position build would (same xxhash64 positions)
+        import numpy as np
+        from pyspark.sql import functions as F  # noqa: F811
+
+        df = _strings(spark, [f"value {i}" for i in range(300)])
+        m, k = 2048, 5
+        got = np.frombuffer(bloom_build(df, "v", m, k), dtype=np.uint8)
+        positions = np.array(
+            [
+                r[0]
+                for r in df.select(
+                    F.explode(F.array(*_bit_positions(F.col("v"), m, k))).alias("p")
+                ).collect()
+            ],
+            dtype=np.int64,
+        )
+        want = np.zeros(m // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            want, positions >> 3, np.uint8(1) << (positions & 7).astype(np.uint8)
+        )
+        assert got.tobytes() == want.tobytes()
+
+    def test_driver_transfer_is_packed_bytes_not_rows(self, spark):
+        # the 100-TB guarantee: what the driver collects is ceil(m / 2^20)
+        # fixed-size binary chunks — O(m/8) BYTES — never per-set-bit rows.
+        m, k = 4 * _CHUNK_BYTES * 8, 7  # 4 chunks worth of bit-space
+        df = _strings(spark, [f"item {i}" for i in range(5_000)])
+        rows = bloom_bitmap_chunks(df, "v", m, k).collect()
+        n_chunks_max = -(-m // (8 * _CHUNK_BYTES))
+        assert 1 <= len(rows) <= n_chunks_max  # rows scale with m, not with 5k*7 bits
+        assert all(len(r["bitmap"]) == _CHUNK_BYTES for r in rows)
+        assert sum(len(r["bitmap"]) for r in rows) <= m // 8
 
 
 class TestSemiJoin:

@@ -142,6 +142,23 @@ class TestDsirLogweights:
         # ORDER is the contract: target-like docs rank above raw-like ones
         assert d4 > weights[3]["dsir_scaled"]
 
+    def test_zero_target_docs_yields_finite_weights(self, spark):
+        # no row satisfies target_col: the target total coalesces to 0 and
+        # smoothing keeps every ratio finite — never silent nulls
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            dsir_logweights,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some raw text", False), (2, "more raw", False)],
+            "doc_id LONG, text STRING, is_target BOOLEAN",
+        )
+        rows = {r["doc_id"]: r.asDict() for r in dsir_logweights(docs, "is_target").collect()}
+        assert set(rows) == {1, 2}
+        for r in rows.values():
+            assert r["dsir_scaled"] is not None
+            assert r["dsir_scaled"] < 0  # pure smoothing: target-unseen ⇒ ratio < 1
+
 
 class TestLargestRemainderQuotas:
     """T77: Hamilton apportionment — exact integer quota splits."""
@@ -183,6 +200,31 @@ class TestLargestRemainderQuotas:
         dim = spark.createDataFrame([("a", 1)], "lang STRING, w LONG")
         with _pytest.raises(ValueError):
             largest_remainder_quotas(dim, "w", -1)
+
+    def test_zero_total_weight_raises_not_nulls(self, spark):
+        # all-zero weights (or an empty dim) must fail loudly at execution
+        # instead of silently returning null quotas
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            largest_remainder_quotas,
+        )
+
+        zeros = spark.createDataFrame(
+            [("a", 0), ("b", 0)], "lang STRING, w LONG"
+        )
+        with pytest.raises(Exception) as exc:
+            largest_remainder_quotas(zeros, "w", 10).collect()
+        assert "sum(weight) must be > 0" in str(exc.value)
+
+        neg = spark.createDataFrame([("a", 5), ("b", -1)], "lang STRING, w LONG")
+        with pytest.raises(Exception) as exc:
+            largest_remainder_quotas(neg, "w", 10).collect()
+        assert "negative weight" in str(exc.value)
+
+        # empty dim: the optimizer's empty-relation propagation collapses
+        # the whole plan — documented contract is 0 output rows (nothing to
+        # apportion), never null-quota rows
+        empty = zeros.where(F.lit(False))
+        assert largest_remainder_quotas(empty, "w", 10).count() == 0
 
 
 class TestShrunkGroupMeans:

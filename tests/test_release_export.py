@@ -55,14 +55,13 @@ def test_release_export_end_to_end(spark, tmp_path, capsys):
         assert len(files) == 1, files
 
     # val/test pass through unsharded (sentinel shard)
-    others = exported.filter(F.col("split") != "split")
-    assert (
+    other_shards = (
         exported.filter(F.col("split") != "train")
         .select("shard")
         .distinct()
-        .collect()[0]["shard"]
-        == -1
+        .collect()
     )
+    assert [r["shard"] for r in other_shards] == [-1]
 
     # datasheet: one row per exported language, exact-integer mean quality
     sheet = {
