@@ -68,14 +68,66 @@ class Block:
         }
 
 
-# One-pass tag/comment tokenizer.  A regex tokenizer (instead of the stdlib
-# html.parser event machine) keeps this kernel ~6x faster in the Arrow-batch
-# hot path; the block/density semantics are identical and pinned by the unit
-# tests.  Quoted '>' inside attribute values is out of spec for this kernel.
-_TOKEN_RE = re.compile(
-    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)[^>]*>|<[^>]*>",
-    re.DOTALL,
-)
+# One-pass tag/comment tokenizer.  A hand-rolled find()-based scanner
+# (instead of the stdlib html.parser event machine) keeps this kernel ~6x
+# faster in the Arrow-batch hot path; the block/density semantics are
+# identical and pinned by the unit tests.  The scanner is STRICTLY LINEAR:
+# every character is consumed exactly once (str.find ranges never re-scan),
+# so adversarial inputs — floods of unterminated "<!--" or "<" with no
+# closing ">" — cost O(n), where a regex alternation tokenizer
+# (`<!--.*?-->|...|<[^>]*>`) degrades to O(n²) retrying each dead "<".
+# Quoted '>' inside attribute values is out of spec for this kernel;
+# unterminated comments/CDATA swallow to EOF (the HTML5 eof-in-comment
+# rule), and "<!-->"/"<!--->" close abruptly as in the HTML5 spec.
+_TAG_NAME_RE = re.compile(r"<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def iter_tokens(html: str):
+    """Linear scan of *html* → (kind, a, b) events, SHARED by the
+    boilerplate-strip and link-harvest kernels so both agree on what is
+    markup and what is text.
+
+    - ``("d", text, None)``       — a character-data run (raw, not unescaped)
+    - ``("t", tag, (lt, end))``   — start tag; ``html[lt:end]`` is the raw token
+    - ("e", tag, (lt, end))``     — end tag
+
+    Comments, CDATA sections, doctypes, PIs and malformed ``<...>`` tokens
+    are consumed silently.  Every character is visited exactly once.
+    """
+    n = len(html)
+    find = html.find
+    i = 0
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            end = find("-->", lt + 2)
+            tok_end = n if end < 0 else end + 3
+        elif html.startswith("<![CDATA[", lt):
+            end = find("]]>", lt + 9)
+            tok_end = n if end < 0 else end + 3
+        else:
+            gt = find(">", lt + 1)
+            if gt < 0:
+                break  # no further tags: the rest (incl. '<') is data
+            tok_end = gt + 1
+            m = _TAG_NAME_RE.match(html, lt)
+            if m is not None and m.end() <= gt:
+                if lt > i:
+                    yield ("d", html[i:lt], None)
+                i = tok_end
+                if m.group(1):
+                    yield ("e", m.group(2).lower(), (lt, tok_end))
+                else:
+                    yield ("t", m.group(2).lower(), (lt, tok_end))
+                continue
+            # doctype / PI / malformed: drop the "<...>" token
+        if lt > i:
+            yield ("d", html[i:lt], None)
+        i = tok_end
+    if i < n:
+        yield ("d", html[i:], None)
 
 
 class _BlockTokenizer:
@@ -139,25 +191,16 @@ class _BlockTokenizer:
             self._cur.anchor_chars += len(_WS_RE.sub(" ", data).strip())
 
     def feed(self, html: str) -> None:
-        pos = 0
-        for m in _TOKEN_RE.finditer(html):
-            if m.start() > pos:
-                self._data(html[pos : m.start()])
-            pos = m.end()
-            # tag name captured by the token regex itself (no second match);
-            # group(2) is None for comments/CDATA/doctype/PI/malformed
-            name = m.group(2)
-            if name is None:
-                continue
-            tag = name.lower()
-            if m.group(1):  # closing tag
-                self._end(tag)
+        for kind, a, span in iter_tokens(html):
+            if kind == "d":
+                self._data(a)
+            elif kind == "t":
+                self._start(a)
+                # self-closing anchor: "<a .../>" opens and closes the link
+                if a == "a" and html[span[1] - 2] == "/":
+                    self._end(a)
             else:
-                self._start(tag)
-                if tag == "a" and m.group().endswith("/>"):
-                    self._end(tag)
-        if pos < len(html):
-            self._data(html[pos:])
+                self._end(a)
         self._flush()
 
 

@@ -1,9 +1,10 @@
 """Hyperlink-extraction kernel (web-graph harvesting, T49).
 
 Extracts the outgoing hyperlinks of an HTML page — (absolute href, anchor
-text) pairs in document order — with the same one-pass regex tokenizer the
-boilerplate-strip kernel uses (``kernel.html_extract._TOKEN_RE``), so both
-kernels agree on what is markup and what is text.
+text) pairs in document order — with the same one-pass linear tokenizer the
+boilerplate-strip kernel uses (``kernel.html_extract.iter_tokens``), so both
+kernels agree on what is markup and what is text, and both stay linear-time
+on adversarial markup (unterminated comments, '<' floods).
 
 Link-graph construction is the crawl-side twin of main-content extraction
 (the reference pipeline only *reads* documents — pdor/pdor_unit.py:298-321
@@ -35,7 +36,7 @@ import html as _htmllib
 import re
 from urllib.parse import urldefrag, urljoin
 
-from .html_extract import _DROP_TAGS, _TOKEN_RE, _WS_RE
+from .html_extract import _DROP_TAGS, _WS_RE, iter_tokens
 
 _HREF_RE = re.compile(
     r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
@@ -91,31 +92,26 @@ def extract_links(html: str, base_url: str) -> list[dict]:
         open_href = None
         anchor_parts = []
 
-    pos = 0
-    for m in _TOKEN_RE.finditer(html):
-        if m.start() > pos and drop_depth == 0 and open_href is not None:
-            data = html[pos : m.start()]
-            if "&" in data:
-                data = _htmllib.unescape(data)
-            anchor_parts.append(data)
-        pos = m.end()
-        name = m.group(2)
-        if name is None:
+    for kind, a, span in iter_tokens(html):
+        if kind == "d":
+            if drop_depth == 0 and open_href is not None:
+                data = a
+                if "&" in data:
+                    data = _htmllib.unescape(data)
+                anchor_parts.append(data)
             continue
-        tag = name.lower()
-        closing = bool(m.group(1))
-        if tag in _DROP_TAGS:
+        closing = kind == "e"
+        if a in _DROP_TAGS:
             drop_depth = max(0, drop_depth - 1) if closing else drop_depth + 1
             continue
-        if tag == "a" and drop_depth == 0:
+        if a == "a" and drop_depth == 0:
             if closing:
                 _finish()
             else:
                 _finish()  # nested <a> implicitly closes the previous link
-                open_href = _href_of(m.group()) or None
-                if open_href is not None and m.group().endswith("/>"):
+                raw_tag = html[span[0] : span[1]]
+                open_href = _href_of(raw_tag) or None
+                if open_href is not None and raw_tag.endswith("/>"):
                     _finish()
-    if pos < len(html) and drop_depth == 0 and open_href is not None:
-        anchor_parts.append(html[pos:])
     _finish()
     return out
