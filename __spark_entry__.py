@@ -11,6 +11,8 @@ order-insensitive value-hash comparison is deterministic across engines.
 
 from __future__ import annotations
 
+import functools as _functools
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -954,6 +956,37 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 Iceberg-analogue time travel: commit the even-doc_id half of
+    `documents` as snapshot 1, append the odd half as snapshot 2, then read
+    **snapshot 1 after snapshot 2 landed** (``VERSION AS OF`` on the
+    manifest-listed immutable-file table, sources/snapshots.py).  The DuckDB
+    twin is simply the even half — a hash match proves the historical read
+    returns exactly the pre-append state, byte-for-byte, from the table's
+    own commit log."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_snaptable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+    return read_snapshot(spark, root, snapshot_id=1).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T56: domain-blocklist filtering — suffix rules re-expressed as
     host-ancestor equi-keys and applied via chained map-side broadcast joins
@@ -1636,10 +1669,14 @@ def q_map_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling end-to-end in Spark (rows-only): build a
-    3-frame GRIDDOC container per document inside mapInPandas (real PNG
-    encode), then sample every 2nd frame (real parse + decode) — the
-    video-keyframe plumbing with true dimensions."""
+    """Multimodal frame sampling end-to-end in Spark: build a 3-frame
+    GRIDDOC container per document inside mapInPandas (real PNG encode),
+    then sample every 2nd frame (real parse + decode) — the video-keyframe
+    plumbing with true dimensions.  ORACLED via the T33 trick: the frame
+    dimensions are deterministic container arithmetic (fixed glyph metrics
+    × the page label "d<doc_id>_f<idx>"), so DuckDB replays them from
+    doc_id alone; the hash match proves the whole encode→parse→decode path
+    produced exactly those frames."""
     import pandas as pd
 
     from pdf_drawing_ocr_recognition_spark.operators.multimodal import sample_frames
@@ -1674,15 +1711,23 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payload → typed metadata via mapInPandas
-    (decode stubbed deterministically; schema/batching/partitioning real)."""
+    """Multimodal metadata decode over REAL PNG payloads: the deterministic
+    8×8 codepoint PNG per document (the T33 fixture) flows through
+    ``decode_metadata``'s true decode branch, and DuckDB replays the
+    decoded width/height/mean from the text codepoints — so the oracle
+    hash-matches the real binary→typed-metadata path.  (The opaque- and
+    empty-payload stub branches are sha1-derived, which DuckDB cannot
+    compute — they stay pytest-covered in tests/test_operators.py.)"""
     from pdf_drawing_ocr_recognition_spark.operators.multimodal import decode_metadata
 
-    docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    meta = decode_metadata(_image_blobs(spark, sf_dir))
+    return meta.select(
+        "doc_id",
+        "media_kind",
+        "width",
+        "height",
+        F.round(F.col("feature_norm"), 6).alias("mean_px"),
     )
-    return decode_metadata(blobs)
 
 
 PLANES18 = _planes(4, 18)
@@ -2718,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "quota_sample": q_quota_sample,
         "snapshot_diff": q_snapshot_diff,
+        "snapshot_timetravel": q_snapshot_timetravel,
         "blocklist_filter": q_blocklist_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_lm_scores": q_bigram_lm_scores,
@@ -2873,6 +2919,22 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
                 FROM nodes CROSS JOIN nc CROSS JOIN d{cur} d
                 LEFT JOIN c{cur} c ON c.h = nodes.h
             )"""
+
+
+@_functools.lru_cache(maxsize=1)
+def _frame_dims() -> tuple[int, int, int]:
+    """(height, width-for-1-digit-doc_id, width-for-2-digit-doc_id) of the
+    q_multimodal_frames pages — probed from the SAME fixture renderer the
+    Spark query uses, so the oracle constants share their source of truth."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+        PATTERNS,
+        build_page_image,
+    )
+
+    h1, w1 = build_page_image(PATTERNS["fullpage"], [{"text": "d0_f0"}]).shape
+    h2, w2 = build_page_image(PATTERNS["fullpage"], [{"text": "d10_f0"}]).shape
+    assert h1 == h2
+    return h1, w1, w2
 
 
 def _minhash_sql(n_hashes: int = 16) -> str:
@@ -3929,6 +3991,25 @@ def oracle_sql() -> dict[str, str]:
                    hs.hist
             FROM m JOIN sd USING (doc_id) JOIN hs USING (doc_id)
         """,
+        # T17 oracles (the T33 trick): DuckDB replays the deterministic
+        # container arithmetic — codepoint-PNG pixel stats for the metadata
+        # decode, fixed glyph metrics for the frame dimensions
+        "multimodal_stub": f"""
+            WITH {_IMAGE_STATS_SQL}
+            SELECT m.doc_id, 'png' AS media_kind,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                   round(m.mean_p, 6) AS mean_px
+            FROM m
+        """,
+        "multimodal_frames": f"""
+            SELECT d.doc_id, f.frame_idx,
+                   CAST(CASE WHEN d.doc_id < 10 THEN {_frame_dims()[1]}
+                             ELSE {_frame_dims()[2]} END AS INT) AS width,
+                   CAST({_frame_dims()[0]} AS INT) AS height
+            FROM documents d
+            CROSS JOIN (VALUES (0), (2)) f(frame_idx)
+            WHERE d.doc_id < 60
+        """,
         "image_near_dupes": f"""
             WITH {_IMAGE_STATS_SQL}
             , vecs AS (
@@ -4056,6 +4137,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id
             GROUP BY 1, 2
+        """,
+        "snapshot_timetravel": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
         """,
         "blocklist_filter": """
             WITH pages AS (

@@ -1,0 +1,275 @@
+"""Snapshot-versioned parquet tables — the Iceberg analogue, executable.
+
+The north rule's input is "an Iceberg table"; the runtime jar is
+unobtainable in this sandbox (ICEBERG.md records four rounds of acquisition
+attempts), so this module implements the Iceberg properties the pipeline
+actually depends on — **snapshot isolation, time travel, atomic commits,
+optimistic-concurrency conflicts, snapshot expiry** — against plain parquet
+with a JSON metadata log, mirroring Iceberg's own design (data files are
+immutable; a snapshot is a manifest listing them; the "current" pointer is
+one atomic swap):
+
+    <root>/
+      data/<uuid>-<i>.parquet      immutable data files, never rewritten
+      metadata/
+        snap-00000001.json         manifest: schema + file list + summary
+        snap-00000002.json
+        version-hint.text          current snapshot id (os.replace = CAS)
+
+Guarantees (each pinned by tests/test_snapshots.py):
+
+* **Atomic commit** (Iceberg HadoopCatalog semantics) — the COMMIT is the
+  atomic publication of a complete, fsynced manifest at ``snap-<id>.json``
+  (hardlink from a temp file: the name appears with full content or not at
+  all).  ``version-hint.text`` is an advisory fast path, exactly as in
+  Iceberg's ``HadoopTableOperations``: readers trust it then roll forward
+  to the highest contiguous committed manifest, so a writer killed between
+  manifest publish and hint swap is still durably committed, and one killed
+  before manifest publish left nothing visible — only orphan data files no
+  reader ever lists.
+* **Time travel** — ``read_snapshot(spark, root, snapshot_id=N)`` returns
+  the table byte-identical to the state when snapshot N committed, because
+  the files N listed are immutable and expiry never deletes files a kept
+  snapshot references.
+* **Optimistic concurrency** — two writers committing against the same
+  parent race to link the same ``snap-<id>.json`` name and exactly one
+  wins; the loser raises :class:`CommitConflictError` and must re-read +
+  retry (Iceberg's CAS on the metadata pointer).
+* **Expiry** (``expire_snapshots``) — drops old manifests and deletes data
+  files referenced ONLY by dropped snapshots; ``remove_orphan_files``
+  separately reclaims data files no retained manifest references (crashed
+  pre-commit writers), with an age guard so an in-flight commit's files
+  survive (Iceberg's ``remove_orphan_files(older_than=...)``).
+
+Scale posture: manifests store file *paths*, so commit cost is O(files in
+table) metadata, independent of row count — at 10^12 docs the hint swap is
+still one rename.  Readers hand Spark the explicit file list, so partition
+pruning/pushdown behave exactly as for any parquet scan.  (Iceberg's
+manifest-level column stats are the one thing not replicated; file-footer
+stats carry the pruning at this layout's file counts.)
+
+Reference analogue: none — the reference reads one file per run
+(pdor/pdor_unit.py:97-109); this is the north-rule "Iceberg table" input
+contract made testable offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_HINT = "version-hint.text"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed against the same parent snapshot first."""
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def _manifest_path(root: str, snapshot_id: int) -> str:
+    return os.path.join(_meta_dir(root), f"snap-{snapshot_id:08d}.json")
+
+
+def init_table(root: str) -> None:
+    """Create the table layout (idempotent); no snapshot exists yet."""
+    os.makedirs(_data_dir(root), exist_ok=True)
+    os.makedirs(_meta_dir(root), exist_ok=True)
+
+
+def current_snapshot_id(root: str) -> int | None:
+    """The committed snapshot id readers see, or None for an empty table.
+
+    The hint file is advisory (HadoopCatalog semantics): start from it and
+    roll forward over any manifests whose writer died before the hint swap
+    — those commits are durable the moment their manifest name appeared.
+    """
+    try:
+        with open(os.path.join(_meta_dir(root), _HINT)) as f:
+            sid = int(f.read().strip())
+    except FileNotFoundError:
+        sid = 0
+    while os.path.exists(_manifest_path(root, sid + 1)):
+        sid += 1
+    return sid or None
+
+
+def read_manifest(root: str, snapshot_id: int) -> dict:
+    with open(_manifest_path(root, snapshot_id)) as f:
+        return json.load(f)
+
+
+def snapshot_log(root: str) -> list[dict]:
+    """All retained snapshots, oldest first (the table's commit history)."""
+    meta = _meta_dir(root)
+    out = []
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(meta, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _write_data_files(df: DataFrame, root: str) -> tuple[list[str], int, str]:
+    """Write *df* once into immutable uniquely-named files under data/.
+
+    Returns (relative file names, total rows, schema json).  Rows are
+    counted from the parquet footers (driver-side metadata read — no second
+    Spark job over the data).
+    """
+    import pyarrow.parquet as pq
+
+    commit_uuid = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, f".staging-{commit_uuid}")
+    df.write.mode("overwrite").parquet(staging)
+    names: list[str] = []
+    n_rows = 0
+    for i, part in enumerate(
+        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
+    ):
+        name = f"{commit_uuid}-{i:05d}.parquet"
+        src = os.path.join(staging, part)
+        n_rows += pq.ParquetFile(src).metadata.num_rows
+        os.replace(src, os.path.join(_data_dir(root), name))
+        names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    return names, n_rows, df.schema.json()
+
+
+def _commit(
+    root: str,
+    parent: int | None,
+    files: list[str],
+    added: list[str],
+    added_rows: int,
+    schema_json: str,
+    operation: str,
+) -> int:
+    new_id = (parent or 0) + 1
+    manifest = {
+        "snapshot_id": new_id,
+        "parent_id": parent,
+        "operation": operation,
+        "ts": time.time(),
+        "schema": json.loads(schema_json),
+        "files": files,
+        "summary": {"added_files": len(added), "added_rows": added_rows,
+                    "total_files": len(files)},
+    }
+    path = _manifest_path(root, new_id)
+    # write the COMPLETE manifest to a temp name, fsync, then hardlink to
+    # the final name: the commit point is the link — the manifest name can
+    # never exist with partial content, and exactly one writer per id wins
+    tmp = os.path.join(_meta_dir(root), f".snap-{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError as e:
+        os.remove(tmp)
+        raise CommitConflictError(
+            f"snapshot {new_id} already committed by another writer "
+            f"(parent {parent} is stale) — re-read and retry"
+        ) from e
+    os.remove(tmp)
+    # advisory hint swap (atomic); a crash before this line is STILL a
+    # durable commit — current_snapshot_id rolls forward over the manifest
+    hint_tmp = os.path.join(_meta_dir(root), f".{_HINT}.{uuid.uuid4().hex[:8]}")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(hint_tmp, os.path.join(_meta_dir(root), _HINT))
+    return new_id
+
+
+def append_snapshot(df: DataFrame, root: str) -> int:
+    """Commit *df*'s rows as a new snapshot = parent's files + new files."""
+    init_table(root)
+    parent = current_snapshot_id(root)
+    inherited = read_manifest(root, parent)["files"] if parent else []
+    added, n_rows, schema_json = _write_data_files(df, root)
+    return _commit(
+        root, parent, inherited + added, added, n_rows, schema_json, "append"
+    )
+
+
+def overwrite_snapshot(df: DataFrame, root: str) -> int:
+    """Commit *df* as a new snapshot replacing ALL previous files (the
+    Iceberg ``overwrite`` operation); old snapshots stay time-travelable
+    until expired."""
+    init_table(root)
+    parent = current_snapshot_id(root)
+    added, n_rows, schema_json = _write_data_files(df, root)
+    return _commit(root, parent, added, added, n_rows, schema_json, "overwrite")
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table as of *snapshot_id* (default: current) — Iceberg's
+    ``VERSION AS OF``.  Returns an empty, correctly-typed frame for an
+    empty table or an empty snapshot."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+    if sid is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, sid)
+    schema = StructType.fromJson(man["schema"])
+    if not man["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(_data_dir(root), f) for f in man["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def expire_snapshots(root: str, keep_last: int) -> dict:
+    """Drop all but the newest *keep_last* snapshots and delete data files
+    no retained snapshot references.  Returns counts for auditing."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    log = snapshot_log(root)
+    if len(log) <= keep_last:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    expired, kept = log[:-keep_last], log[-keep_last:]
+    live = {f for man in kept for f in man["files"]}
+    deleted = 0
+    for man in expired:
+        for f in man["files"]:
+            if f not in live:
+                path = os.path.join(_data_dir(root), f)
+                if os.path.exists(path):
+                    os.remove(path)
+                    deleted += 1
+                live.add(f)  # count each orphan once
+        os.remove(_manifest_path(root, man["snapshot_id"]))
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def remove_orphan_files(root: str, older_than_s: float = 3600.0) -> int:
+    """Delete data files referenced by NO retained manifest (debris of
+    writers that died before their manifest commit).  Files younger than
+    *older_than_s* are spared so an in-flight commit's just-written files
+    survive the sweep (Iceberg's ``remove_orphan_files(older_than=...)``).
+    Returns the number of files deleted."""
+    live = {f for man in snapshot_log(root) for f in man["files"]}
+    cutoff = time.time() - older_than_s
+    removed = 0
+    for name in os.listdir(_data_dir(root)):
+        path = os.path.join(_data_dir(root), name)
+        if name not in live and os.path.getmtime(path) < cutoff:
+            os.remove(path)
+            removed += 1
+    return removed

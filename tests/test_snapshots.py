@@ -1,0 +1,198 @@
+"""Snapshot-versioned parquet tables (the executable Iceberg analogue):
+atomic commits, time travel, crash semantics, conflicts, expiry, and the
+time-travel CDC composition with snapshot_diff (T22 × T55)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+    CommitConflictError,
+    _commit,
+    _manifest_path,
+    _write_data_files,
+    append_snapshot,
+    current_snapshot_id,
+    expire_snapshots,
+    init_table,
+    overwrite_snapshot,
+    read_manifest,
+    read_snapshot,
+    remove_orphan_files,
+    snapshot_log,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text of document "), F.col("id")).alias("text"),
+    )
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+
+class TestCommitAndTimeTravel:
+    def test_append_then_read_current(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        s1 = append_snapshot(_docs(spark, 0, 50), root)
+        assert s1 == 1 == current_snapshot_id(root)
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 0, 50))
+
+    def test_time_travel_is_byte_identical_to_pre_append_state(
+        self, spark, tmp_path
+    ):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 50), root)
+        before = _rows(read_snapshot(spark, root, 1))
+        s2 = append_snapshot(_docs(spark, 50, 80), root)
+        assert s2 == 2
+        # snapshot N-1 read AFTER N lands == the pre-append state, exactly
+        assert _rows(read_snapshot(spark, root, 1)) == before
+        assert _rows(read_snapshot(spark, root, 2)) == _rows(
+            _docs(spark, 0, 80)
+        )
+
+    def test_overwrite_keeps_history(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        overwrite_snapshot(_docs(spark, 100, 105), root)
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 100, 105))
+        assert _rows(read_snapshot(spark, root, 1)) == _rows(_docs(spark, 0, 10))
+        ops = [m["operation"] for m in snapshot_log(root)]
+        assert ops == ["append", "overwrite"]
+
+    def test_empty_table_raises(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        init_table(root)
+        with pytest.raises(ValueError, match="no committed snapshot"):
+            read_snapshot(spark, root)
+
+
+class TestCrashSemantics:
+    def test_crash_before_manifest_is_invisible(self, spark, tmp_path):
+        # writer dies after moving data files but before the manifest link:
+        # readers see the old snapshot; orphans are reclaimable
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        before = _rows(read_snapshot(spark, root))
+        _write_data_files(_docs(spark, 10, 20), root)  # crash: no _commit
+        assert current_snapshot_id(root) == 1
+        assert _rows(read_snapshot(spark, root)) == before
+        # a later writer is not blocked
+        append_snapshot(_docs(spark, 20, 30), root)
+        assert current_snapshot_id(root) == 2
+        # the crashed writer's files are orphans: swept once old enough
+        assert remove_orphan_files(root, older_than_s=0.0) > 0
+        assert _rows(read_snapshot(spark, root, 2)) == _rows(
+            _docs(spark, 0, 10).union(_docs(spark, 20, 30))
+        )
+
+    def test_crash_after_manifest_is_committed(self, spark, tmp_path):
+        # writer dies between manifest link and hint swap: the commit is
+        # durable — readers roll forward over the stale hint
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        files, n, schema_json = _write_data_files(_docs(spark, 10, 20), root)
+        prior = read_manifest(root, 1)["files"]
+        _commit(root, 1, prior + files, files, n, schema_json, "append")
+        # simulate the crash: reset the hint to the stale value
+        hint = os.path.join(root, "metadata", "version-hint.text")
+        with open(hint, "w") as f:
+            f.write("1")
+        assert current_snapshot_id(root) == 2  # rolled forward
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 0, 20))
+
+    def test_conflicting_writers_one_wins(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        # two writers prepared against parent=1; the second to commit loses
+        f_a, n_a, sj = _write_data_files(_docs(spark, 10, 20), root)
+        f_b, n_b, _ = _write_data_files(_docs(spark, 20, 30), root)
+        prior = read_manifest(root, 1)["files"]
+        _commit(root, 1, prior + f_a, f_a, n_a, sj, "append")
+        with pytest.raises(CommitConflictError):
+            _commit(root, 1, prior + f_b, f_b, n_b, sj, "append")
+        # loser retries against the new parent and succeeds
+        prior2 = read_manifest(root, 2)["files"]
+        _commit(root, 2, prior2 + f_b, f_b, n_b, sj, "append")
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 0, 30))
+
+    def test_manifest_name_never_has_partial_content(self, tmp_path, spark):
+        # the published manifest must always parse (link-from-fsynced-tmp)
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 5), root)
+        with open(_manifest_path(root, 1)) as f:
+            man = json.load(f)
+        assert man["snapshot_id"] == 1 and man["files"]
+
+
+class TestExpiry:
+    def test_expire_keeps_referenced_files(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)    # s1
+        append_snapshot(_docs(spark, 10, 20), root)   # s2 inherits s1 files
+        overwrite_snapshot(_docs(spark, 50, 55), root)  # s3 references new only
+        stats = expire_snapshots(root, keep_last=1)
+        assert stats["expired_snapshots"] == 2
+        assert stats["deleted_files"] > 0  # s1/s2 files were orphaned by s3
+        assert [m["snapshot_id"] for m in snapshot_log(root)] == [3]
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 50, 55))
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, root, 1)
+
+    def test_expire_never_deletes_inherited_files(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        append_snapshot(_docs(spark, 10, 20), root)
+        stats = expire_snapshots(root, keep_last=1)
+        # s2 inherits every s1 file: expiry may drop the manifest only
+        assert stats == {"expired_snapshots": 1, "deleted_files": 0}
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 0, 20))
+
+    def test_validation_and_noop(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 5), root)
+        with pytest.raises(ValueError):
+            expire_snapshots(root, keep_last=0)
+        assert expire_snapshots(root, keep_last=5) == {
+            "expired_snapshots": 0,
+            "deleted_files": 0,
+        }
+
+
+class TestTimeTravelCdc:
+    def test_snapshot_diff_over_two_versions(self, spark, tmp_path):
+        # T22 x T55: CDC computed purely from the table's own history —
+        # diff(version N-1, version N) without any external "yesterday" copy
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import (
+            snapshot_diff,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 30), root)
+        changed = _docs(spark, 0, 40).withColumn(
+            "text",
+            F.when(F.col("doc_id") < 5, F.lit("edited")).otherwise(
+                F.col("text")
+            ),
+        )
+        overwrite_snapshot(changed, root)
+        sid = current_snapshot_id(root)
+        diff = snapshot_diff(
+            read_snapshot(spark, root, sid - 1),
+            read_snapshot(spark, root, sid),
+            "doc_id",
+            ["text"],
+        )
+        counts = {
+            r["change_type"]: r["n"]
+            for r in diff.groupBy("change_type").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        assert counts == {"changed": 5, "unchanged": 25, "added": 10}
