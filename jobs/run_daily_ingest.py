@@ -9,8 +9,22 @@ the whole engine exists for:
       → content hygiene (optional): the standard webtext quality funnel
         (T62 rules) on extracted text
       → incremental dedup probe against the persisted index (T44)
-      → survivors land under <out>/day=<label>; state advances atomically-ish
-        (snapshot digests overwritten AFTER the survivors are materialized).
+      → survivors land under <out>/day=<label>; state advances AFTER the
+        survivors are materialized, with every stage journaled.
+
+Exactly-once resume (the M5 manifest pattern at job granularity): each day
+keeps a journal at <state>/journal/day=<label>.json recording which stages
+committed (survivors landed → index folded → snapshot advanced → complete).
+A killed job resumes from the first unjournaled stage — in particular, a
+kill after the index fold but before the snapshot advance can NEVER replay
+extraction against an index that already contains today's documents (which
+would dedup the whole day away and overwrite the landed output with an
+empty frame); the resume reads the landed survivors back instead of
+recomputing them.  A fully completed day reruns as a no-op.  The one
+remaining at-least-once window — the process dying between a completed
+index fold and its journal write — re-appends today's digests to the index,
+which is harmless by construction (the index feeds semi/anti-join probes;
+duplicate rows change no result).
 
     spark-submit --py-files dist/pdor_spark.zip jobs/run_daily_ingest.py \
         --warc <segment dir> --patterns <registry.json> \
@@ -30,7 +44,41 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import uuid
+
+
+def _journal_path(state: str, day: str) -> str:
+    return os.path.join(state, "journal", f"day={day}.json")
+
+
+def _read_journal(state: str, day: str) -> dict:
+    try:
+        with open(_journal_path(state, day)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _advance_journal(state: str, day: str, **fields) -> dict:
+    """Merge *fields* into the day's journal atomically (tmp + os.replace)."""
+    journal = _read_journal(state, day)
+    journal.update(fields)
+    path = _journal_path(state, day)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(journal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return journal
+
+
+def _fault_injection_point(stage: str) -> None:
+    """Test seam: pytest monkeypatches this to simulate a mid-job kill at a
+    named stage boundary.  Production no-op."""
 
 
 def main(argv=None, spark=None) -> int:
@@ -86,6 +134,17 @@ def main(argv=None, spark=None) -> int:
         spark = build_session(app="pdor-daily-ingest", master=args.master)
     patterns = load_patterns(args.patterns)
     langs = tuple(s for s in args.langs.split(",") if s)
+
+    journal = _read_journal(args.state, args.day)
+    if journal.get("complete"):
+        # the day already committed end-to-end: exactly-once means a rerun
+        # is a no-op that reports the original summary and touches nothing
+        print(json.dumps({**journal["summary"], "resumed_noop": True}))
+        if own_session:
+            spark.stop()
+        return 0
+    resume = bool(journal.get("survivors_done"))
+    out_path = f"{args.out}/day={args.day}"
 
     if args.warc:
         pages = read_warc(spark, args.warc, default_lang=langs[0] if langs else "en")
@@ -146,79 +205,112 @@ def main(argv=None, spark=None) -> int:
         "url", F.md5(F.col("html")).alias("html_digest")
     ).dropDuplicates(["url"])
     snap_path = f"{args.state}/snapshot"
-    try:
-        prev = spark.read.parquet(snap_path)
-        first_day = False
-    except Exception:
-        prev = spark.createDataFrame([], "url string, html_digest string")
-        first_day = True
-    diff = snapshot_diff(prev, today, "url", ["html_digest"])
-    delta_urls = diff.filter(
-        F.col("change_type").isin("added", "changed")
-    ).select("url")
-    n_today = today.count()
-    delta_pages = pages.join(delta_urls, "url", "left_semi")
+    index_path = f"{args.state}/index"
 
-    # --- extraction over the delta only -------------------------------------
-    docs = extract_pages(delta_pages, patterns, max_try=args.max_try).filter(
-        F.col("status") == "ok"
-    )
+    if not resume:
+        try:
+            prev = spark.read.parquet(snap_path)
+            first_day = False
+        except Exception:
+            prev = spark.createDataFrame([], "url string, html_digest string")
+            first_day = True
+        diff = snapshot_diff(prev, today, "url", ["html_digest"])
+        delta_urls = diff.filter(
+            F.col("change_type").isin("added", "changed")
+        ).select("url")
+        n_today = today.count()
+        delta_pages = pages.join(delta_urls, "url", "left_semi")
 
-    # --- content hygiene: the standard webtext funnel on extracted text -----
-    n_quality_dropped = 0
-    if args.quality_funnel:
-        from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
-            apply_funnel,
-            webtext_rules,
+        # --- extraction over the delta only ---------------------------------
+        docs = extract_pages(delta_pages, patterns, max_try=args.max_try).filter(
+            F.col("status") == "ok"
         )
 
-        n_docs_in = docs.count()
-        docs = apply_funnel(docs, webtext_rules(F.col("extracted_text")))
-        n_quality_dropped = n_docs_in - docs.count()
+        # --- content hygiene: the standard webtext funnel on extracted text -
+        n_quality_dropped = 0
+        if args.quality_funnel:
+            from pdf_drawing_ocr_recognition_spark.operators.quality_funnel import (
+                apply_funnel,
+                webtext_rules,
+            )
 
-    # --- incremental dedup probe against ALL history ------------------------
-    index_path = f"{args.state}/index"
-    try:
-        digests = spark.read.parquet(f"{index_path}/digests")
-        bands = spark.read.parquet(f"{index_path}/bands")
-        have_index = True
-    except Exception:
-        have_index = False
-    if have_index:
-        survivors = incremental_dedupe(docs, digests, bands, "extracted_text", "url")
+            n_docs_in = docs.count()
+            docs = apply_funnel(docs, webtext_rules(F.col("extracted_text")))
+            n_quality_dropped = n_docs_in - docs.count()
+
+        # --- incremental dedup probe against ALL history --------------------
+        try:
+            digests = spark.read.parquet(f"{index_path}/digests")
+            bands = spark.read.parquet(f"{index_path}/bands")
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            survivors = incremental_dedupe(
+                docs, digests, bands, "extracted_text", "url"
+            )
+        else:
+            survivors = docs
+
+        survivors.write.mode("overwrite").parquet(out_path)
+        n_delta = delta_pages.count()
+        journal = _advance_journal(
+            args.state,
+            args.day,
+            survivors_done=True,
+            have_index=have_index,
+            first_day=first_day,
+            n_today=n_today,
+            n_delta=n_delta,
+            n_blocked=n_blocked,
+            n_robots=n_robots,
+            n_quality_dropped=n_quality_dropped,
+        )
     else:
-        survivors = docs
+        # survivors already landed: NEVER recompute them — the index may
+        # already contain today's digests, and a replayed dedup probe would
+        # erase the whole day.  Read the landed output back instead.
+        have_index = journal["have_index"]
+        first_day = journal["first_day"]
+        n_today = journal["n_today"]
+        n_delta = journal["n_delta"]
+        n_blocked = journal["n_blocked"]
+        n_robots = journal["n_robots"]
+        n_quality_dropped = journal["n_quality_dropped"]
 
-    out_path = f"{args.out}/day={args.day}"
-    survivors.write.mode("overwrite").parquet(out_path)
     kept = spark.read.parquet(out_path)
-    n_delta, n_kept = delta_pages.count(), kept.count()
+    n_kept = kept.count()
+    _fault_injection_point("after_survivors")
 
     # --- advance state AFTER the survivors are materialized -----------------
-    if have_index:
-        append_to_dedup_index(kept, index_path, "extracted_text", "url")
-    else:
-        write_dedup_index(kept, index_path, "extracted_text", "url")
-    # `today` derives only from the input paths (never from snap_path), and
-    # every plan that read `prev` has already been materialized above, so a
-    # direct overwrite cannot self-read.
-    today.write.mode("overwrite").parquet(snap_path)
+    if not journal.get("index_done"):
+        if have_index:
+            append_to_dedup_index(kept, index_path, "extracted_text", "url")
+        else:
+            write_dedup_index(kept, index_path, "extracted_text", "url")
+        journal = _advance_journal(args.state, args.day, index_done=True)
+    _fault_injection_point("after_index")
 
-    print(
-        json.dumps(
-            {
-                "day": args.day,
-                "first_day": first_day,
-                "pages_today": n_today,
-                "delta_pages": n_delta,
-                "survivors": n_kept,
-                "blocked_urls": n_blocked,
-                "robots_disallowed": n_robots,
-                "quality_dropped": n_quality_dropped,
-                "out": out_path,
-            }
-        )
-    )
+    if not journal.get("snapshot_done"):
+        # `today` derives only from the input paths (never from snap_path),
+        # and every plan that read `prev` has already been materialized
+        # above, so a direct overwrite cannot self-read.
+        today.write.mode("overwrite").parquet(snap_path)
+        journal = _advance_journal(args.state, args.day, snapshot_done=True)
+
+    summary = {
+        "day": args.day,
+        "first_day": first_day,
+        "pages_today": n_today,
+        "delta_pages": n_delta,
+        "survivors": n_kept,
+        "blocked_urls": n_blocked,
+        "robots_disallowed": n_robots,
+        "quality_dropped": n_quality_dropped,
+        "out": out_path,
+    }
+    _advance_journal(args.state, args.day, complete=True, summary=summary)
+    print(json.dumps(summary))
     if own_session:
         spark.stop()
     return 0

@@ -79,14 +79,96 @@ class TestDailyIngest:
         snap = spark.read.parquet(str(tmp_path / "state" / "snapshot"))
         assert snap.count() == 6
 
-    def test_rerun_of_same_day_is_idempotent_delta_zero(
+    def test_rerun_of_completed_day_is_noop(self, spark, tmp_path, capsys):
+        day1 = [_page(i, 500 + i) for i in range(3)]
+        s1 = _run(spark, tmp_path, capsys, "d1", day1)
+        assert s1["survivors"] == 3
+        s_again = _run(spark, tmp_path, capsys, "d1", day1)
+        # exactly-once: a completed day reruns as a journal no-op that
+        # reports the ORIGINAL summary and leaves the landed data intact
+        # (the old behavior overwrote the day with an empty frame)
+        assert s_again.get("resumed_noop") is True
+        assert s_again["survivors"] == 3 and s_again["delta_pages"] == 3
+        assert spark.read.parquet(s1["out"]).count() == 3
+
+    def test_identical_crawl_next_day_is_zero_delta(
         self, spark, tmp_path, capsys
     ):
         day1 = [_page(i, 500 + i) for i in range(3)]
         _run(spark, tmp_path, capsys, "d1", day1)
-        s_again = _run(spark, tmp_path, capsys, "d1", day1)
-        # identical crawl → zero delta, zero new survivors, state unchanged
-        assert s_again["delta_pages"] == 0 and s_again["survivors"] == 0
+        s2 = _run(spark, tmp_path, capsys, "d2", day1)
+        # identical content under a NEW day label → zero delta/survivors
+        assert s2["delta_pages"] == 0 and s2["survivors"] == 0
+
+    def test_kill_after_index_before_snapshot_resumes_exactly_once(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        """The dangerous window: survivors landed AND today's digests folded
+        into the dedup index, but the CDC snapshot not yet advanced.  A
+        naive rerun recomputes the delta (snapshot is stale), re-extracts,
+        probes the index that now contains today's docs, dedupes the whole
+        day away — and overwrites the landed output with an empty frame.
+        The journal resume must instead land exactly the original rows."""
+        import jobs.run_daily_ingest as job
+
+        day1 = [_page(i, 900 + i) for i in range(4)]
+
+        def kill(stage):
+            if stage == "after_index":
+                raise KeyboardInterrupt("injected kill")
+
+        monkeypatch.setattr(job, "_fault_injection_point", kill)
+        try:
+            _run(spark, tmp_path, capsys, "d1", day1)
+            raise AssertionError("fault did not fire")
+        except KeyboardInterrupt:
+            pass
+        capsys.readouterr()
+        # the kill left: survivors landed, index folded, snapshot stale
+        assert spark.read.parquet(str(tmp_path / "out" / "day=d1")).count() == 4
+        assert not (tmp_path / "state" / "snapshot").exists()
+
+        monkeypatch.setattr(job, "_fault_injection_point", lambda stage: None)
+        s = _run(spark, tmp_path, capsys, "d1", day1)
+        assert s["survivors"] == 4  # the landed day is preserved, not wiped
+        assert spark.read.parquet(s["out"]).count() == 4
+        snap = spark.read.parquet(str(tmp_path / "state" / "snapshot"))
+        assert snap.count() == 4  # snapshot advanced on resume
+        # the index holds each digest exactly once (no double fold)
+        idx = spark.read.parquet(str(tmp_path / "state" / "index" / "digests"))
+        assert idx.count() == idx.dropDuplicates(["digest"]).count() == 4
+
+        # and the following day still sees a clean zero-delta
+        s2 = _run(spark, tmp_path, capsys, "d2", day1)
+        assert s2["delta_pages"] == 0 and s2["survivors"] == 0
+
+    def test_kill_before_index_resumes_exactly_once(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        """Kill right after the survivors land (index + snapshot stale):
+        resume must fold the index ONCE and advance the snapshot."""
+        import jobs.run_daily_ingest as job
+
+        day1 = [_page(i, 910 + i) for i in range(3)]
+
+        def kill(stage):
+            if stage == "after_survivors":
+                raise KeyboardInterrupt("injected kill")
+
+        monkeypatch.setattr(job, "_fault_injection_point", kill)
+        try:
+            _run(spark, tmp_path, capsys, "d1", day1)
+            raise AssertionError("fault did not fire")
+        except KeyboardInterrupt:
+            pass
+        capsys.readouterr()
+        assert not (tmp_path / "state" / "index").exists()
+
+        monkeypatch.setattr(job, "_fault_injection_point", lambda stage: None)
+        s = _run(spark, tmp_path, capsys, "d1", day1)
+        assert s["survivors"] == 3
+        idx = spark.read.parquet(str(tmp_path / "state" / "index" / "digests"))
+        assert idx.count() == 3
 
     def test_hygiene_gates_blocklist_robots_and_funnel(
         self, spark, tmp_path, capsys
