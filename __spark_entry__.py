@@ -584,6 +584,44 @@ def q_host_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 join form: large-side 50%-one-key skewed join defused by salting
+    (operators/skew.py:salted_dim_join) — the dim is replicated over 16
+    salts, the large side salts uniformly on the row-unique doc_id, and the
+    hot host's rows spread over 16 reducers instead of one straggler.  The
+    salt is pure execution detail: the oracle is the plain unsalted join.
+    (The AQE skew-split twin of this plan is evidenced in
+    tests/test_skew_join.py and bench.py §skew — it needs session confs a
+    shared driver session must not inherit.)"""
+    from pdf_drawing_ocr_recognition_spark.operators.skew import salted_dim_join
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("heavy.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .alias("host"),
+    )
+    hosts = ["heavy.example.com"] + [f"h{i}.example.com" for i in range(97)]
+    dim = spark.createDataFrame(
+        [(h, len(h)) for h in hosts], "host string, prio int"
+    )
+    j = salted_dim_join(pages, dim, "host", "doc_id", salt_buckets=16)
+    return j.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars") + F.col("prio")).cast("bigint").alias(
+            "total_weight"
+        ),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary with exact-integer cents arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2711,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "winnow_fingerprints": q_winnow_fingerprints,
         "host_skew_counts": q_host_skew_counts,
+        "skew_join_salted": q_skew_join_salted,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -3395,6 +3434,27 @@ def oracle_sql() -> dict[str, str]:
         "host_skew_counts": """
             SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "skew_join_salted": """
+            WITH pages AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN doc_id % 2 = 0 THEN 'heavy.example.com'
+                            ELSE 'h' || (doc_id % 97) || '.example.com'
+                       END AS host
+                FROM documents
+            ), dim AS (
+                SELECT 'heavy.example.com' AS host,
+                       length('heavy.example.com') AS prio
+                UNION ALL
+                SELECT 'h' || i || '.example.com',
+                       length('h' || i || '.example.com')
+                FROM generate_series(0, 96) t(i)
+            )
+            SELECT doc_id % 10 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars + prio) AS BIGINT) AS total_weight
+            FROM pages JOIN dim USING (host)
+            GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

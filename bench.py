@@ -107,14 +107,102 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in BENCH_QUERIES:
         qmap[name](spark, warm_dir).count()
+    # `queries` is the WARM number (best-of-2 after the sf0.001 plan warmup)
+    # and is the round-over-round comparable column; `queries_first_run` is
+    # the cold first timed sample, labeled so a 2-4x first-execution penalty
+    # or a transient host stall never reads as a plan regression.
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.time()
             qmap[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 3)
+
+    # --- skewed-join evidence (VERDICT r3 item 3) ---------------------------
+    # The pages corpus has one host owning ~50% of rows (fixture reality).
+    # Time the same dim join three ways — AQE skew-split, salted, and an
+    # unskewed twin (same row counts/dim cardinality, uniform keys) — all as
+    # forced shuffle joins (broadcast off; a 50-row dim would otherwise
+    # broadcast and there'd be no shuffle to skew).  Reported separately
+    # from `queries` so the headline total stays round-comparable.
+    from pyspark.sql import functions as F
+
+    from pdf_drawing_ocr_recognition_spark.operators.skew import (
+        SKEW_JOIN_TUNING,
+        host_of,
+        restore_confs,
+        salted_dim_join,
+        set_confs,
+    )
+
+    pages = spark.read.parquet(corpus).select(
+        "url", host_of(F.col("url")).alias("host")
+    )
+    import tempfile
+
+    def _materialize_dim(df, name):
+        # a bare parquet scan under the join: OptimizeSkewedJoin cannot
+        # match through an aggregate between shuffle stage and join
+        path = os.path.join(tempfile.gettempdir(), f"pdor_bench_{name}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    dim = _materialize_dim(
+        pages.select("host").distinct().withColumn("prio", F.length("host")),
+        "hostdim",
+    )
+    uni = pages.withColumn(
+        "host",
+        F.concat(F.lit("u"), F.pmod(F.xxhash64("url"), F.lit(50)).cast("string")),
+    )
+    uni_dim = _materialize_dim(
+        uni.select("host").distinct().withColumn("prio", F.length("host")),
+        "unidim",
+    )
+
+    def _agg(j):
+        return j.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.length("url") + F.col("prio")).alias("s"),
+        )
+
+    def _best2(fn):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    prev_bc = set_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"})
+    t_salted = _best2(
+        lambda: _agg(salted_dim_join(pages, dim, "host", "url")).collect()
+    )
+    t_unskew = _best2(lambda: _agg(uni.join(uni_dim, "host")).collect())
+    prev_aqe = set_confs(spark, SKEW_JOIN_TUNING)
+    # rebuild the plan per run (like the other variants): collect() on a
+    # reused DataFrame would re-serve its already-materialized AQE shuffle
+    # stages and time ~nothing
+    t_aqe = _best2(lambda: _agg(pages.join(dim, "host")).collect())
+    aqe_df = _agg(pages.join(dim, "host"))
+    aqe_df.collect()
+    skew_marked = (
+        "skew=true" in aqe_df._jdf.queryExecution().executedPlan().toString()
+    )
+    restore_confs(spark, prev_aqe)
+    restore_confs(spark, prev_bc)
+    skew_join = {
+        "aqe": t_aqe,
+        "salted": t_salted,
+        "unskewed_twin": t_unskew,
+        "aqe_skew_split_in_plan": skew_marked,
+        "aqe_over_unskewed": round(t_aqe / t_unskew, 2),
+        "salted_over_unskewed": round(t_salted / t_unskew, 2),
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,11 +212,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_first_run": cold,
+                "timing": "queries=warm best-of-2 after sf0.001 warmup; "
+                "queries_first_run=cold first sample (compare rounds on "
+                "the warm column)",
                 "sf": sf,
                 "extraction_docs_per_s": round(docs_per_s, 1),
                 "extraction_docs": n_docs,
                 "pages_rows": n_pages,
                 "cpus": cpus,
+                "skew_join": skew_join,
             }
         )
     )

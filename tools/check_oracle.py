@@ -9,7 +9,9 @@ row count, column names, and order-insensitive values.  Usage:
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -61,6 +63,22 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name, sdf=None, ddf=None, err=None, hash_match=False):
+        results[name] = {
+            "rows_match": sdf is not None and ddf is not None and len(sdf) == len(ddf),
+            "schema_match": (
+                sdf is not None
+                and ddf is not None
+                and sorted(sdf.columns) == sorted(ddf.columns)
+            ),
+            "hash_match": hash_match,
+            "spark_rows": None if sdf is None else len(sdf),
+            "oracle_rows": None if ddf is None else len(ddf),
+            "err": err,
+        }
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -69,6 +87,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
+            record(name, err=f"spark: {str(e)[:200]}")
             print(f"FAIL  {name}: spark error {str(e)[:300]}")
             continue
         if sql is None:
@@ -78,14 +97,17 @@ def main() -> int:
             ddf = con.execute(sql).fetchdf()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
+            record(name, sdf, err=f"duckdb: {str(e)[:200]}")
             print(f"FAIL  {name}: duckdb error {str(e)[:300]}")
             continue
         if sorted(sdf.columns) != sorted(ddf.columns):
             failures.append((name, f"schema {sorted(sdf.columns)} vs {sorted(ddf.columns)}"))
+            record(name, sdf, ddf, err="schema mismatch")
             print(f"FAIL  {name}: schema mismatch {sorted(sdf.columns)} vs {sorted(ddf.columns)}")
             continue
         if len(sdf) != len(ddf):
             failures.append((name, f"rowcount {len(sdf)} vs {len(ddf)}"))
+            record(name, sdf, ddf, err="rowcount mismatch")
             print(f"FAIL  {name}: rowcount {len(sdf)} vs {len(ddf)}")
             continue
         # Driver-hash hazard: DuckDB widens integer SUMs to HUGEINT (int128),
@@ -99,6 +121,7 @@ def main() -> int:
         ]
         if hazards:
             failures.append((name, f"dtype hazard {hazards}"))
+            record(name, sdf, ddf, err=f"dtype hazard {hazards}")
             print(
                 f"FAIL  {name}: int-vs-{[str(ddf[c].dtype) for c in hazards]} dtype "
                 f"hazard on {hazards} (likely uncast DuckDB HUGEINT sum — wrap the "
@@ -109,13 +132,20 @@ def main() -> int:
         if a != b:
             diff = next((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y)
             failures.append((name, f"values differ at {diff[0]}"))
+            record(name, sdf, ddf, err=f"values differ at {diff[0]}")
             print(f"FAIL  {name}: first diff row {diff[0]}:\n  spark={diff[1][:250]}\n  duck ={diff[2][:250]}")
             continue
+        record(name, sdf, ddf, hash_match=True)
         print(f"OK    {name}: {len(sdf)} rows match")
 
     missing = set(oracles) - set(queries)
     if missing:
         print(f"WARN: oracle_sql keys without queries(): {missing}")
+    json_out = os.environ.get("CHECK_ORACLE_JSON")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"results JSON -> {json_out}")
     print(f"\n{len(failures)} failures")
     spark.stop()
     return 1 if failures else 0
