@@ -235,6 +235,29 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def rewrite_data_files(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> int:
+    """Iceberg's ``rewrite_data_files`` (small-files compaction) as a new
+    snapshot: read the CURRENT snapshot, rewrite its rows into
+    *target_files* files, and commit them as a ``replace`` operation.
+
+    Rows are bit-identical before and after (pure rewrite — no filter, no
+    transform); history is preserved — the pre-compaction snapshot stays
+    time-travelable until expired, exactly as in Iceberg.  The streaming
+    daily-append pattern (many small commits) composes with this: compact
+    once a day, expire once a week.
+    """
+    if target_files < 1:
+        raise ValueError(f"target_files must be >= 1, got {target_files}")
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    df = read_snapshot(spark, root, parent).coalesce(target_files)
+    added, n_rows, schema_json = _write_data_files(df, root)
+    return _commit(root, parent, added, added, n_rows, schema_json, "replace")
+
+
 def expire_snapshots(root: str, keep_last: int) -> dict:
     """Drop all but the newest *keep_last* snapshots and delete data files
     no retained snapshot references.  Returns counts for auditing."""

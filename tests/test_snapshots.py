@@ -165,6 +165,46 @@ class TestExpiry:
         }
 
 
+class TestRewriteDataFiles:
+    def test_compaction_preserves_rows_and_history(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_manifest,
+            rewrite_data_files,
+        )
+
+        root = str(tmp_path / "t")
+        # many small commits (the streaming daily-append pattern)
+        for lo in range(0, 40, 10):
+            append_snapshot(_docs(spark, lo, lo + 10).repartition(4), root)
+        before = _rows(read_snapshot(spark, root))
+        pre_files = read_manifest(root, current_snapshot_id(root))["files"]
+        sid = rewrite_data_files(spark, root, target_files=1)
+        man = read_manifest(root, sid)
+        assert man["operation"] == "replace"
+        assert len(man["files"]) == 1 < len(pre_files)
+        assert _rows(read_snapshot(spark, root)) == before  # pure rewrite
+        # pre-compaction history still time-travels
+        assert _rows(read_snapshot(spark, root, sid - 1)) == before
+        assert _rows(read_snapshot(spark, root, 1)) == _rows(_docs(spark, 0, 10))
+        # expiry after compaction reclaims the small files
+        stats = expire_snapshots(root, keep_last=1)
+        assert stats["deleted_files"] == len(pre_files)
+        assert _rows(read_snapshot(spark, root)) == before
+
+    def test_validation(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            rewrite_data_files,
+        )
+
+        root = str(tmp_path / "t")
+        init_table(root)
+        with pytest.raises(ValueError, match="no committed snapshot"):
+            rewrite_data_files(spark, root)
+        append_snapshot(_docs(spark, 0, 5), root)
+        with pytest.raises(ValueError):
+            rewrite_data_files(spark, root, target_files=0)
+
+
 class TestTimeTravelCdc:
     def test_snapshot_diff_over_two_versions(self, spark, tmp_path):
         # T22 x T55: CDC computed purely from the table's own history —
