@@ -321,6 +321,78 @@ def main() -> int:
          "SortMergeJoin" not in cr_plan)
     )
 
+    # round 4: skewed dim join — the salted variant shuffles on (key, salt)
+    grab("skew_join_salted", em.q_skew_join_salted(spark, sf), "_salt")
+    sj_plan = sections[-1][1]
+    checks.append(
+        ("skew_join_salted", "no Python stage (salting is pure codegen)",
+         all(s not in sj_plan for s in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython")))
+    )
+
+    # round 4: AQE skew-split on the 50%-one-key join (post-execution plan;
+    # sandbox-scale thresholds — production keeps defaults)
+    from pyspark.sql import functions as F
+
+    from pdf_drawing_ocr_recognition_spark.operators.skew import (
+        SKEW_JOIN_TUNING,
+        restore_confs,
+        set_confs,
+    )
+
+    prev = set_confs(spark, SKEW_JOIN_TUNING)
+    try:
+        left = spark.range(0, 50_000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, F.lit("heavy.example.com"))
+            .otherwise(
+                F.concat(
+                    F.lit("h"),
+                    (F.col("id") % 997).cast("string"),
+                    F.lit(".example.com"),
+                )
+            )
+            .alias("host"),
+        )
+        dim = spark.createDataFrame(
+            [(h, len(h)) for h in
+             ["heavy.example.com"] + [f"h{i}.example.com" for i in range(997)]],
+            "host string, prio int",
+        )
+        aqe_df = left.join(dim, "host").agg(
+            F.count(F.lit(1)).alias("c"), F.sum("prio").alias("s")
+        )
+        aqe_df.collect()  # AQE plans are final only after execution
+        grab("skew_join_aqe (executed)", aqe_df, "skew=true", "skewed")
+    finally:
+        restore_confs(spark, prev)
+
+    # round 4: snapshot time travel — the historical read is a plain pruned
+    # parquet scan of the manifest-listed immutable files (text never read)
+    grab("snapshot_timetravel", em.q_snapshot_timetravel(spark, sf))
+    st_scan = [
+        l for l in sections[-1][1].split("\n") if "ReadSchema" in l
+    ]
+    checks.append(
+        ("snapshot_timetravel", "text pruned from ReadSchema",
+         bool(st_scan)
+         and all("text" not in l.split("ReadSchema")[-1] for l in st_scan))
+    )
+
+    # round 4: distributed bloom bitmap — bit_or folds as a map-side-partial
+    # hash aggregate (never a per-position driver collect)
+    from pdf_drawing_ocr_recognition_spark.operators.bloom import (
+        bloom_bitmap_chunks,
+    )
+
+    vals = spark.range(0, 5000).select(F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"))
+    grab(
+        "bloom_bitmap_chunks",
+        bloom_bitmap_chunks(vals, "v", 1 << 20, 7),
+        "partial_bit_or",
+        "bit_or",
+        "FlatMapGroupsInPandas",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
