@@ -1025,6 +1025,88 @@ def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T83 MERGE INTO (file-granular copy-on-write): commit `documents` as
+    snapshot 1, then MERGE a source of updates (every doc_id%10==0 gets
+    ' [merged]' appended) + inserts (doc_id+10⁶ for doc_id%100==0) — only
+    data files containing a matched key are rewritten, the rest carry by
+    name (sources/snapshots.py:merge_into).  The DuckDB twin replays the
+    row semantics directly; a hash match proves WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT landed exactly."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        merge_into,
+        read_manifest,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_mergetable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = (
+            current_snapshot_id(root) == 2
+            and read_manifest(root, 2)["operation"] == "merge"
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(8, "doc_id"), root)
+        updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" [merged]"))
+        )
+        inserts = docs.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("inserted "), F.col("doc_id").cast("string")).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        merge_into(
+            spark, root, updates.unionByName(inserts).select(*docs.columns),
+            "doc_id",
+        )
+    return read_snapshot(spark, root).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5"),
+    )
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T83 incremental append scan: three append commits (doc_id%3 thirds);
+    ``read_appends_between(1, 3)`` returns ONLY the rows of commits 2 and 3
+    — the incremental-consumption contract (a daily consumer never rescans
+    the accumulated table).  Oracle: the %3∈{1,2} slice of documents."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_appends_between,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_appends_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 3
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        for k in range(3):
+            append_snapshot(docs.filter(F.col("doc_id") % 3 == k), root)
+    return read_appends_between(spark, root, 1, 3).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T56: domain-blocklist filtering — suffix rules re-expressed as
     host-ancestor equi-keys and applied via chained map-side broadcast joins
@@ -2803,6 +2885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_timetravel": q_snapshot_timetravel,
+        "snapshot_merge": q_snapshot_merge,
+        "snapshot_changes": q_snapshot_changes,
         "blocklist_filter": q_blocklist_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bigram_lm_scores": q_bigram_lm_scores,
@@ -4200,6 +4284,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_timetravel": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        """,
+        "snapshot_merge": """
+            WITH merged AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0 THEN text || ' [merged]'
+                            ELSE text END AS text,
+                       lang, n_chars
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'inserted ' || doc_id, lang, n_chars
+                FROM documents WHERE doc_id % 100 = 0
+            )
+            SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM merged
+        """,
+        "snapshot_changes": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
         """,
         "blocklist_filter": """
             WITH pages AS (

@@ -235,6 +235,99 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def read_appends_between(
+    spark: SparkSession, root: str, from_id: int, to_id: int
+) -> DataFrame:
+    """Iceberg's incremental append scan: ONLY the rows added between
+    snapshot *from_id* (exclusive) and *to_id* (inclusive) — the files in
+    *to_id*'s manifest that *from_id*'s does not list.
+
+    This is the incremental-consumption contract a daily pipeline wants: a
+    consumer remembers the last snapshot it processed and reads only the
+    delta — never rescanning the accumulated table.  Defined ONLY across
+    pure ``append`` commits (Iceberg's own restriction): an overwrite/
+    replace/merge in the range rewrites existing rows into new files,
+    which an "appends" reader would double-report — so any such boundary
+    raises instead of silently misreporting.
+    """
+    if from_id >= to_id:
+        raise ValueError(f"need from_id < to_id, got {from_id} >= {to_id}")
+    man_to = read_manifest(root, to_id)
+    # walk the lineage to guarantee every commit in (from, to] is an append
+    sid = to_id
+    while sid > from_id:
+        man = read_manifest(root, sid)
+        if man["operation"] != "append":
+            raise ValueError(
+                f"snapshot {sid} is '{man['operation']}' — incremental "
+                f"append reads are only defined across append commits"
+            )
+        sid = man["parent_id"] or 0
+        if sid < from_id:
+            raise ValueError(f"snapshot {from_id} is not an ancestor of {to_id}")
+    old_files = set(read_manifest(root, from_id)["files"])
+    new_files = [f for f in man_to["files"] if f not in old_files]
+    schema = StructType.fromJson(man_to["schema"])
+    if not new_files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(_data_dir(root), f) for f in new_files]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def merge_into(
+    spark: SparkSession, root: str, source: DataFrame, key_col: str
+) -> int:
+    """Iceberg's copy-on-write ``MERGE INTO`` (WHEN MATCHED UPDATE SET *,
+    WHEN NOT MATCHED INSERT *), at FILE granularity: only data files that
+    contain a matched key are rewritten; every untouched file is carried
+    into the new snapshot BY NAME, never re-read or re-written.
+
+    That file granularity is the 100-TB property: a merge touching 0.1% of
+    keys rewrites ~0.1% of files (plus the source), not the table.  The
+    affected-file set is found with one distributed semi-join over
+    ``input_file_name()`` and collected as FILE NAMES — driver transfer
+    bounded by the file count, never row count.  History stays
+    time-travelable; commit conflicts surface as CommitConflictError.
+    """
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    schema = StructType.fromJson(man["schema"])
+    if set(source.columns) != {f.name for f in schema.fields}:
+        raise ValueError(
+            f"source columns {sorted(source.columns)} != table columns "
+            f"{sorted(f.name for f in schema.fields)}"
+        )
+    from pyspark.sql import functions as F
+
+    cur = read_snapshot(spark, root, parent).withColumn(
+        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    keys = source.select(key_col).distinct()
+    affected = {
+        r["_file"]
+        for r in cur.join(keys, key_col, "left_semi")
+        .select("_file")
+        .distinct()
+        .collect()
+    }
+    untouched = [f for f in man["files"] if f not in affected]
+    if affected:
+        kept_rows = (
+            cur.filter(F.col("_file").isin(*affected))
+            .drop("_file")
+            .join(keys, key_col, "left_anti")
+        )
+        new_data = kept_rows.unionByName(source)
+    else:
+        new_data = source
+    added, n_rows, schema_json = _write_data_files(new_data, root)
+    return _commit(
+        root, parent, untouched + added, added, n_rows, schema_json, "merge"
+    )
+
+
 def rewrite_data_files(
     spark: SparkSession, root: str, target_files: int = 1
 ) -> int:

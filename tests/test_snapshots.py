@@ -205,6 +205,117 @@ class TestRewriteDataFiles:
             rewrite_data_files(spark, root, target_files=0)
 
 
+class TestMergeInto:
+    def _table_with_files(self, spark, tmp_path, n_files=4):
+        root = str(tmp_path / "t")
+        # one commit, n_files data files, keys range-partitioned so a merge
+        # source can target a known subset of files
+        df = _docs(spark, 0, 40).repartitionByRange(n_files, "doc_id")
+        append_snapshot(df, root)
+        return root
+
+    def test_file_granular_copy_on_write(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            merge_into,
+            read_manifest,
+        )
+
+        root = self._table_with_files(spark, tmp_path)
+        pre = read_manifest(root, 1)["files"]
+        # update keys 0 and 3 (same range file) + insert brand-new key 100
+        source = spark.createDataFrame(
+            [(0, "updated zero"), (3, "updated three"), (100, "brand new")],
+            "doc_id long, text string",
+        )
+        sid = merge_into(spark, root, source, "doc_id")
+        man = read_manifest(root, sid)
+        assert man["operation"] == "merge"
+        # copy-on-write at file granularity: files without matched keys are
+        # carried BY NAME into the new manifest, never rewritten
+        carried = set(man["files"]) & set(pre)
+        assert len(carried) == len(pre) - 1  # exactly one file was affected
+        # row semantics: WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT
+        got = dict(_rows(read_snapshot(spark, root)))
+        assert got[0] == "updated zero" and got[3] == "updated three"
+        assert got[100] == "brand new"
+        assert got[5] == "text of document 5"  # unmatched rows intact
+        assert len(got) == 41
+        # pre-merge history still time-travels
+        assert _rows(read_snapshot(spark, root, 1)) == _rows(_docs(spark, 0, 40))
+
+    def test_merge_with_no_matches_is_pure_insert(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            merge_into,
+            read_manifest,
+        )
+
+        root = self._table_with_files(spark, tmp_path)
+        pre = read_manifest(root, 1)["files"]
+        sid = merge_into(
+            spark, root, _docs(spark, 200, 210), "doc_id"
+        )
+        man = read_manifest(root, sid)
+        assert set(pre) <= set(man["files"])  # nothing rewritten
+        assert len(_rows(read_snapshot(spark, root))) == 50
+
+    def test_merge_validation(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            merge_into,
+        )
+
+        root = str(tmp_path / "t")
+        init_table(root)
+        with pytest.raises(ValueError, match="no committed snapshot"):
+            merge_into(spark, root, _docs(spark, 0, 1), "doc_id")
+        append_snapshot(_docs(spark, 0, 5), root)
+        bad = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="columns"):
+            merge_into(spark, root, bad, "doc_id")
+
+
+class TestIncrementalReads:
+    def test_appends_between_returns_only_the_delta(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_appends_between,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 20), root)
+        append_snapshot(_docs(spark, 20, 30), root)
+        append_snapshot(_docs(spark, 30, 45), root)
+        assert _rows(read_appends_between(spark, root, 1, 2)) == _rows(
+            _docs(spark, 20, 30)
+        )
+        # spanning two appends
+        assert _rows(read_appends_between(spark, root, 1, 3)) == _rows(
+            _docs(spark, 20, 45)
+        )
+
+    def test_rejects_non_append_boundaries(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            merge_into,
+            read_appends_between,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        merge_into(
+            spark,
+            root,
+            spark.createDataFrame([(0, "upd")], "doc_id long, text string"),
+            "doc_id",
+        )
+        append_snapshot(_docs(spark, 50, 55), root)
+        with pytest.raises(ValueError, match="merge"):
+            read_appends_between(spark, root, 1, 3)
+        # a pure-append subrange is still fine
+        assert _rows(read_appends_between(spark, root, 2, 3)) == _rows(
+            _docs(spark, 50, 55)
+        )
+        with pytest.raises(ValueError):
+            read_appends_between(spark, root, 2, 2)
+
+
 class TestTimeTravelCdc:
     def test_snapshot_diff_over_two_versions(self, spark, tmp_path):
         # T22 x T55: CDC computed purely from the table's own history —
