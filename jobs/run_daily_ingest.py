@@ -86,6 +86,13 @@ def main(argv=None, spark=None) -> int:
     src = parser.add_mutually_exclusive_group(required=True)
     src.add_argument("--warc", help="directory of .warc segment files")
     src.add_argument("--pages", help="pages parquet directory")
+    src.add_argument(
+        "--snapshots",
+        help="snapshot-table root (sources/snapshots.py layout): consume ONLY "
+        "the rows appended since the journaled cursor — the incremental "
+        "Iceberg-consumption pattern; no digest CDC needed, the table's "
+        "commit log IS the delta",
+    )
     parser.add_argument("--patterns", required=True, help="pattern registry JSON")
     parser.add_argument("--state", required=True, help="persistent state dir")
     parser.add_argument("--out", required=True, help="survivor output dir")
@@ -146,8 +153,51 @@ def main(argv=None, spark=None) -> int:
     resume = bool(journal.get("survivors_done"))
     out_path = f"{args.out}/day={args.day}"
 
+    snap_mode = bool(args.snapshots)
     if args.warc:
         pages = read_warc(spark, args.warc, default_lang=langs[0] if langs else "en")
+    elif snap_mode:
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            current_snapshot_id,
+            read_appends_between,
+            read_snapshot,
+        )
+
+        # pin the consumption range in the day's journal on first entry, so
+        # a resumed run re-reads EXACTLY the range the killed run saw even
+        # if the table advanced in between
+        if "snap_from" not in journal:
+            cursor_path = os.path.join(args.state, "snapshot_cursor.json")
+            try:
+                with open(cursor_path) as f:
+                    last = json.load(f)["last_id"]
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                last = 0
+            cur = current_snapshot_id(args.snapshots)
+            if cur is None:
+                raise SystemExit(f"snapshot table {args.snapshots} is empty")
+            journal = _advance_journal(
+                args.state, args.day, snap_from=last, snap_to=cur
+            )
+        snap_from, snap_to = journal["snap_from"], journal["snap_to"]
+        if snap_from == snap_to:
+            from pyspark.sql import functions as _F
+
+            pages = read_snapshot(spark, args.snapshots, snap_to).where(
+                _F.lit(False)
+            )
+        elif snap_from == 0:
+            pages = read_snapshot(spark, args.snapshots, snap_to)
+        else:
+            # raises on a non-append boundary (compaction/overwrite in the
+            # range) — a consumer must re-baseline then, never misread
+            pages = read_appends_between(
+                spark, args.snapshots, snap_from, snap_to
+            )
+        if langs:
+            from pyspark.sql import functions as _F
+
+            pages = pages.filter(_F.col("lang").isin(*langs))
     else:
         pages = read_pages(spark, args.pages, langs=langs or None)
 
@@ -208,18 +258,26 @@ def main(argv=None, spark=None) -> int:
     index_path = f"{args.state}/index"
 
     if not resume:
-        try:
-            prev = spark.read.parquet(snap_path)
-            first_day = False
-        except Exception:
-            prev = spark.createDataFrame([], "url string, html_digest string")
-            first_day = True
-        diff = snapshot_diff(prev, today, "url", ["html_digest"])
-        delta_urls = diff.filter(
-            F.col("change_type").isin("added", "changed")
-        ).select("url")
-        n_today = today.count()
-        delta_pages = pages.join(delta_urls, "url", "left_semi")
+        if snap_mode:
+            # the table's commit log IS the delta: no digest CDC needed
+            first_day = journal["snap_from"] == 0
+            delta_pages = pages
+            n_today = delta_pages.count()
+        else:
+            try:
+                prev = spark.read.parquet(snap_path)
+                first_day = False
+            except Exception:
+                prev = spark.createDataFrame(
+                    [], "url string, html_digest string"
+                )
+                first_day = True
+            diff = snapshot_diff(prev, today, "url", ["html_digest"])
+            delta_urls = diff.filter(
+                F.col("change_type").isin("added", "changed")
+            ).select("url")
+            n_today = today.count()
+            delta_pages = pages.join(delta_urls, "url", "left_semi")
 
         # --- extraction over the delta only ---------------------------------
         docs = extract_pages(delta_pages, patterns, max_try=args.max_try).filter(
@@ -292,10 +350,20 @@ def main(argv=None, spark=None) -> int:
     _fault_injection_point("after_index")
 
     if not journal.get("snapshot_done"):
-        # `today` derives only from the input paths (never from snap_path),
-        # and every plan that read `prev` has already been materialized
-        # above, so a direct overwrite cannot self-read.
-        today.write.mode("overwrite").parquet(snap_path)
+        if snap_mode:
+            # advance the consumption cursor (atomic; idempotent on resume)
+            cursor_path = os.path.join(args.state, "snapshot_cursor.json")
+            tmp = f"{cursor_path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_id": journal["snap_to"]}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, cursor_path)
+        else:
+            # `today` derives only from the input paths (never from
+            # snap_path), and every plan that read `prev` has already been
+            # materialized above, so a direct overwrite cannot self-read.
+            today.write.mode("overwrite").parquet(snap_path)
         journal = _advance_journal(args.state, args.day, snapshot_done=True)
 
     summary = {

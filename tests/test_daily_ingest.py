@@ -142,6 +142,75 @@ class TestDailyIngest:
         s2 = _run(spark, tmp_path, capsys, "d2", day1)
         assert s2["delta_pages"] == 0 and s2["survivors"] == 0
 
+    def test_snapshots_mode_consumes_only_appends(
+        self, spark, tmp_path, capsys
+    ):
+        """--snapshots: the job reads the snapshot table's commit log as the
+        delta (Iceberg incremental consumption) — day 2 processes ONLY the
+        rows appended since the journaled cursor, with no digest CDC."""
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            append_snapshot,
+        )
+        from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import (
+            PATTERNS,
+            make_html,
+        )
+        from pdf_drawing_ocr_recognition_spark.sources.pattern_registry import (
+            save_patterns,
+        )
+        from jobs.run_daily_ingest import main
+
+        def page_rows(lo, hi):
+            return spark.createDataFrame(
+                [
+                    (f"https://s{i}.example/p", bytearray(make_html(3000 + i, "en")[0]), "en")
+                    for i in range(lo, hi)
+                ],
+                "url string, html binary, lang string",
+            )
+
+        root = str(tmp_path / "pages_table")
+        append_snapshot(page_rows(0, 4), root)
+
+        pat = tmp_path / "patterns.json"
+        save_patterns(PATTERNS, str(pat))
+
+        def run(day):
+            rc = main(
+                [
+                    "--snapshots", root,
+                    "--patterns", str(pat),
+                    "--state", str(tmp_path / "state"),
+                    "--out", str(tmp_path / "out"),
+                    "--day", day,
+                ],
+                spark=spark,
+            )
+            assert rc == 0
+            return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        s1 = run("d1")
+        assert s1["first_day"] and s1["delta_pages"] == 4 == s1["survivors"]
+
+        # two new fetches appended to the table: day 2 reads ONLY those
+        append_snapshot(page_rows(4, 6), root)
+        s2 = run("d2")
+        assert not s2["first_day"]
+        assert s2["delta_pages"] == 2 == s2["survivors"]
+        urls2 = {
+            r["url"]
+            for r in spark.read.parquet(s2["out"]).select("url").collect()
+        }
+        assert urls2 == {"https://s4.example/p", "https://s5.example/p"}
+
+        # no new appends: day 3 is a clean zero-delta
+        s3 = run("d3")
+        assert s3["delta_pages"] == 0 and s3["survivors"] == 0
+
+        # completed days rerun as no-ops (cursor untouched)
+        s2_again = run("d2")
+        assert s2_again.get("resumed_noop") is True
+
     def test_kill_before_index_resumes_exactly_once(
         self, spark, tmp_path, capsys, monkeypatch
     ):

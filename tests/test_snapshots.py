@@ -316,6 +316,24 @@ class TestIncrementalReads:
             read_appends_between(spark, root, 2, 2)
 
 
+class TestSchemaEvolution:
+    def test_add_column_reads_null_for_old_files(self, spark, tmp_path):
+        # Iceberg-style by-name evolution: a later append may carry a new
+        # column; the snapshot's schema governs the read, and rows from
+        # pre-evolution files surface NULL for it — no rewrite of old data
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        evolved = _docs(spark, 10, 20).withColumn("lang", F.lit("en"))
+        append_snapshot(evolved, root)
+        cur = read_snapshot(spark, root)
+        assert set(cur.columns) == {"doc_id", "text", "lang"}
+        langs = {r["doc_id"]: r["lang"] for r in cur.collect()}
+        assert all(langs[i] is None for i in range(10))
+        assert all(langs[i] == "en" for i in range(10, 20))
+        # time travel to the pre-evolution snapshot keeps the OLD schema
+        assert set(read_snapshot(spark, root, 1).columns) == {"doc_id", "text"}
+
+
 class TestTimeTravelCdc:
     def test_snapshot_diff_over_two_versions(self, spark, tmp_path):
         # T22 x T55: CDC computed purely from the table's own history —
