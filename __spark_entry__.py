@@ -2493,6 +2493,39 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T86: Count-Min sketch heavy hitters — frequency estimates for a
+    candidate term set from a fixed d×w integer sketch (Cormode &
+    Muthukrishnan 2005) instead of a vocabulary-sized exact count.  The
+    build is ONE map-side-combinable hash agg whose post-shuffle
+    cardinality is ≤ d·16^p rows regardless of corpus size; probing joins
+    the (candidate × d) frame against the broadcast sketch dim and takes
+    min over the d rows (never underestimates — pytest-pinned).  Hashes
+    are md5-hex-prefix buckets (the T73 engine-portable hash-mod), all
+    arithmetic exact integers, so build + probe + min replays
+    bit-identically in DuckDB.  Top-20 by (est DESC, token ASC) total
+    order."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+    sketch = cms_build(toks, "w", depth=4, prefix_len=3)
+    probes = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .distinct()
+    )
+    est = cms_estimate(sketch, probes, "w", depth=4, prefix_len=3, est_col="est_count")
+    return (
+        est.orderBy(F.desc("est_count"), F.asc("w"))
+        .limit(20)
+        .select(F.col("w").alias("token"), "est_count")
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T81: PMI collocation extraction (Church & Hanks) — the multiword-
     expression mining pass of a text pipeline: top-20 adjacent word pairs
@@ -2911,6 +2944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_priors": q_source_quality_priors,
         "pmi_collocations": q_pmi_collocations,
         "source_concentration": q_source_concentration,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -5068,5 +5102,37 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "cms_heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), js AS (
+                SELECT unnest([0, 1, 2, 3]) AS j
+            ), sketch AS (
+                SELECT j,
+                       substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 3)
+                           AS cell,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM toks CROSS JOIN js GROUP BY 1, 2
+            ), probes AS (
+                SELECT DISTINCT w FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents WHERE doc_id % 37 = 0
+                )
+            ), probe_cells AS (
+                SELECT p.w, s.j,
+                       substr(md5(CAST(s.j AS VARCHAR) || '|' || p.w), 1, 3)
+                           AS cell
+                FROM probes p CROSS JOIN js s
+            ), est AS (
+                SELECT pc.w,
+                       CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS est_count
+                FROM probe_cells pc
+                LEFT JOIN sketch sk USING (j, cell)
+                GROUP BY 1
+            )
+            SELECT w AS token, est_count
+            FROM est ORDER BY est_count DESC, w LIMIT 20
         """,
     }
