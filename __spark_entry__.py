@@ -2526,6 +2526,43 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T87: hashed-feature linear quality classifier, inference pass — the
+    fastText-style page-quality gate (CCNet / LLaMA pipelines) as pure
+    relational algebra: token → md5-hex-prefix bucket, counts reduced
+    map-side to ≤256 rows/doc, margin = Σ c·w via a broadcast 256-row
+    weight dim + one hash agg (operators/classifier.py:linear_margin).
+    Weights here are a deterministic in-plan stand-in (ascii arithmetic on
+    the bucket's hex chars — mixed signs) so DuckDB replays the identical
+    model; production drops in `train_batch_perceptron` output (pytest).
+    All-integer margins — exact under any partitioning."""
+    from pdf_drawing_ocr_recognition_spark.operators.classifier import (
+        hashed_token_features,
+        linear_margin,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = hashed_token_features(docs, prefix_len=2)
+    weights = (
+        spark.range(256)
+        .select(F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("b"))
+        .select(
+            "b",
+            (
+                F.ascii(F.substring("b", 1, 1)) * 31
+                + F.ascii(F.substring("b", 2, 1))
+                - 2400
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    m = linear_margin(feats, weights)
+    return m.select(
+        "doc_id", "margin", "n_tokens", (F.col("margin") > 0).alias("keep")
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T81: PMI collocation extraction (Church & Hanks) — the multiword-
     expression mining pass of a text pipeline: top-20 adjacent word pairs
@@ -2945,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "source_concentration": q_source_concentration,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "quality_classifier_scores": q_quality_classifier_scores,
     }
 
 
@@ -5134,5 +5172,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w AS token, est_count
             FROM est ORDER BY est_count DESC, w LIMIT 20
+        """,
+        "quality_classifier_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       substr(md5(unnest(string_split(lower(text), ' '))),
+                              1, 2) AS b
+                FROM documents
+            ), c AS (
+                SELECT doc_id, b, count(*) AS c FROM toks GROUP BY 1, 2
+            ), m AS (
+                SELECT doc_id,
+                       CAST(sum(c * (ascii(substr(b, 1, 1)) * 31
+                                     + ascii(substr(b, 2, 1)) - 2400))
+                            AS BIGINT) AS margin,
+                       CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM c GROUP BY 1
+            )
+            SELECT doc_id, margin, n_tokens, margin > 0 AS keep FROM m
         """,
     }
