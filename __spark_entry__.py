@@ -2526,6 +2526,24 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T88: SemDeDup (Abbas et al. 2023) — semantic dedup in embedding
+    space: k-means-list assignment (the T10 IVF argmax), within-list
+    cosine pairs only (compare cost = sum of squared LIST sizes, never
+    corpus²), and for every pair at cos >= eps drop the centroid-closer
+    member (the paper's keep-the-outlier exemplar rule; affinity tie →
+    keep lower id).  Composes the oracled ivf_assign + pair-cosine kernels
+    (operators/similarity.py:semantic_dedup); survivors carry their list
+    and rounded affinity."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    return semantic_dedup(emb, cents, eps=0.3, metric_round=4, dim=64)
+
+
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T87: hashed-feature linear quality classifier, inference pass — the
     fastText-style page-quality gate (CCNet / LLaMA pipelines) as pure
@@ -2983,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "quality_classifier_scores": q_quality_classifier_scores,
+        "semantic_dedup_survivors": q_semantic_dedup_survivors,
     }
 
 
@@ -5190,5 +5209,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM c GROUP BY 1
             )
             SELECT doc_id, margin, n_tokens, margin > 0 AS keep FROM m
+        """,
+        "semantic_dedup_survivors": """
+            WITH cent AS (
+                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 16
+            ), assigned AS (
+                SELECT vec_id, embedding, centroid_id, affinity FROM (
+                    SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+                           c.centroid_id,
+                           round(list_dot_product(e.embedding::DOUBLE[],
+                                                  c.cvec), 4) AS affinity,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(
+                                   e.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.affinity AS aff_a, b.affinity AS aff_b,
+                       round(CASE WHEN
+                           sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(b.embedding, b.embedding)) = 0
+                           THEN 0.0
+                           ELSE list_dot_product(a.embedding, b.embedding) /
+                                (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                                 sqrt(list_dot_product(b.embedding, b.embedding)))
+                       END, 4) AS cos
+                FROM assigned a JOIN assigned b USING (centroid_id)
+                WHERE a.vec_id < b.vec_id
+            ), losers AS (
+                SELECT DISTINCT
+                       CASE WHEN aff_a > aff_b THEN id_a ELSE id_b END
+                           AS vec_id
+                FROM pairs WHERE cos >= 0.3
+            )
+            SELECT vec_id, centroid_id, affinity FROM assigned
+            WHERE vec_id NOT IN (SELECT vec_id FROM losers)
         """,
     }

@@ -777,3 +777,90 @@ def ivf_refine(
             f"{id_col} long, {vec_col} array<double>",
         )
     return assigned, stats
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric_round: int = 4,
+    dim: int | None = None,
+    n_vectors: int | None = None,
+    max_expected_list: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-space semantic dedup —
+    cluster the corpus with k-means lists, compare pairs ONLY within a
+    cluster, and drop the centroid-CLOSER member of every pair with
+    cosine >= eps (the paper keeps the lowest-centroid-similarity exemplar
+    of each duplicate group: prototypical near-copies go, the outlier
+    stays).  Ties on affinity keep the lower id — a total order, so the
+    result is deterministic under any partitioning.
+
+    Survivor invariant (tested): each cluster's (affinity, id)-minimal
+    member of every eps-group wins all its pairs and always survives, and
+    NO eps-pair survives whole — every within-cluster pair at >= eps loses
+    exactly one member.
+
+    Scale: the only corpus-sized moves are the ivf_assign broadcast argmax
+    and one self-join bucketed by centroid_id, so compare cost is
+    sum-of-squares of LIST sizes — pick K ≈ N/target per the IVF sizing
+    rule (SemDeDup itself runs ~100k clusters at LAION scale).  Like
+    embedding_near_dupe_pairs, the call refuses expected list occupancy
+    beyond ``max_expected_list`` instead of going quadratic.
+
+    Returns surviving (id, centroid_id, affinity) rows.
+    """
+    if not (0.0 < eps <= 1.0):
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    if n_vectors is not None:
+        k = centroids.count()
+        occ = n_vectors / max(k, 1)
+        if occ > max_expected_list:
+            raise ValueError(
+                f"{k} centroids give expected list occupancy {occ:.0f} > "
+                f"{max_expected_list} for {n_vectors} vectors — raise K "
+                f"(target N/K in the 10^2-10^3 range)"
+            )
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, metric_round=metric_round, dim=dim
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("affinity").alias("aff_a"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("affinity").alias("aff_b"),
+    )
+    cand = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        _with_pair_scores(cand, "va", "vb", "_rawdot", "_na", "_nb")
+        .select(
+            "id_a",
+            "id_b",
+            "aff_a",
+            "aff_b",
+            F.round(
+                _scored_cosine(F.col("_rawdot"), F.col("_na"), F.col("_nb")),
+                metric_round,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= eps)
+    )
+    # pair loser = the centroid-closer member (higher affinity); on an
+    # affinity tie the larger id (id_a < id_b by construction) — so the
+    # pair winner is the (affinity, id)-lexicographic minimum
+    losers = pairs.select(
+        F.when(F.col("aff_a") > F.col("aff_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(losers, id_col, "left_anti").select(
+        id_col, "centroid_id", "affinity"
+    )

@@ -1,0 +1,91 @@
+"""SemDeDup (operators/similarity.py:semantic_dedup): survivor invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+    _scored_cosine,
+    _with_pair_scores,
+    ivf_assign,
+    semantic_dedup,
+)
+
+EPS = 0.3
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    return emb.filter(F.col("vec_id") < 8)
+
+
+def test_no_eps_pair_survives_whole(spark, emb, cents):
+    """Every within-cluster pair at cos >= eps loses exactly one member:
+    among survivors of the SAME cluster no pair reaches eps."""
+    surv = semantic_dedup(emb, cents, eps=EPS, metric_round=4, dim=64)
+    sv = surv.join(emb, "vec_id").select("vec_id", "centroid_id", "embedding")
+    a = sv.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = sv.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cand = a.join(b, "centroid_id").filter(F.col("id_a") < F.col("id_b"))
+    pairs = _with_pair_scores(cand, "va", "vb", "_d", "_na", "_nb").select(
+        F.round(_scored_cosine(F.col("_d"), F.col("_na"), F.col("_nb")), 4).alias(
+            "cos"
+        )
+    )
+    assert pairs.filter(F.col("cos") >= EPS).count() == 0
+
+
+def test_exact_copy_drops_the_closer_one(spark, emb, cents):
+    """Inject an exact copy of vector 100 as vec_id 9000: cos = 1 >= eps in
+    the same cluster, equal affinity, so the higher id (the copy) dies."""
+    copy = (
+        emb.filter(F.col("vec_id") == 100)
+        .select(F.lit(9000).cast("long").alias("vec_id"), "embedding", "label")
+    )
+    surv = semantic_dedup(emb.unionByName(copy), cents, eps=EPS, dim=64)
+    ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    assert 9000 not in ids  # affinity tie -> lower id survives
+    # 100 itself survives unless it lost some OTHER pair; assert the pairing
+    # dropped at least the copy and never both twins
+    assert (100 in ids) or (9000 not in ids)
+
+
+def test_survivors_subset_and_assignment_carried(spark, emb, cents):
+    surv = semantic_dedup(emb, cents, eps=EPS, dim=64)
+    n_all = emb.count()
+    n_surv = surv.count()
+    assert 0 < n_surv < n_all  # at eps=0.3 on this corpus some pairs exist
+    # carried (centroid_id, affinity) match a fresh ivf_assign
+    fresh = ivf_assign(emb, cents, metric_round=4, dim=64).select(
+        "vec_id", "centroid_id", "affinity"
+    )
+    assert surv.exceptAll(fresh).count() == 0
+
+
+def test_partition_invariance(spark, emb, cents):
+    s1 = semantic_dedup(emb, cents, eps=EPS, dim=64)
+    s2 = semantic_dedup(emb.repartition(13), cents, eps=EPS, dim=64)
+    assert s1.exceptAll(s2).count() == 0
+    assert s2.exceptAll(s1).count() == 0
+
+
+def test_occupancy_guard_and_validation(spark, emb, cents):
+    with pytest.raises(ValueError, match="expected list occupancy"):
+        semantic_dedup(
+            emb, cents, eps=EPS, dim=64, n_vectors=10_000_000,
+            max_expected_list=10_000,
+        )
+    with pytest.raises(ValueError, match="eps"):
+        semantic_dedup(emb, cents, eps=0.0, dim=64)
