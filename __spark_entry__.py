@@ -2526,6 +2526,23 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T89: weighted sampling without replacement (Efraimidis–Spirakis
+    exponential race) — fixed-size corpus subsample with inclusion odds
+    proportional to a weight column (here n_chars), as one narrow codegen
+    projection + a global TakeOrdered top-n: no sequential draw state, no
+    corpus sort/shuffle.  u from md5(seed|key) 13-hex digits (exact in a
+    double), priority quantized floor(1e6·ln u) then compared as the IEEE
+    ratio L/w — integer inputs, correctly-rounded division, bit-identical
+    in DuckDB (operators/sampling.py:weighted_sample_wor)."""
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_wor(docs, 50, "n_chars", "doc_id", seed="wsw")
+
+
 def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T88: SemDeDup (Abbas et al. 2023) — semantic dedup in embedding
     space: k-means-list assignment (the T10 IVF argmax), within-list
@@ -3002,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -5248,5 +5266,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, centroid_id, affinity FROM assigned
             WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        """,
+        "weighted_sample": """
+            WITH scored AS (
+                SELECT doc_id, n_chars,
+                       CAST(floor(1e6 * ln(
+                           (('0x' || substr(md5('wsw|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                           / 4503599627370497.0
+                       )) AS BIGINT) AS priority_e6
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars, priority_e6
+            FROM scored
+            ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
+            LIMIT 50
         """,
     }

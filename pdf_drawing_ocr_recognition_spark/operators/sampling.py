@@ -67,3 +67,68 @@ def quota_sample(
         .filter(F.col(rank_col) <= k)
         .drop(_H)
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "wsw",
+    priority_col: str = "priority_e6",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass, fixed output size:
+    the Efraimidis–Spirakis (2006) exponential race.  Each row draws a
+    deterministic uniform u from md5(seed|key) and competes with priority
+    u^(1/w); the global top-n priorities are the sample — inclusion odds
+    proportional to weight, no sequential draw state.
+
+    Engine-portable determinism: u = (h+1)/(2^52+1) with h the first 13
+    md5 hex digits (exact in a double), the log-priority quantizes to
+    L = floor(1e6·ln u) (the T58/T73 per-row ln discipline), and the
+    comparison key is the IEEE division L/w — integer inputs, correctly
+    rounded, hence bit-identical in Spark and DuckDB.  Ties break on key.
+
+    Scale: priorities are a narrow codegen projection and the global top-n
+    is TakeOrdered (per-partition heap + single merge of n·P candidates) —
+    no full sort, no shuffle of the corpus.  Rows with weight <= 0 or NULL
+    never sample (their limit priority is -inf), matching the math.
+
+    Returns (key, weight, L) for the n winners — L exposes the race so
+    downstream re-draws can compose (e.g. reservoir merge across days).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit(seed), F.lit("|"), F.col(key_col).cast("string")
+                    ),
+                    "utf-8",
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**52 + 1))
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            F.col(key_col),
+            F.col(weight_col),
+            F.floor(F.lit(1e6) * F.log(u)).cast("bigint").alias(priority_col),
+        )
+        .withColumn(
+            "_p", F.col(priority_col) / F.col(weight_col).cast("double")
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_p"), F.asc(key_col))
+        .limit(n)
+        .drop("_p")
+    )
