@@ -2526,6 +2526,25 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T90: BPE tokenizer training, the corpus-touching stage oracled —
+    word-TYPE frequencies (the single corpus-scale pass, map-side
+    combinable) symbolized to chars+'</w>' and reduced to freq-weighted
+    adjacent-pair counts: exactly the table the first merge argmax reads.
+    Top-30 by (count DESC, pair ASC).  The iterative merge loop runs on
+    this vocab dim only and is pytest-pinned identical to the pure
+    kernel twin (operators/bpe.py, kernel/bpe.py)."""
+    from pdf_drawing_ocr_recognition_spark.operators.bpe import (
+        _pair_counts,
+        _symbolize,
+        word_frequencies,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = _pair_counts(_symbolize(word_frequencies(docs)))
+    return counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(30)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T89: weighted sampling without replacement (Efraimidis–Spirakis
     exponential race) — fixed-size corpus subsample with inclusion odds
@@ -3020,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -5282,5 +5302,23 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
             LIMIT 50
+        """,
+        "bpe_pair_counts": """
+            WITH wf AS (
+                SELECT w AS word, count(*) AS freq FROM (
+                    SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents
+                ) WHERE w != '' GROUP BY 1
+            ), prs AS (
+                SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+                       freq
+                FROM wf, unnest(generate_series(1, length(word) - 1)) AS t(i)
+                UNION ALL
+                SELECT substr(word, length(word), 1) AS a, '</w>' AS b, freq
+                FROM wf
+            )
+            SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM prs GROUP BY 1, 2
+            ORDER BY cnt DESC, a, b LIMIT 30
         """,
     }

@@ -1,0 +1,90 @@
+"""BPE tokenizer training: kernel semantics + Spark-trainer identity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.kernel.bpe import (
+    END,
+    apply_merge,
+    encode_word,
+    train_bpe,
+    word_symbols,
+)
+from pdf_drawing_ocr_recognition_spark.operators.bpe import (
+    encode_words,
+    train_bpe_distributed,
+    word_frequencies,
+)
+
+# Sennrich et al. 2016's worked example vocabulary
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_kernel_sennrich_merges():
+    """('e','s') ties ('s','t') and ('t','</w>') at 9 — lexicographic pair
+    order resolves, then the merged symbol chains: es → est → est</w>."""
+    merges = train_bpe(SENNRICH, 3)
+    assert merges == [("e", "s"), ("es", "t"), ("est", END)]
+
+
+def test_kernel_apply_merge_leftmost_nonoverlapping():
+    assert apply_merge(("a", "a", "a"), ("a", "a")) == ("aa", "a")
+    assert apply_merge(("a", "a", "a", "a"), ("a", "a")) == ("aa", "aa")
+    assert apply_merge(("x", "y"), ("a", "a")) == ("x", "y")
+
+
+def test_kernel_encode_concatenates_back():
+    merges = train_bpe(SENNRICH, 6)
+    for w in list(SENNRICH) + ["lowest", "news", "zzz"]:
+        pieces = encode_word(w, merges)
+        assert "".join(pieces) == w + END
+    assert encode_word("newest", merges) == ["newest" + END] or "".join(
+        encode_word("newest", merges)
+    ) == "newest" + END
+
+
+def test_kernel_early_stop_and_validation():
+    # single repeated char fully merges before the merge budget runs out
+    merges = train_bpe({"aa": 3}, 10)
+    assert len(merges) < 10
+    with pytest.raises(ValueError):
+        train_bpe(SENNRICH, -1)
+    assert word_symbols("ab") == ("a", "b", END)
+
+
+def test_spark_trainer_identical_to_kernel(spark):
+    """The distributed trainer's merge list is the kernel's, bit for bit,
+    on the real sf0.001 word-frequency table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = word_frequencies(docs)
+    freqs = {r["word"]: r["freq"] for r in wf.collect()}
+    expect = train_bpe(freqs, 8)
+    got = train_bpe_distributed(wf, 8)
+    assert got == expect
+    assert len(got) == 8
+
+
+def test_spark_trainer_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = word_frequencies(docs)
+    assert train_bpe_distributed(wf, 4) == train_bpe_distributed(
+        wf.repartition(7), 4
+    )
+
+
+def test_spark_encode_words_matches_kernel(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wf = word_frequencies(docs)
+    merges = train_bpe_distributed(wf, 6)
+    enc = encode_words(wf, merges).collect()
+    assert len(enc) == wf.count()  # distinct word dim, encoded once each
+    for r in enc:
+        assert r["tokens"] == encode_word(r["word"], merges)
+        assert r["n_pieces"] == len(r["tokens"])
+        assert "".join(r["tokens"]) == r["word"] + END
+
+
+def test_spark_trainer_validation(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError):
+        train_bpe_distributed(word_frequencies(docs), -2)
