@@ -18,6 +18,15 @@ import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Hostile-payload guard (see tests/test_png_hostile.py): a crawled payload
+# controls both the declared IHDR dimensions and the IDAT stream, so an
+# unguarded decode can be made to allocate height*(width+1) bytes from a
+# few-KB input (dimension bomb) or to inflate a tiny IDAT without bound
+# (zlib bomb).  Real pages in this pipeline are far below 64 MP; anything
+# larger raises ValueError, which the page decoder's retry/error taxonomy
+# absorbs as a failed leaf (kernel/page.py) — never an executor OOM.
+MAX_PIXELS = 64_000_000
+
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
     return (
@@ -39,8 +48,14 @@ def encode_png(gray: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG back to an (H, W) uint8 array."""
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG back to an (H, W) uint8 array.
+
+    Defensive contract for untrusted bytes: declared dimensions are capped
+    at ``max_pixels`` BEFORE any allocation, and IDAT inflation is bounded
+    to exactly the raster size (a stream that would inflate further is
+    rejected), so memory use is O(min(raster, cap)) no matter what the
+    payload claims."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -61,8 +76,21 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("missing IHDR")
-    raw = zlib.decompress(idat)
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension image")
+    if width * height > max_pixels:
+        raise ValueError(
+            f"declared {width}x{height} exceeds the {max_pixels}-pixel cap"
+        )
     stride = width + 1
+    expected = stride * height
+    # bounded inflation: ask for at most expected+1 bytes — a zlib bomb
+    # (tiny IDAT, huge plaintext) stops at the cap and fails the exact-size
+    # check instead of exhausting executor memory
+    d = zlib.decompressobj()
+    raw = d.decompress(idat, expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
+        raise ValueError("IDAT does not inflate to the declared raster size")
     buf = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
     # fast path: every row filter 0 (what our encoder always writes)
     if not buf[:, 0].any():
