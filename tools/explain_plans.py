@@ -393,6 +393,49 @@ def main() -> int:
         "FlatMapGroupsInPandas",
     )
 
+    # round 4 (cont.): new Table-D operators
+    # cms sketch build: map-side partial sum (shuffle bounded by d*w cells)
+    grab(
+        "cms_heavy_hitters",
+        em.q_cms_heavy_hitters(spark, sf),
+        "partial_sum",
+        "BroadcastHashJoin",  # probe joins the broadcast sketch dim
+        "TakeOrderedAndProject",  # top-20, never a global sort
+    )
+    # classifier inference: broadcast 256-row weight dim, partial agg
+    grab(
+        "quality_classifier_scores",
+        em.q_quality_classifier_scores(spark, sf),
+        "BroadcastHashJoin",
+        "partial_sum",
+    )
+    # weighted sampling: global top-n via per-partition heaps, no Exchange
+    # from a full orderBy
+    grab(
+        "weighted_sample",
+        em.q_weighted_sample(spark, sf),
+        "TakeOrderedAndProject",
+    )
+    ws_plan = sections[-1][1]
+    checks.append(
+        ("weighted_sample", "no full-sort Exchange (rangepartitioning absent)",
+         "rangepartitioning" not in ws_plan)
+    )
+    # semantic dedup: centroid dim broadcast into the argmax assignment
+    grab(
+        "semantic_dedup_survivors",
+        em.q_semantic_dedup_survivors(spark, sf),
+        "BroadcastNestedLoopJoin",  # corpus x K centroid dim (K=16 rows)
+        "max_by",  # argmax as hash agg, not a window sort
+    )
+    # bpe pair stage: word-freq map-side combine + vocab-dim pair agg
+    grab(
+        "bpe_pair_counts",
+        em.q_bpe_pair_counts(spark, sf),
+        "partial_count",  # word frequencies combine before the shuffle
+        "TakeOrderedAndProject",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
