@@ -2500,11 +2500,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is ONE map-side-combinable hash agg whose post-shuffle
     cardinality is ≤ d·16^p rows regardless of corpus size; probing joins
     the (candidate × d) frame against the broadcast sketch dim and takes
-    min over the d rows (never underestimates — pytest-pinned).  Hashes
-    are md5-hex-prefix buckets (the T73 engine-portable hash-mod), all
-    arithmetic exact integers, so build + probe + min replays
-    bit-identically in DuckDB.  Top-20 by (est DESC, token ASC) total
-    order."""
+    min over the d rows (never underestimates — pytest-pinned).  The d
+    hash rows come from ONE md5 per item — d disjoint hex windows, the
+    MinHash window discipline (functions/dedup.py) — all arithmetic exact
+    integers, so build + probe + min replays bit-identically in DuckDB.
+    Top-20 by (est DESC, token ASC) total order."""
     from pdf_drawing_ocr_recognition_spark.operators.sketches import (
         cms_build,
         cms_estimate,
@@ -5205,9 +5205,7 @@ def oracle_sql() -> dict[str, str]:
             ), js AS (
                 SELECT unnest([0, 1, 2, 3]) AS j
             ), sketch AS (
-                SELECT j,
-                       substr(md5(CAST(j AS VARCHAR) || '|' || w), 1, 3)
-                           AS cell,
+                SELECT j, substr(md5(w), j * 3 + 1, 3) AS cell,
                        CAST(count(*) AS BIGINT) AS c
                 FROM toks CROSS JOIN js GROUP BY 1, 2
             ), probes AS (
@@ -5216,9 +5214,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents WHERE doc_id % 37 = 0
                 )
             ), probe_cells AS (
-                SELECT p.w, s.j,
-                       substr(md5(CAST(s.j AS VARCHAR) || '|' || p.w), 1, 3)
-                           AS cell
+                SELECT p.w, s.j, substr(md5(p.w), s.j * 3 + 1, 3) AS cell
                 FROM probes p CROSS JOIN js s
             ), est AS (
                 SELECT pc.w,

@@ -12,11 +12,12 @@ a fixed d×w integer grid:
     sketch[j][cell] = Σ 1 over stream items hashing there
     est(x) = min_j sketch[j][cell(j, x)]     — NEVER underestimates
 
-Spark shape: the per-item cell assignment is a pure codegen projection
-(md5-hex-prefix bucket — the engine-portable hash-mod this repo already
-uses for DSIR, T73), and the build is ONE map-side-combinable hash
-aggregate whose post-shuffle cardinality is ≤ d·w rows regardless of
-corpus size.  Estimation joins the (candidate × d) probe frame against the
+Spark shape: the per-item cell assignment is a pure codegen projection —
+the d hash rows are d DISJOINT hex windows of ONE md5 per item (the
+MinHash one-digest/many-windows discipline, functions/dedup.py, at 1/d
+of the cost of d salted digests) — and the build is ONE map-side-
+combinable hash aggregate whose post-shuffle cardinality is ≤ d·w rows
+regardless of corpus size.  Estimation joins the (candidate × d) probe frame against the
 broadcast sketch dim.  Merging two sketches is cell-wise addition (union
 of streams ≡ sum of sketches), so partial sketches from independent
 corpus slices / days combine without re-reading the data — the property
@@ -38,17 +39,32 @@ from pyspark.sql import functions as F
 __all__ = ["cms_build", "cms_merge", "cms_estimate"]
 
 
-def _cell(j_col, key_col, prefix_len: int):
-    """Portable hash-mod: hex prefix of md5("<j>|<key>") — identical bytes
-    in Spark (md5 of UTF-8 encode) and DuckDB (md5 of VARCHAR)."""
-    return F.substring(
-        F.md5(
-            F.encode(
-                F.concat(j_col.cast("string"), F.lit("|"), key_col), "utf-8"
+def _validate(depth: int, prefix_len: int) -> None:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if prefix_len < 1 or depth * prefix_len > 32:
+        raise ValueError(
+            f"need 1 <= prefix_len and depth*prefix_len <= 32 hex chars, "
+            f"got depth={depth}, prefix_len={prefix_len}"
+        )
+
+
+def _cells(key_col, depth: int, prefix_len: int):
+    """The d hash rows from ONE md5 per item: row j's cell is the j-th
+    disjoint ``prefix_len``-hex window of md5(key) — the same
+    one-digest/many-windows discipline as the MinHash kernel
+    (functions/dedup.py), at 1/d of the per-item hash cost of d salted
+    digests.  Identical bytes in Spark (md5 of UTF-8 encode) and DuckDB
+    (md5 of VARCHAR).  Returns an ARRAY of structs (j, cell)."""
+    h = F.md5(F.encode(key_col, "utf-8"))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.substring(h, j * prefix_len + 1, prefix_len).alias("cell"),
             )
-        ),
-        1,
-        prefix_len,
+            for j in range(depth)
+        ]
     )
 
 
@@ -71,20 +87,14 @@ def cms_build(
     the aggregate combines map-side, and the only shuffle is the final
     ≤ d·w-row hash agg — vocabulary size never appears in any exchange.
     """
-    if depth < 1:
-        raise ValueError(f"depth must be >= 1, got {depth}")
-    if not (1 <= prefix_len <= 8):
-        raise ValueError(f"prefix_len must be in [1, 8], got {prefix_len}")
+    _validate(depth, prefix_len)
     w = F.lit(1).cast("bigint") if weight_col is None else F.col(weight_col)
     rows = items.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("_k"),
         w.alias("_w"),
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+        F.explode(_cells(F.col(key_col), depth, prefix_len)).alias("jc"),
     )
     return (
-        rows.select(
-            "j", _cell(F.col("j"), F.col("_k"), prefix_len).alias("cell"), "_w"
-        )
+        rows.select(F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"), "_w")
         .groupBy("j", "cell")
         .agg(F.sum("_w").cast("bigint").alias("c"))
     )
@@ -118,15 +128,15 @@ def cms_estimate(
     broadcast dim (≤ d·w rows by construction) — probing never shuffles
     the sketch and never touches the original stream.
     """
+    _validate(depth, prefix_len)
     p = (
         probes.select(F.col(key_col).alias("_k"))
         .filter(F.col("_k").isNotNull())
         .distinct()
         .select(
-            "_k",
-            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+            "_k", F.explode(_cells(F.col("_k"), depth, prefix_len)).alias("jc")
         )
-        .select("_k", "j", _cell(F.col("j"), F.col("_k"), prefix_len).alias("cell"))
+        .select("_k", F.col("jc.j").alias("j"), F.col("jc.cell").alias("cell"))
     )
     return (
         p.join(F.broadcast(sketch), ["j", "cell"], "left")
