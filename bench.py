@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "quality_funnel",
     "exact_substring_dedup",
     "dsir_weights",
+    # round 4 (cont.): new Table-D operators
+    "cms_heavy_hitters",
+    "quality_classifier_scores",
+    "semantic_dedup_survivors",
+    "weighted_sample",
+    "bpe_pair_counts",
 ]
 
 

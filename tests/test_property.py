@@ -192,3 +192,47 @@ def test_window_exact_raster_decodes_for_any_slack(token_rows, extra_h, extra_w)
         "\t".join(row + [""] * (n_cols - len(row))) for row in token_rows
     )
     assert decoded == want
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_extract_document_total_on_arbitrary_bytes(payload):
+    """Totality of the per-document lifecycle: ANY byte string — including
+    ones that start with the GRIDDOC magic or a PNG signature — must come
+    back as a taxonomy row, never an exception (the T85/T91 contract)."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
+    from pdf_drawing_ocr_recognition_spark.kernel.page import extract_document
+
+    row = extract_document("u://fuzz", payload, "en", PATTERNS)
+    assert row["status"] in ("ok", "empty", "failed")
+    assert isinstance(row["extracted_text"], str)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_grid_prefixed_fuzz_is_total(tail):
+    """Same, but forcing the grid-container branch with the real magic."""
+    from pdf_drawing_ocr_recognition_spark.fixtures.gen_pages import PATTERNS
+    from pdf_drawing_ocr_recognition_spark.kernel.page import (
+        GRID_MAGIC,
+        extract_document,
+    )
+
+    row = extract_document("u://fuzz", GRID_MAGIC + tail, "en", PATTERNS)
+    assert row["status"] in ("ok", "empty", "failed")
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=300, deadline=None)
+def test_decode_png_raises_only_valueerror_like(blob):
+    """decode_png on arbitrary bytes either decodes or raises a normal
+    exception (ValueError/struct.error/zlib.error/numpy) — never hangs,
+    never allocates past the cap (bounded by construction, T91)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    try:
+        img = decode_png(blob)
+    except (ValueError, _struct.error, _zlib.error, IndexError):
+        return
+    assert img.dtype == np.uint8 and img.ndim == 2
