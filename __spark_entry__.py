@@ -2526,6 +2526,21 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T92: SQ8 scalar-quantized ANN — the Faiss-SQ8 memory path: corpus
+    embeddings stored as one byte per dimension (8× less than float64),
+    queries stay exact and score against the RECONSTRUCTED store
+    (asymmetric distance), per-query shortlist of 40 by approx cosine,
+    exact rerank to top-10.  Quantize→reconstruct→shortlist→rerank all
+    replay bit-identically in DuckDB (indexed list lambdas mirror
+    mn + code·Δ).  Output contract = brute_force_topk; equality with it
+    on this corpus is pytest-pinned (operators/quantize.py)."""
+    from pdf_drawing_ocr_recognition_spark.operators.quantize import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, shortlist=40)
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T90: BPE tokenizer training, the corpus-touching stage oracled —
     word-TYPE frequencies (the single corpus-scale pass, map-side
@@ -3040,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "sq8_ann_topk": q_sq8_ann_topk,
     }
 
 
@@ -5316,5 +5332,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
             FROM prs GROUP BY 1, 2
             ORDER BY cnt DESC, a, b LIMIT 30
+        """,
+        "sq8_ann_topk": """
+            WITH dims AS (
+                SELECT i AS pos, min(x) AS mn, max(x) AS mx FROM (
+                    SELECT unnest(embedding::DOUBLE[]) AS x,
+                           unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings
+                ) GROUP BY 1
+            ), cb AS (
+                SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+                FROM dims
+            ), recon AS (
+                SELECT vec_id,
+                       list_transform(embedding::DOUBLE[], (x, i) ->
+                           cb.mn[i] + (CASE WHEN cb.mx[i] = cb.mn[i] THEN 0.0
+                               ELSE least(254.0, greatest(0.0,
+                                    floor((x - cb.mn[i])
+                                          / (cb.mx[i] - cb.mn[i]) * 254.0)))
+                           END) * ((cb.mx[i] - cb.mn[i]) / 254.0)) AS r
+                FROM embeddings, cb
+            ), qs AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS q
+                FROM embeddings WHERE vec_id < 5
+            ), approx AS (
+                SELECT query_id, c.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(q, q)) *
+                                       sqrt(list_dot_product(c.r, c.r)) = 0
+                             THEN 0.0
+                             ELSE list_dot_product(q, c.r) /
+                                  (sqrt(list_dot_product(q, q)) *
+                                   sqrt(list_dot_product(c.r, c.r)))
+                             END, 6) AS ascore
+                FROM recon c CROSS JOIN qs WHERE c.vec_id != query_id
+            ), short AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY ascore DESC, vec_id) AS sr
+                    FROM approx
+                ) WHERE sr <= 40
+            ), exact AS (
+                SELECT s.query_id, s.vec_id,
+                       round(CASE WHEN sqrt(list_dot_product(q.q, q.q)) *
+                                  sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[]))
+                                  = 0
+                             THEN 0.0
+                             ELSE list_dot_product(q.q, e.embedding::DOUBLE[]) /
+                                  (sqrt(list_dot_product(q.q, q.q)) *
+                                   sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                         e.embedding::DOUBLE[])))
+                             END, 6) AS score
+                FROM short s
+                JOIN embeddings e USING (vec_id)
+                JOIN qs q USING (query_id)
+            )
+            SELECT query_id, rank, vec_id AS neighbor_id, score FROM (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, vec_id) AS rank
+                FROM exact
+            ) WHERE rank <= 10
         """,
     }
