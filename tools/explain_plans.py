@@ -421,12 +421,23 @@ def main() -> int:
         ("weighted_sample", "no full-sort Exchange (rangepartitioning absent)",
          "rangepartitioning" not in ws_plan)
     )
-    # semantic dedup: centroid dim broadcast into the argmax assignment
+    # semantic dedup: centroid dim broadcast into the argmax assignment;
+    # within-list pair scoring as ONE Arrow group stage (not a pair join)
     grab(
         "semantic_dedup_survivors",
         em.q_semantic_dedup_survivors(spark, sf),
         "BroadcastNestedLoopJoin",  # corpus x K centroid dim (K=16 rows)
         "max_by",  # argmax as hash agg, not a window sort
+        "FlatMapGroupsInPandas",  # per-list pair scorer (list x dim Arrow in)
+    )
+    # sq8: byte-store probe = one Arrow stage over codes x broadcast queries,
+    # shortlist via WindowGroupLimit
+    grab(
+        "sq8_ann_topk",
+        em.q_sq8_ann_topk(spark, sf),
+        "MapInPandas",
+        "WindowGroupLimit",
+        "BroadcastNestedLoopJoin",
     )
     # bpe pair stage: word-freq map-side combine + vocab-dim pair agg
     grab(
