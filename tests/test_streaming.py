@@ -366,3 +366,59 @@ class TestStreamingIncrementalDedup:
         # the index grew by exactly the survivors' digests
         digests = spark.read.parquet(f"{idx}/digests")
         assert digests.count() == 10 + 3
+
+
+class TestStreamingSketchFold:
+    def test_folded_sketch_equals_batch_sketch(self, spark, tmp_path):
+        """Three one-file micro-batches folded via cms_merge: the persisted
+        sketch is cell-identical to one batch build over the union, and the
+        stored table never exceeds d*16^p rows (T86 streaming citizenship)."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            cms_build,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            streaming_sketch_fold,
+        )
+
+        def txt(tag, n=30):
+            return " ".join(
+                hashlib.md5(f"{tag}|{j}".encode()).hexdigest()[:4]
+                for j in range(n)
+            )
+
+        stream_dir = str(tmp_path / "skdocs")
+        batches = [
+            [(i, txt(f"b0_{i}")) for i in range(5)],
+            [(10 + i, txt(f"b1_{i}")) for i in range(5)],
+            [(20 + i, txt(f"b0_{i}")) for i in range(5)],  # repeats batch 0
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "doc_id LONG, text STRING").coalesce(
+                1
+            ).write.parquet(f"{stream_dir}/f{i}")
+
+        docs = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/f*")
+        )
+        sketch_path = str(tmp_path / "sketch")
+        q = streaming_sketch_fold(
+            docs, sketch_path, str(tmp_path / "skckpt"), depth=4, prefix_len=2
+        )
+        q.awaitTermination()
+
+        stored = spark.read.parquet(sketch_path)
+        allrows = [r for b in batches for r in b]
+        toks = (
+            spark.createDataFrame(allrows, "doc_id LONG, text STRING")
+            .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        )
+        whole = cms_build(toks, "w", 4, 2)
+        assert stored.count() <= 4 * 16**2
+        assert stored.exceptAll(whole).count() == 0
+        assert whole.exceptAll(stored).count() == 0
