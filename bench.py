@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "semantic_dedup_survivors",
     "weighted_sample",
     "bpe_pair_counts",
+    "sq8_ann_topk",
 ]
 
 
