@@ -93,6 +93,12 @@ def split_warc_records(data: bytes) -> tuple[list[dict], dict]:
         except (KeyError, ValueError):
             stats["n_bad"] += 1
             break
+        if length < 0:
+            # a hostile negative length would move the cursor backward (or
+            # hold it still — an infinite loop on a crafted record); treat
+            # as garbled, like any other unparseable length
+            stats["n_bad"] += 1
+            break
         block_start = hdr_end + 4
         block_end = block_start + length
         if block_end > n:  # clipped final record

@@ -152,3 +152,36 @@ class TestWarcSparkSource:
         assert extract_main_text(bytes(row["html"]).decode("utf-8")) == (
             extract_main_text(body.decode("utf-8"))
         )
+
+
+def test_negative_content_length_terminates():
+    """Regression: a crafted 'Content-Length: -N' used to hold the cursor
+    still — an infinite parse loop on one hostile record.  Must terminate
+    immediately and count the record as garbled."""
+    import time
+
+    from pdf_drawing_ocr_recognition_spark.kernel.warc import (
+        split_warc_records,
+    )
+
+    hdr = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -12\r\n\r\n"
+    t0 = time.monotonic()
+    rows, stats = split_warc_records(hdr + b"payload" + hdr)
+    assert time.monotonic() - t0 < 1.0
+    assert rows == [] and stats["n_bad"] == 1
+
+
+def test_warc_fuzz_total():
+    """Arbitrary bytes (incl. version-prefixed) always terminate with a
+    (rows, stats) answer — the T85/T91 totality contract for WARC."""
+    import hashlib
+
+    from pdf_drawing_ocr_recognition_spark.kernel.warc import (
+        split_warc_records,
+    )
+
+    for i in range(300):
+        blob = hashlib.md5(f"warcfuzz{i}".encode()).digest() * (i % 7 + 1)
+        for prefix in (b"", b"WARC/1.0\r\n", b"WARC/1.0\r\n\r\n"):
+            rows, stats = split_warc_records(prefix + blob)
+            assert isinstance(rows, list) and stats["n_records"] >= 0
