@@ -2526,6 +2526,52 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T93: round-4 curation composition, end to end in ONE plan — the
+    modern quality-gate recipe: (1) hashed linear classifier margin gate
+    (T87, broadcast weight dim, keep margin > the calibrated operating
+    point), (2) exact dedup on the
+    survivors (T1, min-key per md5 digest), (3) Efraimidis–Spirakis
+    weighted sample of 25 by n_chars (T89, TakeOrdered race).  Every stage
+    is individually oracled; this query oracles their COMPOSITION (stage
+    boundaries are where engines usually disagree — dedup ties, sample
+    cut).  Output carries the margin through for audit."""
+    from pdf_drawing_ocr_recognition_spark.operators.classifier import (
+        hashed_token_features,
+        linear_margin,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import exact_dedupe
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = (
+        spark.range(256)
+        .select(F.lpad(F.lower(F.hex(F.col("id"))), 2, "0").alias("b"))
+        .select(
+            "b",
+            (
+                F.ascii(F.substring("b", 1, 1)) * 31
+                + F.ascii(F.substring("b", 2, 1))
+                - 2400
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    margins = linear_margin(hashed_token_features(docs, prefix_len=2), weights)
+    kept = docs.join(
+        margins.filter(F.col("margin") > -11000).select("doc_id", "margin"),
+        "doc_id",
+    )
+    unique = exact_dedupe(kept)
+    sampled = weighted_sample_wor(unique, 25, "n_chars", "doc_id", seed="cur")
+    return sampled.join(
+        unique.select("doc_id", "margin"), "doc_id"
+    ).select("doc_id", "n_chars", "priority_e6", "margin")
+
+
 def q_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T92: SQ8 scalar-quantized ANN — the Faiss-SQ8 memory path: corpus
     embeddings stored as one byte per dimension (8× less than float64),
@@ -3056,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
         "sq8_ann_topk": q_sq8_ann_topk,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -5394,5 +5441,43 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, vec_id) AS rank
                 FROM exact
             ) WHERE rank <= 10
+        """,
+        "curation_pipeline": """
+            WITH toks AS (
+                SELECT doc_id,
+                       substr(md5(unnest(string_split(lower(text), ' '))),
+                              1, 2) AS b
+                FROM documents
+            ), c AS (
+                SELECT doc_id, b, count(*) AS c FROM toks GROUP BY 1, 2
+            ), margins AS (
+                SELECT doc_id,
+                       CAST(sum(c * (ascii(substr(b, 1, 1)) * 31
+                                     + ascii(substr(b, 2, 1)) - 2400))
+                            AS BIGINT) AS margin
+                FROM c GROUP BY 1
+            ), kept AS (
+                SELECT d.doc_id, d.text, d.n_chars, m.margin
+                FROM documents d JOIN margins m USING (doc_id)
+                WHERE m.margin > -11000
+            ), uniq AS (
+                SELECT * FROM kept
+                WHERE doc_id IN (
+                    SELECT min(doc_id) FROM kept GROUP BY md5(text)
+                )
+            ), scored AS (
+                SELECT doc_id, n_chars, margin,
+                       CAST(floor(1e6 * ln(
+                           (('0x' || substr(md5('cur|' ||
+                               CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                           / 4503599627370497.0
+                       )) AS BIGINT) AS priority_e6
+                FROM uniq
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+            )
+            SELECT doc_id, n_chars, priority_e6, margin
+            FROM scored
+            ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
+            LIMIT 25
         """,
     }
