@@ -2526,6 +2526,25 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T94: Stupid-Backoff trigram LM scoring (Brants et al. 2007 — the
+    n-gram model built FOR distributed count tables): per-doc mean of
+    S(w3|w1w2) with count-cutoff pruning (cutoff 2 per order) and α=0.4,
+    every branch a pure-integer quantization (floor of 1e6/4e5/1.6e5
+    count ratios — no float arithmetic anywhere), audited subset
+    doc_id%11==0 filtered BEFORE the joins; trigram/bigram dims shuffle-
+    join on their keys, unigram dim broadcasts, per-doc backoff-level hit
+    counts carried for pruning observability (operators/lm.py)."""
+    from pdf_drawing_ocr_recognition_spark.operators.lm import (
+        stupid_backoff_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_scores(
+        docs, prune_min=2, score_pred=F.col("doc_id") % 11 == 0
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T93: round-4 curation composition, end to end in ONE plan — the
     modern quality-gate recipe: (1) hashed linear classifier margin gate
@@ -3103,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "sq8_ann_topk": q_sq8_ann_topk,
         "curation_pipeline": q_curation_pipeline,
+        "stupid_backoff_scores": q_stupid_backoff_scores,
     }
 
 
@@ -5479,5 +5499,67 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
             LIMIT 25
+        """,
+        "stupid_backoff_scores": """
+            WITH toks AS (
+                SELECT doc_id, w, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY pos) AS pos
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split(lower(text), ' ')) AS w,
+                           generate_subscripts(
+                               string_split(lower(text), ' '), 1) AS pos
+                    FROM documents
+                )
+            ), tri AS (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2, c.w AS w3
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ), c3 AS (
+                SELECT w1, w2, w3, count(*) AS n3 FROM tri
+                GROUP BY 1, 2, 3 HAVING count(*) >= 2
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS n12 FROM tri GROUP BY 1, 2
+            ), b23 AS (
+                SELECT w2, w3, count(*) AS n23 FROM tri
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            ), c2 AS (
+                SELECT w2, count(*) AS n2 FROM tri GROUP BY 1
+            ), u3 AS (
+                SELECT w3, count(*) AS nu FROM tri GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS nn FROM tri
+            ), scored AS (
+                SELECT t.doc_id,
+                       CASE WHEN c3.n3 IS NOT NULL
+                                THEN floor(c3.n3 * 1000000 / c12.n12)
+                            WHEN b23.n23 IS NOT NULL
+                                THEN floor(b23.n23 * 400000 / c2.n2)
+                            ELSE floor(u3.nu * 160000 / tot.nn)
+                       END AS q,
+                       CASE WHEN c3.n3 IS NOT NULL THEN 0
+                            WHEN b23.n23 IS NOT NULL THEN 1 ELSE 2
+                       END AS lvl
+                FROM tri t
+                LEFT JOIN c3 USING (w1, w2, w3)
+                JOIN c12 USING (w1, w2)
+                LEFT JOIN b23 USING (w2, w3)
+                JOIN c2 USING (w2)
+                JOIN u3 USING (w3)
+                CROSS JOIN tot
+                WHERE t.doc_id % 11 = 0
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   CAST(sum(q) AS BIGINT) AS sb_score_sum,
+                   CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tri,
+                   CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bi,
+                   CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_uni,
+                   round(sum(q) / count(*), 4) AS avg_sb_q
+            FROM scored GROUP BY 1
         """,
     }

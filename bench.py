@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "bpe_pair_counts",
     "sq8_ann_topk",
+    "stupid_backoff_scores",
 ]
 
 

@@ -1,0 +1,80 @@
+"""Stupid-Backoff trigram scoring (operators/lm.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_drawing_ocr_recognition_spark.operators.lm import (
+    stupid_backoff_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Hand-shaped so all three backoff levels fire:
+    d0-d3 repeat one phrase (trigram survives pruning → level 0);
+    d5/d6 share bigram 'q r' but their trigrams are unique (→ level 1);
+    d4 is all-unique words (trigrams AND bigrams pruned → level 2)."""
+    rows = [
+        (0, "a b c a b c a b c"),
+        (1, "a b c a b c"),
+        (2, "a b c"),
+        (3, "a b c"),
+        (4, "x y z w"),
+        (5, "p q r"),
+        (6, "s q r t"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_all_three_backoff_levels_fire(spark, corpus):
+    out = {r["doc_id"]: r for r in stupid_backoff_scores(corpus).collect()}
+    assert out[0]["n_tri"] > 0 and out[0]["n_bi"] == 0 and out[0]["n_uni"] == 0
+    assert out[4]["n_uni"] == 2 and out[4]["n_tri"] == 0  # (x,y,z),(y,z,w)
+    assert out[5]["n_bi"] == 1  # (p,q,r) pruned, bigram (q,r) count 2 kept
+
+
+def test_trigram_branch_value_exact(spark, corpus):
+    """d2 = 'a b c': its one trigram (a,b,c) has corpus count 8 and context
+    (a,b) count 8 → q = floor(1e6 * 8/8) = 1_000_000 exactly."""
+    out = {r["doc_id"]: r for r in stupid_backoff_scores(corpus).collect()}
+    assert out[2]["n_trigrams"] == 1
+    assert out[2]["sb_score_sum"] == 1_000_000
+
+
+def test_unigram_branch_value_exact(spark, corpus):
+    """d4's two trigrams both hit level 2: q = floor(160000 * nu(w3)/NN)
+    with NN = total trigram count; every w3 of d4 occurs once as a w3."""
+    tri_total = sum(
+        max(0, len(t.split()) - 2) for _, t in [
+            (0, "a b c a b c a b c"), (1, "a b c a b c"), (2, "a b c"),
+            (3, "a b c"), (4, "x y z w"), (5, "p q r"), (6, "s q r t"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in stupid_backoff_scores(corpus).collect()}
+    expect = 2 * (160_000 * 1 // tri_total)
+    assert out[4]["sb_score_sum"] == expect
+
+
+def test_pruning_monotonicity(spark, corpus):
+    """Raising the cutoff can only move mass down the backoff chain."""
+    lo = {r["doc_id"]: r for r in stupid_backoff_scores(corpus, prune_min=1).collect()}
+    hi = {r["doc_id"]: r for r in stupid_backoff_scores(corpus, prune_min=3).collect()}
+    for d in lo:
+        assert hi[d]["n_tri"] <= lo[d]["n_tri"]
+    # with cutoff 1 nothing is pruned: every in-corpus trigram hits level 0
+    assert all(r["n_bi"] == 0 and r["n_uni"] == 0 for r in lo.values())
+
+
+def test_partition_invariance_and_pred(spark, corpus):
+    a = stupid_backoff_scores(corpus, score_pred=F.col("doc_id") % 2 == 0)
+    b = stupid_backoff_scores(
+        corpus.repartition(5), score_pred=F.col("doc_id") % 2 == 0
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert {r["doc_id"] for r in a.collect()} == {0, 2, 4, 6}
+
+
+def test_validation(spark, corpus):
+    with pytest.raises(ValueError):
+        stupid_backoff_scores(corpus, prune_min=0)
