@@ -46,7 +46,7 @@ from pyspark.sql.types import (
 from ..functions.vectors import seq_dot_np, seq_norm_np
 from .similarity import _scored_cosine, _stack_f64, _with_pair_scores
 
-__all__ = ["sq8_dims", "sq8_encode", "sq8_topk"]
+__all__ = ["sq8_dims", "sq8_encode", "sq8_topk", "write_sq8_index", "sq8_topk_indexed"]
 
 LEVELS = 254.0  # codes 0..254 (one byte, symmetric headroom)
 
@@ -180,6 +180,114 @@ def sq8_topk(
             "query_id",
         )
     )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        _with_pair_scores(pairs, "_qv", "_cv", "_d", "_na", "_nb")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _scored_cosine(F.col("_d"), F.col("_na"), F.col("_nb")), 6
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col(id_col).alias("neighbor_id"), "score"
+        )
+    )
+
+
+def write_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the byte store once: ``<path>/codebook`` (the dim-sized
+    per-position (mn, mx) table) and ``<path>/codes`` (one array<smallint>
+    row per vector) — the T38/T79 write-once/probe-many contract applied
+    to the quantized store.  Probes then scan ~1/8 of the float64 bytes
+    and never re-encode the corpus."""
+    dims = sq8_dims(corpus, vec_col)
+    dims.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    mn, mx = _dims_arrays(dims)
+    sq8_encode(corpus, mn, mx, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def sq8_topk_indexed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``sq8_topk`` probing the PERSISTED index: the codebook and codes are
+    read back (no corpus-side encode stage in the probe plan — asserted in
+    tests); only the exact rerank of the shortlist touches the float
+    store.  Result-identical to the inline ``sq8_topk`` by construction
+    (pytest-pinned)."""
+    if k < 1 or shortlist < k:
+        raise ValueError(f"need 1 <= k <= shortlist, got k={k}, S={shortlist}")
+    spark = corpus.sparkSession
+    dims = spark.read.parquet(f"{path}/codebook")
+    mn, mx = _dims_arrays(dims)
+    delta = (mx - mn) / LEVELS
+    codes = spark.read.parquet(f"{path}/codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cand = codes.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    a_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("_rawdot", DoubleType()),
+            StructField("_nq", DoubleType()),
+            StructField("_nr", DoubleType()),
+        ]
+    )
+
+    def approx(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            r = mn + c * delta
+            qv = _stack_f64(pdf["qvec"])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    id_col: pdf[id_col],
+                    "_rawdot": seq_dot_np(qv, r),
+                    "_nq": seq_norm_np(qv),
+                    "_nr": seq_norm_np(r),
+                }
+            )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("ascore"), F.asc(id_col))
+    short = (
+        cand.mapInPandas(approx, a_schema)
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                _scored_cosine(F.col("_rawdot"), F.col("_nq"), F.col("_nr")), 6
+            ).alias("ascore"),
+        )
+        .withColumn("_sr", F.row_number().over(w))
+        .filter(F.col("_sr") <= shortlist)
+        .select("query_id", id_col)
+    )
+    pairs = short.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("_cv")), id_col
+    ).join(F.broadcast(q.withColumnRenamed("qvec", "_qv")), "query_id")
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
         _with_pair_scores(pairs, "_qv", "_cv", "_d", "_na", "_nb")

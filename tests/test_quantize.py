@@ -73,3 +73,23 @@ def test_validation(spark, emb):
         sq8_topk(emb, emb.limit(1), k=0)
     with pytest.raises(ValueError):
         sq8_topk(emb, emb.limit(1), k=10, shortlist=5)
+
+
+def test_persisted_index_probe_identical(spark, emb, tmp_path):
+    """write-once/probe-many (T38/T79 contract): the persisted-index probe
+    reproduces the inline sq8_topk bit for bit, and its plan scans the
+    stored codes parquet instead of re-encoding the corpus."""
+    from pdf_drawing_ocr_recognition_spark.operators.quantize import (
+        sq8_topk_indexed,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "sq8idx")
+    write_sq8_index(emb, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sq8_topk_indexed(emb, q, path, k=10, shortlist=40)
+    want = sq8_topk(emb, q, k=10, shortlist=40)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan  # probe reads the byte store from disk
