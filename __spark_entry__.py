@@ -2526,6 +2526,23 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T95: fixed-size WEIGHTED sample per stratum — the T89 race ranked
+    within each language (keep 10 per lang, inclusion ∝ n_chars), the
+    weight-aware complement of T54's uniform quota.  Catalyst rewrites the
+    rank-limit into WindowGroupLimit (partial group-limit below the
+    exchange — plan-asserted for the T54 twin), and the priority
+    arithmetic is the T89 engine-portable form, so the per-stratum cuts
+    hash-match the DuckDB QUALIFY twin
+    (operators/sampling.py:weighted_quota_sample)."""
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+        weighted_quota_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_quota_sample(docs, 10, "n_chars", ("lang",), "doc_id")
+
+
 def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T94: Stupid-Backoff trigram LM scoring (Brants et al. 2007 — the
     n-gram model built FOR distributed count tables): per-doc mean of
@@ -3123,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_ann_topk": q_sq8_ann_topk,
         "curation_pipeline": q_curation_pipeline,
         "stupid_backoff_scores": q_stupid_backoff_scores,
+        "weighted_quota_sample": q_weighted_quota_sample,
     }
 
 
@@ -5561,5 +5579,19 @@ def oracle_sql() -> dict[str, str]:
                        AS n_uni,
                    round(sum(q) / count(*), 4) AS avg_sb_q
             FROM scored GROUP BY 1
+        """,
+        "weighted_quota_sample": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(floor(1e6 * ln(
+                       (('0x' || substr(md5('wq|' ||
+                           CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+                       / 4503599627370497.0
+                   )) AS BIGINT) AS priority_e6
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            QUALIFY row_number() OVER (
+                PARTITION BY lang
+                ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
+            ) <= 10
         """,
     }

@@ -132,3 +132,68 @@ def weighted_sample_wor(
         .limit(n)
         .drop("_p")
     )
+
+
+def weighted_quota_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    weight_col: str,
+    stratum_cols: tuple[str, ...] = ("lang",),
+    key_col: str = "doc_id",
+    seed: str = "wq",
+    priority_col: str = "priority_e6",
+) -> DataFrame:
+    """Fixed-size weighted sample PER STRATUM: the Efraimidis–Spirakis race
+    of ``weighted_sample_wor`` ranked within each stratum — "keep the k
+    highest-priority docs per language, inclusion ∝ weight".  Complements
+    ``quota_sample`` (uniform hash order) with weight-proportional odds.
+
+    Scale: the same rank-limit filter Catalyst rewrites into
+    WindowGroupLimit (partial group-limit BEFORE the exchange — see the
+    module docstring), so at most k·n_partitions rows per stratum shuffle;
+    the priority is one codegen projection.  Same engine-portable
+    arithmetic as weighted_sample_wor (quantized ln, integer-input IEEE
+    ratio), so the per-stratum cuts replay exactly in the DuckDB QUALIFY
+    twin.  Rows with NULL/non-positive weight never sample.
+    """
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    if not stratum_cols:
+        raise ValueError("need at least one stratum column")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit(seed), F.lit("|"), F.col(key_col).cast("string")
+                    ),
+                    "utf-8",
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**52 + 1))
+    scored = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(
+            *stratum_cols,
+            F.col(key_col),
+            F.col(weight_col),
+            F.floor(F.lit(1e6) * F.log(u)).cast("bigint").alias(priority_col),
+        )
+        .withColumn(
+            "_p", F.col(priority_col) / F.col(weight_col).cast("double")
+        )
+    )
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        F.desc("_p"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_per_stratum)
+        .drop("_p", "_r")
+    )

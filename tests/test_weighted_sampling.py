@@ -75,3 +75,48 @@ def test_weight_proportional_inclusion(spark, frame):
 def test_validation(spark, frame):
     with pytest.raises(ValueError):
         weighted_sample_wor(frame, 0, "w")
+
+
+class TestWeightedQuotaSample:
+    @pytest.fixture(scope="class")
+    def strata(self, spark):
+        return spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+            F.when(F.col("id") == 4, F.lit(500)).otherwise(F.lit(1)).alias("w"),
+        )
+
+    def test_exact_quota_per_stratum(self, spark, strata):
+        from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+            weighted_quota_sample,
+        )
+
+        s = weighted_quota_sample(strata, 5, "w", ("lang",))
+        per = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {"L0": 5, "L1": 5, "L2": 5}
+
+    def test_heavy_doc_sampled_in_its_stratum(self, spark, strata):
+        from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+            weighted_quota_sample,
+        )
+
+        hits = 0
+        for k in range(8):
+            s = weighted_quota_sample(strata, 3, "w", ("lang",), seed=f"s{k}")
+            hits += s.filter(F.col("doc_id") == 4).count()
+        assert hits >= 6  # 500x weight dominates its 20-doc stratum
+
+    def test_partition_invariance_and_validation(self, spark, strata):
+        from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+            weighted_quota_sample,
+        )
+
+        a = weighted_quota_sample(strata, 4, "w", ("lang",))
+        b = weighted_quota_sample(strata.repartition(7), 4, "w", ("lang",))
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        with pytest.raises(ValueError):
+            weighted_quota_sample(strata, 0, "w", ("lang",))
+        with pytest.raises(ValueError):
+            weighted_quota_sample(strata, 3, "w", ())
