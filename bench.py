@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "bpe_pair_counts",
     "sq8_ann_topk",
     "stupid_backoff_scores",
+    "weighted_quota_sample",
 ]
 
 
