@@ -2526,6 +2526,24 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T96: contrastive-pair mining — per anchor the nearest SAME-label
+    neighbor (positive) and nearest DIFFERENT-label neighbor (hard
+    negative) within the anchor's k-means list (hard negatives live near
+    in embedding space, so the IVF cell bound is the mining recipe, not
+    just an optimization).  Both selections are min_by hash aggregates
+    over (-cos, cand_id) — no window sort
+    (operators/similarity.py:contrastive_pairs)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        contrastive_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+    anchors = emb.filter(F.col("vec_id") < 20)
+    return contrastive_pairs(emb, cents, anchors, dim=64)
+
+
 def q_weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T95: fixed-size WEIGHTED sample per stratum — the T89 race ranked
     within each language (keep 10 per lang, inclusion ∝ n_chars), the
@@ -3141,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "stupid_backoff_scores": q_stupid_backoff_scores,
         "weighted_quota_sample": q_weighted_quota_sample,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -5593,5 +5612,48 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY lang
                 ORDER BY priority_e6 / CAST(n_chars AS DOUBLE) DESC, doc_id
             ) <= 10
+        """,
+        "hard_negatives": """
+            WITH cent AS (
+                SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 16
+            ), assigned AS (
+                SELECT vec_id, embedding, centroid_id, label FROM (
+                    SELECT e.vec_id, e.embedding::DOUBLE[] AS embedding,
+                           e.label, c.centroid_id,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY round(list_dot_product(
+                                   e.embedding::DOUBLE[], c.cvec), 4) DESC,
+                                        c.centroid_id) AS rn
+                    FROM embeddings e CROSS JOIN cent c
+                ) WHERE rn = 1
+            ), pairs AS (
+                SELECT a.vec_id AS anchor_id, a.label AS a_label,
+                       c.vec_id AS cand_id, c.label AS c_label,
+                       round(CASE WHEN
+                           sqrt(list_dot_product(a.embedding, a.embedding)) *
+                           sqrt(list_dot_product(c.embedding, c.embedding)) = 0
+                           THEN 0.0
+                           ELSE list_dot_product(a.embedding, c.embedding) /
+                                (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                                 sqrt(list_dot_product(c.embedding, c.embedding)))
+                       END, 4) AS cos
+                FROM assigned a JOIN assigned c USING (centroid_id)
+                WHERE a.vec_id < 20 AND a.vec_id != c.vec_id
+            ), pos AS (
+                SELECT anchor_id, a_label AS label, cand_id AS pos_id,
+                       cos AS pos_cos
+                FROM pairs WHERE a_label = c_label
+                QUALIFY row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY cos DESC, cand_id) = 1
+            ), neg AS (
+                SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos
+                FROM pairs WHERE a_label != c_label
+                QUALIFY row_number() OVER (PARTITION BY anchor_id
+                    ORDER BY cos DESC, cand_id) = 1
+            )
+            SELECT anchor_id, label, pos_id, pos_cos, neg_id, neg_cos
+            FROM pos JOIN neg USING (anchor_id)
         """,
     }

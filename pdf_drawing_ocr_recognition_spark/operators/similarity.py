@@ -912,3 +912,88 @@ def semantic_dedup(
     return assigned.join(losers, id_col, "left_anti").select(
         id_col, "centroid_id", "affinity"
     )
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    metric_round: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for each
+    anchor, the nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the hard negative) among the anchor's own
+    k-means list — the standard in-batch-hard-negatives recipe made
+    corpus-scale by bounding candidates to the IVF cell (candidates near
+    in embedding space are exactly where hard negatives live).
+
+    One broadcast argmax assignment (T10), one anchors×list join (anchor
+    set small by construction), pair cosines via the Arrow seq-fold
+    kernel, and BOTH selections are min_by hash aggregates over
+    (-cos, candidate id) — no window sort, deterministic total order.
+    Anchors missing either a positive or a negative in their list drop
+    out (documented; raise nprobe/K upstream if coverage matters).
+
+    Returns (anchor_id, label, pos_id, pos_cos, neg_id, neg_cos).
+    """
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, metric_round=metric_round, dim=dim
+    ).join(corpus.select(id_col, label_col), id_col)
+    a = (
+        assigned.join(anchors.select(id_col), id_col, "left_semi")
+        .select(
+            "centroid_id",
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("va"),
+            F.col(label_col).alias("a_label"),
+        )
+    )
+    c = assigned.select(
+        "centroid_id",
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("vc"),
+        F.col(label_col).alias("c_label"),
+    )
+    cand = a.join(c, "centroid_id").filter(
+        F.col("anchor_id") != F.col("cand_id")
+    )
+    scored = _with_pair_scores(cand, "va", "vc", "_d", "_na", "_nb").select(
+        "anchor_id",
+        "a_label",
+        "cand_id",
+        "c_label",
+        F.round(
+            _scored_cosine(F.col("_d"), F.col("_na"), F.col("_nb")),
+            metric_round,
+        ).alias("cos"),
+    )
+    best = F.min_by(
+        F.struct(F.col("cand_id"), F.col("cos")),
+        F.struct((-F.col("cos")).alias("nc"), F.col("cand_id")),
+    )
+    pos = (
+        scored.filter(F.col("c_label") == F.col("a_label"))
+        .groupBy("anchor_id", "a_label")
+        .agg(best.alias("p"))
+        .select(
+            "anchor_id",
+            F.col("a_label").alias("label"),
+            F.col("p.cand_id").alias("pos_id"),
+            F.col("p.cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("c_label") != F.col("a_label"))
+        .groupBy("anchor_id")
+        .agg(best.alias("n"))
+        .select(
+            "anchor_id",
+            F.col("n.cand_id").alias("neg_id"),
+            F.col("n.cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id")

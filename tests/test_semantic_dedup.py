@@ -89,3 +89,70 @@ def test_occupancy_guard_and_validation(spark, emb, cents):
         )
     with pytest.raises(ValueError, match="eps"):
         semantic_dedup(emb, cents, eps=0.0, dim=64)
+
+
+class TestContrastivePairs:
+    def test_pos_neg_labels_and_hardness(self, spark, emb, cents):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            contrastive_pairs,
+        )
+
+        anchors = emb.filter(F.col("vec_id") < 12)
+        out = contrastive_pairs(emb, cents, anchors, dim=64)
+        rows = out.collect()
+        assert 0 < len(rows) <= 12
+        labels = {r["vec_id"]: r["label"] for r in emb.select(
+            "vec_id", "label").collect()}
+        for r in rows:
+            assert labels[r["pos_id"]] == r["label"]
+            assert labels[r["neg_id"]] != r["label"]
+            assert r["pos_id"] != r["anchor_id"]
+            assert r["neg_id"] != r["anchor_id"]
+
+    def test_partition_invariance(self, spark, emb, cents):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            contrastive_pairs,
+        )
+
+        anchors = emb.filter(F.col("vec_id") < 8)
+        a = contrastive_pairs(emb, cents, anchors, dim=64)
+        b = contrastive_pairs(emb.repartition(9), cents, anchors, dim=64)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_positive_is_truly_nearest_same_label(self, spark, emb, cents):
+        """Brute-check one anchor against its own list: no same-label
+        candidate in the list beats the chosen positive's cosine."""
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            _scored_cosine,
+            _with_pair_scores,
+            contrastive_pairs,
+            ivf_assign,
+        )
+
+        anchors = emb.filter(F.col("vec_id") < 3)
+        out = {r["anchor_id"]: r for r in contrastive_pairs(
+            emb, cents, anchors, dim=64).collect()}
+        assigned = ivf_assign(emb, cents, dim=64, metric_round=4).join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        for aid, row in out.items():
+            cell = assigned.filter(F.col("vec_id") == aid).collect()[0]
+            av, alabel, acid = cell["embedding"], cell["label"], cell["centroid_id"]
+            cands = assigned.filter(
+                (F.col("centroid_id") == acid)
+                & (F.col("label") == alabel)
+                & (F.col("vec_id") != aid)
+            ).select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("embedding").alias("vc"),
+                F.lit(av).alias("va"),
+            )
+            best = (
+                _with_pair_scores(cands, "va", "vc", "_d", "_na", "_nb")
+                .select(F.round(_scored_cosine(
+                    F.col("_d"), F.col("_na"), F.col("_nb")), 4).alias("cos"))
+                .agg(F.max("cos"))
+                .collect()[0][0]
+            )
+            assert row["pos_cos"] == best
