@@ -2526,6 +2526,47 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T97: cross-source duplication attribution — the release-card matrix
+    "which sources duplicate which": the T3 MinHash/LSH candidate pairs
+    joined to their sources on both sides, normalized to an unordered
+    (least, greatest) source pair, with pair counts and share of all
+    candidate pairs.  Signatures shuffle, never documents; the matrix is
+    source²-bounded.  Answers the curation question 'is mirror-site X
+    flooding my corpus with copies of Y'."""
+    base = q_minhash_lsh_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    srcs = docs.select("doc_id", "source")
+    j = (
+        base.join(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    per = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    tot = per.agg(F.sum("n_pairs").alias("_t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("_t"), 4).alias("pair_share"),
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T96: contrastive-pair mining — per anchor the nearest SAME-label
     neighbor (positive) and nearest DIFFERENT-label neighbor (hard
@@ -3160,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stupid_backoff_scores": q_stupid_backoff_scores,
         "weighted_quota_sample": q_weighted_quota_sample,
         "hard_negatives": q_hard_negatives,
+        "dedup_attribution": q_dedup_attribution,
     }
 
 
@@ -5656,4 +5698,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT anchor_id, label, pos_id, pos_cos, neg_id, neg_cos
             FROM pos JOIN neg USING (anchor_id)
         """,
+        "dedup_attribution": """
+            WITH hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {{shingle5}} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{{window_mins}}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{{band_keys}}]) AS band_key FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), attributed AS (
+                SELECT least(sa.source, sb.source) AS source_a,
+                       greatest(sa.source, sb.source) AS source_b
+                FROM pairs p
+                JOIN documents sa ON p.doc_a = sa.doc_id
+                JOIN documents sb ON p.doc_b = sb.doc_id
+            ), per AS (
+                SELECT source_a, source_b,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM attributed GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_pairs,
+                   round(n_pairs / (SELECT sum(n_pairs) FROM per), 4)
+                       AS pair_share
+            FROM per
+        """.replace("{{shingle5}}", shingle5)
+        .replace("{{window_mins}}", window_mins)
+        .replace("{{band_keys}}", band_keys),
     }
