@@ -446,6 +446,34 @@ def main() -> int:
         "partial_count",  # word frequencies combine before the shuffle
         "TakeOrderedAndProject",
     )
+    # stupid backoff: unigram dim broadcast; trigram dim shuffle-joins
+    grab(
+        "stupid_backoff_scores",
+        em.q_stupid_backoff_scores(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    # weighted per-stratum quota: the same WindowGroupLimit partial-below-
+    # exchange rewrite quota_sample plan-asserts
+    grab(
+        "weighted_quota_sample",
+        em.q_weighted_quota_sample(spark, sf),
+        "WindowGroupLimit",
+    )
+    # curation composition keeps the sample's TakeOrdered at the end
+    grab(
+        "curation_pipeline",
+        em.q_curation_pipeline(spark, sf),
+        "TakeOrderedAndProject",
+        "BroadcastHashJoin",
+    )
+    # hard negatives: argmax-as-agg on both sides, no window sort
+    grab(
+        "hard_negatives",
+        em.q_hard_negatives(spark, sf),
+        "min_by",
+        "BroadcastNestedLoopJoin",
+    )
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
