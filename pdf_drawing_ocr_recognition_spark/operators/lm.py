@@ -20,7 +20,9 @@ replays bit-identically in DuckDB (no float arithmetic anywhere).
 
 Scale posture: all count dims aggregate with map-side partials; trigram
 and bigram dims shuffle-join on their own keys (too big to broadcast at
-web scale), the vocabulary-sized unigram dim broadcasts, the scored
+web scale), the vocabulary-sized unigram/context dims broadcast by
+default with a documented shuffle-join escape hatch for 10⁷⁺-type
+vocabularies (``broadcast_unigrams=False``), the scored
 subset filters BEFORE any join, and left joins + one CASE implement the
 backoff chain — no per-row Python.
 
@@ -41,6 +43,7 @@ def stupid_backoff_scores(
     text_col: str = "text",
     prune_min: int = 2,
     score_pred: Column | None = None,
+    broadcast_unigrams: bool = True,
 ) -> DataFrame:
     """Per-document mean Stupid-Backoff trigram score (quantized ×1e6).
 
@@ -80,13 +83,18 @@ def stupid_backoff_scores(
     u3 = tri.groupBy("w3").agg(F.count(F.lit(1)).alias("nu"))
     tot = tri.agg(F.count(F.lit(1)).alias("nn"))
 
+    # the unigram/context dims are VOCABULARY-sized: broadcastable for the
+    # ≲10⁶-type corpora these tests run, but at web scale (10⁷-10⁸ word
+    # types) pass broadcast_unigrams=False and they shuffle-join on their
+    # keys like the trigram/bigram dims — same results, one more exchange
+    dim = F.broadcast if broadcast_unigrams else (lambda d: d)
     stream = tri if score_pred is None else tri.filter(score_pred)
     scored = (
         stream.join(c3, ["w1", "w2", "w3"], "left")
         .join(c12, ["w1", "w2"])
         .join(b23, ["w2", "w3"], "left")
-        .join(F.broadcast(c2), "w2")
-        .join(F.broadcast(u3), "w3")
+        .join(dim(c2), "w2")
+        .join(dim(u3), "w3")
         .crossJoin(F.broadcast(tot))
     )
     # integer-only backoff chain: α = 2/5 ⇒ the three branches are

@@ -78,3 +78,12 @@ def test_partition_invariance_and_pred(spark, corpus):
 def test_validation(spark, corpus):
     with pytest.raises(ValueError):
         stupid_backoff_scores(corpus, prune_min=0)
+
+
+def test_broadcast_off_identical(spark, corpus):
+    """broadcast_unigrams=False (the web-scale-vocab path) is result-
+    identical — only the join strategy changes."""
+    a = stupid_backoff_scores(corpus)
+    b = stupid_backoff_scores(corpus, broadcast_unigrams=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
