@@ -3057,6 +3057,30 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T98: HyperLogLog distinct-word sketch per language — the mergeable,
+    storable distinct-count TABLE that `approx_count_distinct` computes
+    internally but never exposes (Flajolet et al. 2007).  The build is one
+    codegen rho projection + one map-side-combinable `max` hash agg whose
+    exchange carries <= m=256 rows per lang regardless of vocabulary size;
+    registers and the integer-scaled harmonic denominator are exact BIGINTs
+    and the raw estimate is ONE literal/integer IEEE division, so the whole
+    sketch replays bit-identically in DuckDB (rho via TRIM/LENGTH/BIN —
+    char-identity probed).  Small-range linear counting (ln, libm-bound)
+    stays driver-side in `hll_cardinality` by design."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        hll_build,
+        hll_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    regs = hll_build(toks, "w", group_cols=("lang",), bucket_hex=2)
+    return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -3192,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "source_concentration": q_source_concentration,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hll_distinct_words": q_hll_distinct_words,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -3349,6 +3374,17 @@ def _frame_dims() -> tuple[int, int, int]:
     h2, w2 = build_page_image(PATTERNS["fullpage"], [{"text": "d10_f0"}]).shape
     assert h1 == h2
     return h1, w1, w2
+
+
+def _hll_numer() -> str:
+    """The alpha_m * m^2 * 2^49 literal for bucket_hex=2 — ONE double from
+    the same function the Spark summary uses (single source of truth), so
+    both engines evaluate the identical `round(lit / scaled_sum, 4)`."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        hll_alpha_numerator,
+    )
+
+    return repr(hll_alpha_numerator(2))
 
 
 def _minhash_sql(n_hashes: int = 16) -> str:
@@ -5360,6 +5396,39 @@ def oracle_sql() -> dict[str, str]:
                    round(top_n / n_total, 6) AS top_share
             FROM agg
         """,
+        "hll_distinct_words": """
+            WITH toks AS (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), st AS (
+                SELECT lang, substr(md5(w), 1, 2) AS bucket,
+                       trim(LEADING '0' FROM substr(md5(w), 3, 12)) AS s
+                FROM toks WHERE w IS NOT NULL
+            ), regs AS (
+                SELECT lang, bucket,
+                       max(CASE WHEN s = '' THEN 49
+                            ELSE 4 * (12 - length(s)) + 5
+                                 - length(bin(instr('123456789abcdef',
+                                                    substr(s, 1, 1))))
+                       END) AS reg
+                FROM st GROUP BY 1, 2
+            ), agg AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS filled_buckets,
+                       CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                           AS ps
+                FROM regs GROUP BY 1
+            )
+            SELECT lang, filled_buckets,
+                   CAST(256 - filled_buckets AS BIGINT) AS zero_buckets,
+                   CAST(ps + (256 - filled_buckets)
+                             * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+                       AS scaled_sum,
+                   round(__HLL_NUMER__
+                         / CAST(ps + (256 - filled_buckets)
+                                     * (CAST(1 AS BIGINT) << 49) AS DOUBLE),
+                         4) AS est_raw
+            FROM agg ORDER BY lang
+        """.replace("__HLL_NUMER__", _hll_numer()),
         "cms_heavy_hitters": """
             WITH toks AS (
                 SELECT unnest(string_split(lower(text), ' ')) AS w

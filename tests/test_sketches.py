@@ -84,3 +84,95 @@ def test_validation(spark, tokens):
         cms_build(tokens, "w", depth=0)
     with pytest.raises(ValueError):
         cms_build(tokens, "w", prefix_len=0)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+from pdf_drawing_ocr_recognition_spark.operators.sketches import (  # noqa: E402
+    hll_build,
+    hll_cardinality,
+    hll_merge,
+    hll_summary,
+)
+
+
+@pytest.fixture(scope="module")
+def hll_stream(spark):
+    """20k rows over exactly 5000 distinct keys (each appears ~4x) — the
+    duplication is the point: HLL must see through repeats."""
+    return (
+        spark.range(20000)
+        .select(F.concat(F.lit("k"), (F.col("id") % 5000).cast("string")).alias("k"))
+        .cache()
+    )
+
+
+def test_hll_estimate_accuracy(spark, hll_stream):
+    """Raw estimate within 3 sigma (sigma = 1.04/sqrt(m) ~ 6.5% at m=256)
+    of the true 5000 distinct; and duplicates don't move the registers
+    (sketch(stream) register-identical to sketch(distinct(stream)))."""
+    regs = hll_build(hll_stream, "k", bucket_hex=2)
+    [row] = hll_summary(regs, bucket_hex=2).collect()
+    est = hll_cardinality(
+        row["filled_buckets"], row["zero_buckets"], row["est_raw"], bucket_hex=2
+    )
+    assert abs(est - 5000) / 5000 < 0.20, est
+    regs_distinct = hll_build(hll_stream.distinct(), "k", bucket_hex=2)
+    assert sorted(map(tuple, regs.collect())) == sorted(
+        map(tuple, regs_distinct.collect())
+    )
+
+
+def test_hll_merge_equals_whole(spark, hll_stream):
+    """Register-wise max of two half-stream sketches is register-identical
+    to the whole-stream sketch — the mergeability that lets per-day partial
+    sketches combine without re-reading the corpus."""
+    with_id = hll_stream.withColumn("_r", F.monotonically_increasing_id())
+    a = with_id.filter(F.col("_r") % 2 == 0).select("k")
+    b = with_id.filter(F.col("_r") % 2 == 1).select("k")
+    merged = hll_merge(hll_build(a, "k"), hll_build(b, "k"))
+    whole = hll_build(hll_stream, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_linear_counting_small_range(spark):
+    """At 30 distinct << m=256 the raw harmonic estimate biases high and
+    the linear-counting branch (zero buckets remain, est <= 2.5m) must
+    engage and land within 15% of truth."""
+    small = spark.range(30).select(F.concat(F.lit("s"), F.col("id")).alias("k"))
+    [row] = hll_summary(hll_build(small, "k"), bucket_hex=2).collect()
+    assert row["zero_buckets"] > 0
+    est = hll_cardinality(
+        row["filled_buckets"], row["zero_buckets"], row["est_raw"], bucket_hex=2
+    )
+    assert est != row["est_raw"]  # the correction branch actually fired
+    assert abs(est - 30) / 30 < 0.15, est
+
+
+def test_hll_partition_invariance(spark, hll_stream):
+    """max is commutative/associative: registers and summary are identical
+    under any repartitioning."""
+    s1 = hll_summary(hll_build(hll_stream, "k")).collect()
+    s2 = hll_summary(hll_build(hll_stream.repartition(13), "k")).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+
+
+def test_hll_grouped_and_validation(spark, hll_stream):
+    """Per-group sketches are independent (same keys in two groups give
+    identical registers), and bucket_hex is range-checked."""
+    two = hll_stream.withColumn("g", F.lit("a")).unionByName(
+        hll_stream.withColumn("g", F.lit("b"))
+    )
+    summ = {
+        r["g"]: (r["filled_buckets"], r["scaled_sum"])
+        for r in hll_summary(hll_build(two, "k", ("g",)), ("g",)).collect()
+    }
+    assert summ["a"] == summ["b"]
+    with pytest.raises(ValueError):
+        hll_build(hll_stream, "k", bucket_hex=0)
+    with pytest.raises(ValueError):
+        hll_summary(hll_build(hll_stream, "k"), bucket_hex=9)

@@ -402,6 +402,22 @@ def main() -> int:
         "BroadcastHashJoin",  # probe joins the broadcast sketch dim
         "TakeOrderedAndProject",  # top-20, never a global sort
     )
+    # hll registers: map-side partial max hash agg (exchange carries <= m
+    # rows per group), rho is pure codegen — no Python stage anywhere
+    grab(
+        "hll_distinct_words",
+        em.q_hll_distinct_words(spark, sf),
+        "partial_max",
+        "HashAggregate",
+    )
+    hll_plan = sections[-1][1]
+    checks.append(
+        (
+            "hll_distinct_words",
+            "no Python eval in sketch build (codegen rho)",
+            "BatchEvalPython" not in hll_plan and "MapInPandas" not in hll_plan,
+        )
+    )
     # classifier inference: broadcast 256-row weight dim, partial agg
     grab(
         "quality_classifier_scores",
