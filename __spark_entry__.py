@@ -3081,6 +3081,22 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T99: distributed PCA, corpus-touching stage — ONE pass accumulating
+    the 64x64 integer Gram upper triangle, first-order sums (j=-1) and row
+    count (i=j=-1) from quantized embeddings (floor(e*2^20+0.5), every step
+    IEEE-exact).  Per-partition NumPy computes Q.T@Q and emits 2145 scalar
+    rows; the final hash agg sums partials — the exchange never carries an
+    embedding.  All accumulators exact int64, so this stage replays
+    bit-identically in DuckDB; the driver-side 64x64 eigh + projection are
+    pinned by a pure-NumPy twin in pytest (the T90 contract: the
+    corpus-touching stage is the oracle)."""
+    from pdf_drawing_ocr_recognition_spark.operators.pca import gram_moments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_moments(emb, "embedding", 64, scale_bits=20)
+
+
 ROBOTS_RULES = [
     ("src0.example.com", "/", False),
     ("src0.example.com", "/article/", True),
@@ -3217,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct_words": q_hll_distinct_words,
+        "pca_gram": q_pca_gram,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5395,6 +5412,31 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "pca_gram": """
+            WITH q AS (
+                SELECT list_transform(
+                           embedding,
+                           e -> CAST(floor(CAST(e AS DOUBLE) * 1048576.0
+                                           + 0.5) AS BIGINT)) AS qs
+                FROM embeddings
+            ), idx AS (
+                SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS d
+            ), pairs AS (
+                SELECT a.d AS i, b.d AS j
+                FROM idx a CROSS JOIN idx b WHERE b.d >= a.d
+            )
+            SELECT p.i, p.j,
+                   CAST(sum(q.qs[p.i + 1] * q.qs[p.j + 1]) AS BIGINT) AS s
+            FROM q CROSS JOIN pairs p GROUP BY 1, 2
+            UNION ALL
+            SELECT idx.d AS i, CAST(-1 AS INT) AS j,
+                   CAST(sum(q.qs[idx.d + 1]) AS BIGINT) AS s
+            FROM q CROSS JOIN idx GROUP BY 1, 2
+            UNION ALL
+            SELECT CAST(-1 AS INT), CAST(-1 AS INT),
+                   CAST(count(*) AS BIGINT)
+            FROM q
         """,
         "hll_distinct_words": """
             WITH toks AS (

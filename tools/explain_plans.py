@@ -418,6 +418,22 @@ def main() -> int:
             "BatchEvalPython" not in hll_plan and "MapInPandas" not in hll_plan,
         )
     )
+    # pca gram: one Arrow pass emitting scalar moment rows, map-side
+    # partial sum — the exchange never carries an embedding
+    grab(
+        "pca_gram",
+        em.q_pca_gram(spark, sf),
+        "MapInPandas",
+        "partial_sum",
+    )
+    pca_plan = sections[-1][1]
+    checks.append(
+        (
+            "pca_gram",
+            "single Arrow stage (no join/window in the moment pass)",
+            "Join" not in pca_plan and "Window" not in pca_plan,
+        )
+    )
     # classifier inference: broadcast 256-row weight dim, partial agg
     grab(
         "quality_classifier_scores",
