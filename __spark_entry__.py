@@ -3081,6 +3081,22 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T100: duplicate-aware soft dedup — instead of dropping near-dups,
+    every member of a T45 connected component keeps weight = 1/cluster_size
+    (exact ppm integer) so each cluster contributes ~one document of
+    sampling mass while no text is discarded.  Non-paired docs are
+    singletons at full weight.  Signatures shuffle, never documents; the
+    size agg is component-keyed.  All-integer arithmetic end to end."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return soft_dedup_weights(docs, pairs, "doc_id")
+
+
 def q_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T99: distributed PCA, corpus-touching stage — ONE pass accumulating
     the 64x64 integer Gram upper triangle, first-order sums (j=-1) and row
@@ -3234,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct_words": q_hll_distinct_words,
         "pca_gram": q_pca_gram,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -4043,6 +4060,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, least(u, min(v)) AS component
             FROM reach GROUP BY u
+        """,
+        "soft_dedup_weights": f"""
+            WITH RECURSIVE hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), reach AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            ), comp AS (
+                SELECT u AS doc_id, least(u, min(v)) AS component
+                FROM reach GROUP BY u
+            ), allc AS (
+                SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS component
+                FROM documents d LEFT JOIN comp c USING (doc_id)
+            ), sz AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM allc GROUP BY 1
+            )
+            SELECT a.doc_id, a.component, s.cluster_size,
+                   CAST(1000000 // s.cluster_size AS BIGINT) AS weight_ppm
+            FROM allc a JOIN sz s USING (component)
         """,
         "dedup_representatives": f"""
             WITH RECURSIVE hashed AS (

@@ -820,3 +820,51 @@ def exact_substring_dedupe(
         f"{key_col} {key_ddl}, {text_col} string, "
         "n_tokens_kept bigint, n_tokens_dropped bigint",
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Duplicate-aware RE-WEIGHTING — the soft alternative to dropping:
+    every member of a near-dup cluster keeps ``weight = 1/cluster_size``
+    (exact ppm integer, ``weight_scale DIV size``) so the cluster's total
+    sampling mass stays ~one document while no text is discarded (loss-
+    weighting / repetition-discounting recipe, e.g. SlimPajama-style soft
+    dedup).  Docs in no candidate pair are singletons at full weight.
+
+    Shape: the T45 large-star/small-star components over the pair graph
+    (signatures shuffled, never documents), a LEFT join back to the corpus
+    ids, and one component-keyed size agg re-joined on its own key —
+    weights are pure integer arithmetic, so the whole operator replays in
+    ANSI SQL (``soft_dedup_weights`` oracle).
+
+    Returns ``(id_col, component, cluster_size, weight_ppm)``.
+    """
+    if weight_scale < 1:
+        raise ValueError(f"weight_scale must be >= 1, got {weight_scale}")
+    comp = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "node", id_col
+    )
+    allc = (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("component")
+        )
+    )
+    sizes = allc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return allc.join(sizes, "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        F.expr(f"CAST({weight_scale} DIV cluster_size AS BIGINT)").alias(
+            "weight_ppm"
+        ),
+    )

@@ -940,3 +940,53 @@ class TestExactSubstringDedupe:
         got = self._result(sub_docs.repartition(5))
         assert got[1]["text"] == "a e f"
         assert got[6]["text"] == ""
+
+
+class TestSoftDedupWeights:
+    """T100: duplicate-aware reweighting over the component graph."""
+
+    def _run(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+        # chain {0,1,2} (transitive), pair {3,4}; 5,6,7 singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+        )
+        return {
+            r["doc_id"]: (r["component"], r["cluster_size"], r["weight_ppm"])
+            for r in soft_dedup_weights(docs, pairs, "doc_id").collect()
+        }
+
+    def test_hand_graph_weights(self, spark):
+        got = self._run(spark)
+        assert got[0] == (0, 3, 333333) and got[1] == (0, 3, 333333)
+        assert got[2] == (0, 3, 333333)
+        assert got[3] == (3, 2, 500000) and got[4] == (3, 2, 500000)
+        for s in (5, 6, 7):
+            assert got[s] == (s, 1, 1000000)
+
+    def test_mass_conservation_bound(self, spark):
+        """Each cluster's total weight is <= 1 doc of mass and within one
+        floor-rounding ppm per member of exactly 1."""
+        got = self._run(spark)
+        by_comp = {}
+        for comp, size, w in got.values():
+            by_comp.setdefault(comp, []).append((size, w))
+        for comp, members in by_comp.items():
+            size = members[0][0]
+            total = sum(w for _, w in members)
+            assert total <= 1_000_000
+            assert total > 1_000_000 - size  # floor loses < 1 ppm per member
+
+    def test_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        with pytest.raises(ValueError):
+            soft_dedup_weights(docs, pairs, "doc_id", weight_scale=0)
