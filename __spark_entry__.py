@@ -3081,6 +3081,34 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+def q_source_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T101: source semantic-redundancy matrix — cosine between SOURCE
+    CENTROIDS in embedding space (the 'which sources say the same thing'
+    release-card view; T97 gives the verbatim-copy twin).  Centroid
+    division is skipped (cosine is scale-invariant): per-source per-dim
+    SUMS of quantized int64 embeddings are exact, map-side-combined to
+    sources x 64 rows, and the sourceSq-bounded dim frame folds
+    sequentially in double — replaying exactly as DuckDB's
+    list_dot_product.  Embeddings attach to sources via vec_id = doc_id
+    (the testdata contract)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        group_centroid_cosines,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    joined = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+    )
+    return group_centroid_cosines(joined, "embedding", "source", dim=64).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_a",
+        "n_b",
+        "cos_centroid",
+    )
+
+
 def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T100: duplicate-aware soft dedup — instead of dropping near-dups,
     every member of a T45 connected component keeps weight = 1/cluster_size
@@ -3251,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_words": q_hll_distinct_words,
         "pca_gram": q_pca_gram,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "source_redundancy": q_source_redundancy,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5464,6 +5493,35 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "source_redundancy": """
+            WITH src AS (
+                SELECT d.source, e.embedding
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            ), idx AS (
+                SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS d
+            ), sums AS (
+                SELECT source, i.d,
+                       CAST(sum(CAST(floor(
+                           CAST(embedding[i.d + 1] AS DOUBLE) * 1048576.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS s
+                FROM src CROSS JOIN idx i GROUP BY 1, 2
+            ), cnt AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM src GROUP BY 1
+            ), vecs AS (
+                SELECT source, list(CAST(s AS DOUBLE) ORDER BY d) AS v
+                FROM sums GROUP BY 1
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(list_dot_product(a.v, b.v)
+                         / nullif(sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                         6) AS cos_centroid
+            FROM vecs a JOIN vecs b ON a.source < b.source
+            JOIN cnt ca ON ca.source = a.source
+            JOIN cnt cb ON cb.source = b.source
         """,
         "pca_gram": """
             WITH q AS (

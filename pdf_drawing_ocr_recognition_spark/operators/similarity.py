@@ -997,3 +997,87 @@ def contrastive_pairs(
         )
     )
     return pos.join(neg, "anchor_id")
+
+
+def group_centroid_cosines(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Semantic-redundancy matrix between groups (sources, languages,
+    snapshots): cosine similarity between each pair of GROUP CENTROIDS in
+    embedding space — the release-card view 'which sources say the same
+    thing' that T97's duplication matrix gives for verbatim copies.
+
+    Exactness/scale shape: cosine is scale-invariant, so the centroid
+    division by n is skipped entirely and the cosine is taken between the
+    per-group per-dimension SUM vectors — sums of quantized int64
+    (``floor(e·2^scale_bits + 0.5)``, IEEE-exact) so the corpus-touching
+    aggregation is exact integers that no shuffle order can perturb.  The
+    explode is map-side-combined to groups × dim rows; the final cross
+    join is groups²-bounded (a dim frame), where the int sums (< 2^53 for
+    ~1e10 docs/group at the default scale) cast losslessly to double and
+    fold sequentially (the repo's bitwise-stable dot), replaying exactly
+    as DuckDB's ``list_dot_product``.  A group whose sum vector is exactly
+    zero yields NULL cosine (nullif-guarded 0/0 — surfaced, not
+    hidden, and ANSI-mode safe).
+
+    Returns ``(group_a, group_b, n_a, n_b, cos_centroid)`` for group_a <
+    group_b with cos rounded to 6 places.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    sc = repr(float(1 << scale_bits))
+    g = group_col
+    q = df.select(
+        F.col(g).alias("_g"), F.posexplode(F.col(vec_col)).alias("d", "_e")
+    ).select(
+        "_g",
+        "d",
+        F.expr(f"CAST(floor(CAST(_e AS DOUBLE) * {sc} + 0.5) AS BIGINT)").alias(
+            "_q"
+        ),
+    )
+    sums = q.groupBy("_g", "d").agg(F.sum("_q").cast("bigint").alias("_s"))
+    cnt = df.groupBy(F.col(g).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    vecs = (
+        sums.groupBy("_g")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "_s"))),
+                lambda x: x["_s"].cast("double"),
+            ).alias("_v")
+        )
+        .join(cnt, "_g")
+    )
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = vecs.select(
+        F.col("_g").alias("group_a"), F.col("_v").alias("_va"), F.col("_n").alias("n_a")
+    )
+    b = vecs.select(
+        F.col("_g").alias("group_b"), F.col("_v").alias("_vb"), F.col("_n").alias("n_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    va, vb = F.col("_va"), F.col("_vb")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(
+            _dot(va, vb)
+            / F.nullif(F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)), F.lit(0.0)),
+            6,
+        ).alias("cos_centroid"),
+    )

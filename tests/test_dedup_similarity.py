@@ -990,3 +990,62 @@ class TestSoftDedupWeights:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         with pytest.raises(ValueError):
             soft_dedup_weights(docs, pairs, "doc_id", weight_scale=0)
+
+
+class TestGroupCentroidCosines:
+    """T101: semantic-redundancy matrix between group centroids."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, v array<float>")
+
+    def test_known_geometry(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            group_centroid_cosines,
+        )
+
+        d = 4
+        ex = [1.0, 0.0, 0.0, 0.0]
+        ey = [0.0, 1.0, 0.0, 0.0]
+        rows = (
+            [("a", ex)] * 3                      # centroid along x
+            + [("b", ey)] * 2                    # centroid along y -> cos 0
+            + [("c", [2 * x for x in ex])] * 2   # same direction as a -> cos 1
+        )
+        out = {
+            (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["cos_centroid"])
+            for r in group_centroid_cosines(self._df(spark, rows), "v", "g", d).collect()
+        }
+        assert out[("a", "b")] == (3, 2, 0.0)
+        assert out[("a", "c")] == (3, 2, 1.0)
+        assert out[("b", "c")] == (2, 2, 0.0)
+
+    def test_opposite_and_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            group_centroid_cosines,
+        )
+
+        rows = [("a", [1.0, 1.0]), ("b", [-0.5, -0.5]), ("b", [-1.0, -1.0])]
+        df = self._df(spark, rows)
+        r1 = sorted(map(tuple, group_centroid_cosines(df, "v", "g", 2).collect()))
+        r2 = sorted(
+            map(
+                tuple,
+                group_centroid_cosines(df.repartition(5), "v", "g", 2).collect(),
+            )
+        )
+        assert r1 == r2
+        assert r1[0][4] == -1.0  # anti-aligned centroids
+
+    def test_zero_centroid_null_and_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            group_centroid_cosines,
+        )
+
+        rows = [("a", [1.0, 0.0]), ("z", [1.0, -1.0]), ("z", [-1.0, 1.0])]
+        out = {
+            (r["group_a"], r["group_b"]): r["cos_centroid"]
+            for r in group_centroid_cosines(self._df(spark, rows), "v", "g", 2).collect()
+        }
+        assert out[("a", "z")] is None  # 0/0 surfaced, not hidden
+        with pytest.raises(ValueError):
+            group_centroid_cosines(self._df(spark, rows), "v", "g", 0)
