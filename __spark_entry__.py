@@ -3081,6 +3081,27 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+def q_bitext_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T102: bitext-style mutual-top-1 alignment mining between two corpus
+    partitions (labels 0 and 1 stand in for the two languages): a pair
+    survives only when each side is the other's cosine top-1
+    (forward/backward agreement — the CCMatrix hub-killer), with margin =
+    cos(top1) - cos(top2) as confidence (Artetxe & Schwenk 2019, absolute
+    variant).  Cosines rounded before ranking so both engines order
+    identical values; scoring is one Arrow pass over a broadcast right
+    side; at corpus scale the candidate frame is IVF-cell-bounded first
+    (T96's bound)."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        mutual_top1_alignment,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return mutual_top1_alignment(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+    ).orderBy("src_id")
+
+
 def q_source_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T101: source semantic-redundancy matrix — cosine between SOURCE
     CENTROIDS in embedding space (the 'which sources say the same thing'
@@ -3280,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_gram": q_pca_gram,
         "soft_dedup_weights": q_soft_dedup_weights,
         "source_redundancy": q_source_redundancy,
+        "bitext_alignment": q_bitext_alignment,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5493,6 +5515,44 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "bitext_alignment": """
+            WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE label = 0),
+            r AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE label = 1),
+            s AS (
+                SELECT l.vec_id AS src_id, r.vec_id AS tgt_id,
+                       round(CASE WHEN sqrt(list_dot_product(l.v, l.v))
+                                       * sqrt(list_dot_product(r.v, r.v)) = 0
+                                  THEN 0.0
+                                  ELSE list_dot_product(l.v, r.v)
+                                       / (sqrt(list_dot_product(l.v, l.v))
+                                          * sqrt(list_dot_product(r.v, r.v)))
+                             END, 6) AS c
+                FROM l CROSS JOIN r
+            ), fwd AS (
+                SELECT src_id, tgt_id, c,
+                       row_number() OVER (PARTITION BY src_id
+                                          ORDER BY c DESC, tgt_id ASC) AS rn
+                FROM s
+            ), f1 AS (
+                SELECT src_id, tgt_id, c AS c1 FROM fwd WHERE rn = 1
+            ), f2 AS (
+                SELECT src_id, c AS c2 FROM fwd WHERE rn = 2
+            ), bwd AS (
+                SELECT tgt_id, src_id AS best_src FROM (
+                    SELECT src_id, tgt_id,
+                           row_number() OVER (PARTITION BY tgt_id
+                                              ORDER BY c DESC, src_id ASC) AS rn
+                    FROM s
+                ) WHERE rn = 1
+            )
+            SELECT f1.src_id, f1.tgt_id, f1.c1 AS cos,
+                   round(f1.c1 - f2.c2, 6) AS margin
+            FROM f1 LEFT JOIN f2 USING (src_id)
+            JOIN bwd ON bwd.tgt_id = f1.tgt_id AND bwd.best_src = f1.src_id
+            ORDER BY f1.src_id
         """,
         "source_redundancy": """
             WITH src AS (

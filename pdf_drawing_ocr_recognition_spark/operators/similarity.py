@@ -1081,3 +1081,66 @@ def group_centroid_cosines(
             6,
         ).alias("cos_centroid"),
     )
+
+
+def mutual_top1_alignment(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Bitext-style alignment mining (the CCMatrix/LASER recipe made
+    engine-shaped): a (left, right) pair is kept only when each side is the
+    other's cosine TOP-1 — forward/backward agreement kills the hub
+    vectors that one-directional nearest-neighbor mining floods on — and
+    each kept pair carries ``margin = cos(top1) - cos(top2)`` as the
+    confidence signal (absolute-margin variant of Artetxe & Schwenk 2019).
+
+    Shape: the right side broadcasts (query-set smallness premise, same as
+    ``brute_force_topk``); scoring is one Arrow pass (``_with_pair_scores``
+    — no giant unrolled codegen), cosines are rounded FIRST so both rank
+    windows order identical values in any engine, and the two windows +
+    self-join replay verbatim in SQL.  At corpus scale, bound candidates
+    to IVF cells first (T96 ``contrastive_pairs``' bound) and feed the
+    cell-joined frame here.
+
+    Returns ``(src_id, tgt_id, cos, margin)``; margin is NULL when the
+    right side has a single row (no top-2 to compare).
+    """
+    l = left.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_va"))
+    r = right.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_vb"))
+    scored = _with_pair_scores(
+        l.crossJoin(F.broadcast(r)), "_va", "_vb", "_d", "_na", "_nb"
+    ).select(
+        "src_id",
+        "tgt_id",
+        F.round(
+            _scored_cosine(F.col("_d"), F.col("_na"), F.col("_nb")), round_to
+        ).alias("_c"),
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("_c"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("_c"), F.asc("src_id"))
+    fwd = scored.withColumn("_rn", F.row_number().over(wf)).filter(
+        F.col("_rn") <= 2
+    )
+    f1 = fwd.filter(F.col("_rn") == 1).select(
+        "src_id", "tgt_id", F.col("_c").alias("_c1")
+    )
+    f2 = fwd.filter(F.col("_rn") == 2).select("src_id", F.col("_c").alias("_c2"))
+    bwd = (
+        scored.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") == 1)
+        .select("tgt_id", F.col("src_id").alias("_best_src"))
+    )
+    return (
+        f1.join(f2, "src_id", "left")
+        .join(bwd, "tgt_id")
+        .filter(F.col("_best_src") == F.col("src_id"))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("_c1").alias("cos"),
+            F.round(F.col("_c1") - F.col("_c2"), round_to).alias("margin"),
+        )
+    )

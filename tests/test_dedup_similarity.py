@@ -1049,3 +1049,70 @@ class TestGroupCentroidCosines:
         assert out[("a", "z")] is None  # 0/0 surfaced, not hidden
         with pytest.raises(ValueError):
             group_centroid_cosines(self._df(spark, rows), "v", "g", 0)
+
+
+class TestMutualTop1Alignment:
+    """T102: bitext-style forward/backward top-1 agreement + margin."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_mutual_agreement_geometry(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            mutual_top1_alignment,
+        )
+
+        left = self._df(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+        right = self._df(
+            spark, [(10, [0.9, 0.1]), (11, [0.1, 0.9]), (12, [0.8, 0.2])]
+        )
+        out = {
+            r["src_id"]: (r["tgt_id"], r["cos"], r["margin"])
+            for r in mutual_top1_alignment(left, right).collect()
+        }
+        # 0<->10 and 1<->11 are mutual; 12 points at 0 but 0 prefers 10
+        assert set(out) == {0, 1}
+        assert out[0][0] == 10 and out[1][0] == 11
+        assert out[0][1] > 0.99 and out[0][2] > 0
+        assert all(12 != v[0] for v in out.values())
+
+    def test_hub_is_killed(self, spark):
+        """A right-side hub that is top-1 for BOTH lefts can satisfy
+        backward agreement for only one of them — the other pair dies
+        (the one-directional-mining failure this operator exists to fix)."""
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            mutual_top1_alignment,
+        )
+
+        left = self._df(spark, [(0, [1.0, 0.2]), (1, [1.0, 0.3])])
+        right = self._df(spark, [(10, [1.0, 0.25])])  # hub for both
+        out = mutual_top1_alignment(left, right).collect()
+        assert len(out) == 1
+        [r] = out
+        assert r["margin"] is None  # single right row: no top-2
+        # backward top-1 of the hub is the closer left (0.25 ~ 0.2 vs 0.3):
+        assert r["src_id"] in (0, 1) and r["tgt_id"] == 10
+
+    def test_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            mutual_top1_alignment,
+        )
+
+        import random
+
+        rng = random.Random(3)
+        left = self._df(
+            spark, [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+        )
+        right = self._df(
+            spark,
+            [(100 + i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)],
+        )
+        a = sorted(map(tuple, mutual_top1_alignment(left, right).collect()))
+        b = sorted(
+            map(
+                tuple,
+                mutual_top1_alignment(left.repartition(7), right.repartition(3)).collect(),
+            )
+        )
+        assert a == b and len(a) >= 1
