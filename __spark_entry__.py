@@ -3081,6 +3081,40 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+TAXONOMY = [
+    ("join", "joins"),
+    ("merge", "joins"),
+    ("hash", "joins"),
+    ("table", "storage"),
+    ("scan", "storage"),
+    ("column", "storage"),
+    ("row", "storage"),
+    ("stream", "streaming"),
+    ("batch", "streaming"),
+    ("window", "streaming"),
+    ("vector", "ml"),
+    ("embedding", "ml"),
+]
+
+
+def q_taxonomy_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T103: keyword-taxonomy tagging — the broadcast-dictionary domain
+    classifier behind release-card composition shares: tokenize (codegen
+    split), explode, BROADCAST join the (term -> topic) dim, per-(doc,
+    topic) hit counts, then the per-(lang, topic) profile.  The corpus
+    never shuffles by token; the only exchanges are map-side-combinable
+    hash aggs bounded by docs x topics.  All-integer, replays in SQL."""
+    from pdf_drawing_ocr_recognition_spark.operators.tagging import (
+        tag_documents,
+        topic_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tax = spark.createDataFrame(TAXONOMY, "term string, topic string")
+    tagged = tag_documents(docs, tax)
+    return topic_profile(tagged, docs, group_col="lang").orderBy("lang", "topic")
+
+
 def q_bitext_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T102: bitext-style mutual-top-1 alignment mining between two corpus
     partitions (labels 0 and 1 stand in for the two languages): a pair
@@ -3302,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": q_soft_dedup_weights,
         "source_redundancy": q_source_redundancy,
         "bitext_alignment": q_bitext_alignment,
+        "taxonomy_tags": q_taxonomy_tags,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -3459,6 +3494,12 @@ def _frame_dims() -> tuple[int, int, int]:
     h2, w2 = build_page_image(PATTERNS["fullpage"], [{"text": "d10_f0"}]).shape
     assert h1 == h2
     return h1, w1, w2
+
+
+def _taxonomy_values() -> str:
+    """The T103 taxonomy dim as a VALUES list — same Python literal the
+    Spark query builds its DataFrame from (single source of truth)."""
+    return ", ".join(f"('{t}', '{p}')" for t, p in TAXONOMY)
 
 
 def _hll_numer() -> str:
@@ -5515,6 +5556,24 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "taxonomy_tags": f"""
+            WITH tax AS (
+                SELECT DISTINCT lower(term) AS term, topic
+                FROM (VALUES {_taxonomy_values()}) AS t(term, topic)
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            ), tagged AS (
+                SELECT t.doc_id, x.topic, CAST(count(*) AS BIGINT) AS n_hits
+                FROM toks t JOIN tax x ON t.tok = x.term
+                GROUP BY 1, 2
+            )
+            SELECT d.lang, g.topic, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(g.n_hits) AS BIGINT) AS n_hits
+            FROM tagged g JOIN documents d USING (doc_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "bitext_alignment": """
             WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v

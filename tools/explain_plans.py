@@ -434,6 +434,13 @@ def main() -> int:
             "Join" not in pca_plan and "Window" not in pca_plan,
         )
     )
+    # taxonomy tagging: the term dim broadcasts, counts combine map-side
+    grab(
+        "taxonomy_tags",
+        em.q_taxonomy_tags(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
     # classifier inference: broadcast 256-row weight dim, partial agg
     grab(
         "quality_classifier_scores",
