@@ -3097,6 +3097,23 @@ TAXONOMY = [
 ]
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T104: curriculum ordering — fixed-threshold difficulty bins over the
+    T12 quality score (a pure codegen projection, NOT ntile whose global
+    window is a single-partition sort) + a deterministic md5 shuffle
+    position within each bin (rank window PARTITIONED BY bin — each bin
+    sorts independently).  The training order is the lexicographic
+    (bin, pos_in_bin); no global sequence is ever materialized."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import quality_score
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        curriculum_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    return curriculum_order(scored, "doc_id", "quality", n_bins=4, seed="cur1")
+
+
 def q_taxonomy_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T103: keyword-taxonomy tagging — the broadcast-dictionary domain
     classifier behind release-card composition shares: tokenize (codegen
@@ -3337,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_redundancy": q_source_redundancy,
         "bitext_alignment": q_bitext_alignment,
         "taxonomy_tags": q_taxonomy_tags,
+        "curriculum_order": q_curriculum_order,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5556,6 +5574,33 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "curriculum_order": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       round((
+                           (CASE WHEN {wc} >= 20 THEN 1.0
+                                 ELSE {wc} / 20.0 END) +
+                           (CASE WHEN {punct} <= 0.2 THEN 1.0
+                                 ELSE greatest(0.0,
+                                               1.0 - ({punct} - 0.2) * 5) END) +
+                           (CASE WHEN {stop_ratio} >= 0.05 THEN 1.0
+                                 ELSE {stop_ratio} / 0.05 END)
+                       ) / 3.0, 4) AS quality
+                FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                      FROM documents)
+            ), binned AS (
+                SELECT doc_id, quality,
+                       CAST(least(3, CAST(floor(quality * 4) AS INT)) AS INT)
+                           AS bin,
+                       md5('cur1:' || CAST(doc_id AS VARCHAR)) AS shuf
+                FROM scored
+            )
+            SELECT doc_id, quality, bin,
+                   CAST(row_number() OVER (PARTITION BY bin
+                                           ORDER BY shuf ASC, doc_id ASC)
+                        AS INT) AS pos_in_bin
+            FROM binned
         """,
         "taxonomy_tags": f"""
             WITH tax AS (

@@ -280,3 +280,55 @@ def shrunk_group_means(
             4,
         ).alias("mean_shrunk"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_bins: int = 4,
+    seed: str = "42",
+) -> DataFrame:
+    """Curriculum ordering for training export: bin documents by a [0,1]
+    difficulty/quality score into fixed-width bins, then give every
+    document a deterministic pseudo-random position WITHIN its bin — the
+    easy-to-hard (or hard-to-easy: consume bins in reverse) schedule with
+    in-bin decorrelation, without ever materializing a global sort.
+
+    Scale shape: the bin is a pure codegen projection
+    (``least(n_bins-1, floor(score·n_bins))`` — fixed thresholds, the way
+    production curricula actually bin, NOT ntile, whose global window is a
+    single-partition sort); the shuffle position is a rank window
+    PARTITIONED BY bin over ``md5(seed:id)`` (each bin sorts
+    independently, n/n_bins rows, spillable).  The global curriculum
+    order is the lexicographic (bin, pos_in_bin) — never computed as one
+    sequence.  Everything replays in ANSI SQL (``curriculum_order``
+    oracle).
+
+    Returns ``(id_col, score_col, bin, pos_in_bin)``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    binned = df.select(
+        id_col,
+        score_col,
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col(score_col) * F.lit(n_bins)).cast("int"),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.md5(
+            F.encode(
+                F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")),
+                "utf-8",
+            )
+        ).alias("_shuf"),
+    )
+    w = Window.partitionBy("bin").orderBy(F.asc("_shuf"), F.asc(id_col))
+    return binned.select(
+        id_col,
+        score_col,
+        "bin",
+        F.row_number().over(w).alias("pos_in_bin"),
+    )
