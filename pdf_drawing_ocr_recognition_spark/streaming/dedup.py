@@ -168,3 +168,54 @@ def streaming_sketch_fold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll_fold(
+    docs: DataFrame,
+    registers_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    group_col: str = "lang",
+    bucket_hex: int = 2,
+):
+    """Continuous HyperLogLog maintenance — the T98 register table kept
+    current by a stream: every micro-batch builds its own partial register
+    table (one ≤m-row-per-group aggregate over the batch) and folds it
+    into the persisted registers with ``hll_merge`` (register-wise max —
+    union of streams ≡ max of sketches).  Same storage-resident-state
+    discipline as ``streaming_sketch_fold``: stream STATE stays empty, the
+    persisted table never exceeds groups·16^bucket_hex rows no matter how
+    much history flowed through, and after any number of batches the
+    stored registers are bit-identical to one batch build over the union
+    (tested multi-batch).  Distinct counts are read off at any time via
+    ``hll_summary`` + ``hll_cardinality``."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        hll_build,
+        hll_merge,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.col(group_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        part = hll_build(toks, "w", (group_col,), bucket_hex)
+        try:
+            prev = spark.read.parquet(registers_path)
+            merged = hll_merge(prev, part, (group_col,))
+        except Exception:
+            merged = part
+        # sketch-sized table: collect-and-rewrite bounded by groups * m rows
+        rows = merged.collect()
+        spark.createDataFrame(
+            [(r[group_col], r["bucket"], r["reg"]) for r in rows],
+            f"{group_col} string, bucket string, reg int",
+        ).coalesce(1).write.mode("overwrite").parquet(registers_path)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -422,3 +422,56 @@ class TestStreamingSketchFold:
         assert stored.count() <= 4 * 16**2
         assert stored.exceptAll(whole).count() == 0
         assert whole.exceptAll(stored).count() == 0
+
+
+class TestStreamingHllFold:
+    def test_multibatch_equals_whole_and_bounded(self, spark, tmp_path):
+        """T105: after 3 micro-batches (one repeating batch 0's text) the
+        persisted registers are register-identical to a single batch build
+        over the union, and the table stays <= groups * m rows."""
+        import hashlib
+
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            hll_build,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            streaming_hll_fold,
+        )
+
+        def txt(tag, n=30):
+            return " ".join(
+                hashlib.md5(f"{tag}|{j}".encode()).hexdigest()[:4]
+                for j in range(n)
+            )
+
+        stream_dir = str(tmp_path / "hlldocs")
+        batches = [
+            [(i, txt(f"b0_{i}"), "en" if i % 2 else "de") for i in range(5)],
+            [(10 + i, txt(f"b1_{i}"), "en") for i in range(5)],
+            [(20 + i, txt(f"b0_{i}"), "en" if i % 2 else "de") for i in range(5)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "doc_id LONG, text STRING, lang STRING"
+            ).coalesce(1).write.parquet(f"{stream_dir}/f{i}")
+
+        docs = (
+            spark.readStream.schema("doc_id LONG, text STRING, lang STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/f*")
+        )
+        reg_path = str(tmp_path / "hllregs")
+        q = streaming_hll_fold(
+            docs, reg_path, str(tmp_path / "hllckpt"), group_col="lang"
+        )
+        q.awaitTermination()
+
+        stored = spark.read.parquet(reg_path)
+        allrows = [r for b in batches for r in b]
+        toks = spark.createDataFrame(
+            allrows, "doc_id LONG, text STRING, lang STRING"
+        ).select("lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        whole = hll_build(toks, "w", ("lang",), 2)
+        assert stored.count() <= 2 * 16**2
+        assert stored.exceptAll(whole).count() == 0
+        assert whole.exceptAll(stored).count() == 0
