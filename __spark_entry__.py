@@ -3097,6 +3097,22 @@ TAXONOMY = [
 ]
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T106: per-document n-gram novelty vs the benchmark reference set —
+    the scoring complement of T30's binary decontamination drop: every
+    corpus doc gets novelty_ppm = 1e6 * (1 - |shingles cap ref| /
+    |shingles|) as an exact integer (DIV, no float).  Reference shingles
+    distinct + BROADCAST (T51 bloom prefilter is the beyond-broadcast
+    path); corpus explodes once, left-joins map-side, one per-doc agg."""
+    from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+        ngram_novelty,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 10 == 7
+    return ngram_novelty(docs.filter(~is_bench), docs.filter(is_bench), n=5)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T104: curriculum ordering — fixed-threshold difficulty bins over the
     T12 quality score (a pure codegen projection, NOT ntile whose global
@@ -3355,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_alignment": q_bitext_alignment,
         "taxonomy_tags": q_taxonomy_tags,
         "curriculum_order": q_curriculum_order,
+        "ngram_novelty": q_ngram_novelty,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5573,6 +5590,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_sources, hhi_num, hhi_den,
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
+            FROM agg
+        """,
+        "ngram_novelty": """
+            WITH sh5 AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split(lower(text), ' ')) - 4)),
+                           i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+4], ' ')))
+                           AS sh
+                FROM documents
+            ), ref AS (
+                SELECT DISTINCT sh FROM sh5 WHERE doc_id % 10 = 7
+            ), corp AS (
+                SELECT DISTINCT doc_id, sh FROM sh5 WHERE doc_id % 10 != 7
+            ), agg AS (
+                SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                       CAST(sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_seen
+                FROM corp c LEFT JOIN ref r USING (sh)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_shingles, n_seen,
+                   CAST((1000000 * (n_shingles - n_seen)) // n_shingles
+                        AS BIGINT) AS novelty_ppm
             FROM agg
         """,
         "curriculum_order": f"""

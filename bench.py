@@ -52,6 +52,12 @@ BENCH_QUERIES = [
     "sq8_ann_topk",
     "stupid_backoff_scores",
     "weighted_quota_sample",
+    # round 4 (cont. 3): sketches / linear algebra / curation ordering
+    "hll_distinct_words",
+    "pca_gram",
+    "soft_dedup_weights",
+    "taxonomy_tags",
+    "curriculum_order",
 ]
 
 

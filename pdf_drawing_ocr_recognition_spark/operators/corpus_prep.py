@@ -82,3 +82,58 @@ def prep_audit(prepared: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document NOVELTY against a reference shingle set — the scoring
+    complement of T30's binary decontamination drop: every document gets
+    ``novelty_ppm = scale · (1 − |shingles ∩ reference| / |shingles|)`` as
+    an exact integer (DIV — no float), where shingles are distinct n-word
+    windows.  Used both to GRADE freshness (memorization risk, snapshot
+    overlap) and as a soft decontamination signal where a hard drop is too
+    blunt.
+
+    Shape: the reference shingle set is distinct-ed and BROADCAST (for
+    reference sets beyond broadcast size, prefilter with the T51 bloom and
+    keep the exact join as confirm — same plan discipline as
+    ``bloom_decontamination``); the corpus explodes once, left-joins
+    map-side, and one per-doc hash agg counts total vs matched distinct
+    shingles.  Documents shorter than *n* words have no shingles and are
+    dropped (no denominator — documented).
+
+    Returns ``(id_col, n_shingles, n_seen, novelty_ppm)``.
+    """
+    from ..functions.dedup import word_shingles
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    ref = reference.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
+    ).distinct()
+    corp = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_sh")
+    ).distinct()
+    marked = corp.join(
+        F.broadcast(ref.withColumn("_hit", F.lit(1))), "_sh", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_seen"),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_seen",
+        F.expr(
+            f"CAST(({scale} * (n_shingles - n_seen)) DIV n_shingles AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

@@ -75,3 +75,61 @@ class TestDomainBlockFilter:
         assert "SortMergeJoin" not in plan, plan
         assert "ShuffledHashJoin" not in plan, plan
         assert plan.count("BroadcastHashJoin") == 7, plan  # 6 depths + full host
+
+
+class TestNgramNovelty:
+    """T106: per-doc novelty vs a reference shingle set (corpus_prep)."""
+
+    def test_known_overlap_fractions(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            ngram_novelty,
+        )
+
+        ref = spark.createDataFrame(
+            [(100, "a b c d e f")], "doc_id long, text string"
+        )  # ref shingles (n=3): abc bcd cde def
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f"),      # all 4 shingles seen -> novelty 0
+                (1, "x y z w"),          # none seen -> novelty 1e6
+                (2, "a b c q x y z"),    # 1 of 5 seen -> 800000
+                (3, "a b"),              # too short: no shingles -> dropped
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_seen"], r["novelty_ppm"])
+            for r in ngram_novelty(docs, ref, n=3).collect()
+        }
+        assert got[0] == (4, 4, 0)
+        assert got[1] == (2, 0, 1000000)
+        assert got[2] == (5, 1, 800000)
+        assert 3 not in got
+
+    def test_distinct_shingles_not_occurrences(self, spark):
+        """A repeated shingle counts once in both numerator and denominator."""
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            ngram_novelty,
+        )
+
+        ref = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(0, "a b c a b c")], "doc_id long, text string"
+        )
+        # 3-shingles: "a b c","b c a","c a b","a b c" -> 3 distinct, 1 seen
+        [(r_sh, r_seen)] = [
+            (r["n_shingles"], r["n_seen"])
+            for r in ngram_novelty(docs, ref, n=3).collect()
+        ]
+        assert (r_sh, r_seen) == (3, 1)
+
+    def test_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            ngram_novelty,
+        )
+
+        d = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            ngram_novelty(d, d, n=0)
+        with pytest.raises(ValueError):
+            ngram_novelty(d, d, scale=0)
