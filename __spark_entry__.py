@@ -3097,6 +3097,22 @@ TAXONOMY = [
 ]
 
 
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T107: rendezvous (highest-random-weight) sharding — stable doc ->
+    shard assignment for export/serving: each key goes to the shard with
+    the highest md5(salt|shard|key), so changing the shard count moves
+    only the keys the new shard wins (~1/(n+1)) and never reassigns a key
+    between surviving shards (pytest-pinned).  Constant x16 explode + ONE
+    map-side-combinable max hash agg over a tie-free 'weight:shard'
+    string; no window."""
+    from pdf_drawing_ocr_recognition_spark.operators.packing import (
+        rendezvous_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return rendezvous_shards(docs, "doc_id", n_shards=16, salt="hrw1")
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T106: per-document n-gram novelty vs the benchmark reference set —
     the scoring complement of T30's binary decontamination drop: every
@@ -3372,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_tags": q_taxonomy_tags,
         "curriculum_order": q_curriculum_order,
         "ngram_novelty": q_ngram_novelty,
+        "rendezvous_shards": q_rendezvous_shards,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5591,6 +5608,18 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "rendezvous_shards": """
+            WITH cand AS (
+                SELECT doc_id,
+                       md5('hrw1|' || CAST(s AS VARCHAR) || '|'
+                           || CAST(doc_id AS VARCHAR))
+                       || ':' || lpad(CAST(s AS VARCHAR), 4, '0') AS wk
+                FROM documents
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS s)
+            )
+            SELECT doc_id, CAST(substr(max(wk), 35, 4) AS INT) AS shard
+            FROM cand GROUP BY doc_id
         """,
         "ngram_novelty": """
             WITH sh5 AS (

@@ -118,3 +118,59 @@ def balanced_shards(
     even_pass = (F.floor(r0 / n_shards) % 2) == 0
     shard = F.when(even_pass, pos).otherwise(n_shards - 1 - pos)
     return ranked.withColumn("shard", shard.cast("int"))
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """STABLE document→shard assignment via rendezvous / highest-random-
+    weight hashing (Thaler & Ravishankar 1998): each key goes to the shard
+    with the highest ``md5(salt|shard|key)``.  The property plain
+    ``hash(key) % n`` lacks and export pipelines need when a shard count
+    changes (re-sharding a checkpointed corpus, growing a serving fleet):
+    going n → n+1 moves ONLY the keys the new shard wins (~1/(n+1) of
+    them), and NEVER moves a key between two old shards — both properties
+    pytest-pinned.
+
+    Shape: a constant ×n_shards explode (HRW is O(n_shards) per key by
+    construction — for thousands of shards use a consistent-hash ring
+    instead, documented trade) + ONE map-side-combinable max hash agg; no
+    window, no shuffle beyond the per-key agg.  The winner is the max of
+    the ``weight:zero-padded-shard`` string (total order, tie-free even
+    under hash collision), replayed verbatim in SQL.
+
+    Returns ``(id_col, shard_col INT)``.
+    """
+    if not 1 <= n_shards <= 9999:
+        raise ValueError(f"need 1 <= n_shards <= 9999, got {n_shards}")
+    cand = df.select(
+        id_col,
+        F.explode(
+            F.array(*[F.lit(s) for s in range(n_shards)])
+        ).alias("_s"),
+    ).select(
+        id_col,
+        F.concat(
+            F.md5(
+                F.encode(
+                    F.concat(
+                        F.lit(salt),
+                        F.lit("|"),
+                        F.col("_s").cast("string"),
+                        F.lit("|"),
+                        F.col(id_col).cast("string"),
+                    ),
+                    "utf-8",
+                )
+            ),
+            F.lit(":"),
+            F.lpad(F.col("_s").cast("string"), 4, "0"),
+        ).alias("_wk"),
+    )
+    return cand.groupBy(id_col).agg(
+        F.substring(F.max("_wk"), 35, 4).cast("int").alias(shard_col)
+    )

@@ -76,3 +76,51 @@ def test_release_export_end_to_end(spark, tmp_path, capsys):
     # audit table covers every (split, lang) present
     audit = spark.read.parquet(f"{out}/_audit")
     assert audit.count() == exported.select("split", "lang").distinct().count()
+
+
+class TestRendezvousShards:
+    """T107: HRW sharding — the minimal-disruption re-shard property."""
+
+    def _assign(self, spark, n):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            rendezvous_shards,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+        return {
+            r["doc_id"]: r["shard"]
+            for r in rendezvous_shards(docs, "doc_id", n).collect()
+        }
+
+    def test_minimal_disruption_growing_one_shard(self, spark):
+        a = self._assign(spark, 8)
+        b = self._assign(spark, 9)
+        moved = {k for k in a if a[k] != b[k]}
+        # every moved key moved TO the new shard, never between old shards
+        assert all(b[k] == 8 for k in moved)
+        # expected move fraction 1/9 of 400 ~ 44; allow generous noise band
+        assert 15 <= len(moved) <= 90, len(moved)
+
+    def test_all_shards_used_and_roughly_balanced(self, spark):
+        a = self._assign(spark, 8)
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert set(c) == set(range(8))
+        assert max(c.values()) <= 3 * min(c.values())  # loose balance
+
+    def test_partition_invariance_and_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            rendezvous_shards,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+        a = sorted(map(tuple, rendezvous_shards(docs, "doc_id", 5).collect()))
+        b = sorted(
+            map(tuple, rendezvous_shards(docs.repartition(7), "doc_id", 5).collect())
+        )
+        assert a == b
+        import pytest
+
+        with pytest.raises(ValueError):
+            rendezvous_shards(docs, "doc_id", 0)
