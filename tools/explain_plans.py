@@ -441,6 +441,42 @@ def main() -> int:
         "BroadcastHashJoin",
         "partial_count",
     )
+    # ngram novelty: reference shingles broadcast, never shuffled
+    grab(
+        "ngram_novelty",
+        em.q_ngram_novelty(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    # rendezvous shards: constant explode + map-side-combinable max agg,
+    # no window anywhere
+    grab(
+        "rendezvous_shards",
+        em.q_rendezvous_shards(spark, sf),
+        "partial_max",
+    )
+    checks.append(
+        (
+            "rendezvous_shards",
+            "no window (argmax as hash agg)",
+            "Window" not in sections[-1][1],
+        )
+    )
+    # curriculum: binning is a projection; the only window is partitioned
+    # by bin (no single-partition global sort)
+    grab(
+        "curriculum_order",
+        em.q_curriculum_order(spark, sf),
+        "Window",
+    )
+    cur_plan = sections[-1][1]
+    checks.append(
+        (
+            "curriculum_order",
+            "rank window partitioned by bin (no single-partition sort)",
+            "windowspecdefinition(bin#" in cur_plan,
+        )
+    )
     # classifier inference: broadcast 256-row weight dim, partial agg
     grab(
         "quality_classifier_scores",
