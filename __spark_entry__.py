@@ -3097,6 +3097,32 @@ TAXONOMY = [
 ]
 
 
+def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T108: embedding-space outlier scores — squared reconstruction error
+    against the k=8 PCA model (T99), top-20 by error: the curation gate
+    that catches corrupt embeddings / modality mixups before dedup & ANN
+    trust the geometry.  One narrow Arrow pass, cumsum-stable residuals.
+    ROWS-ONLY BY CONTRACT (like compression_signals): the components come
+    from the driver-side LAPACK eigh, which has no DuckDB twin — the
+    oracled surface of this stack is `pca_gram` (every integer the model
+    is fit from), and the eigen/outlier stages are pinned by the NumPy
+    twin + planted-outlier/full-rank-zero pytest invariants."""
+    from pdf_drawing_ocr_recognition_spark.operators.pca import (
+        gram_moments,
+        pca_fit,
+        pca_outlier_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(gram_moments(emb, "embedding", 64), 64, k=8)
+    scores = pca_outlier_scores(emb, "embedding", model, ("vec_id",))
+    return (
+        scores.orderBy(F.desc("recon_err"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("recon_err", 6).alias("recon_err"))
+    )
+
+
 def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T107: rendezvous (highest-random-weight) sharding — stable doc ->
     shard assignment for export/serving: each key goes to the shard with
@@ -3389,6 +3415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": q_curriculum_order,
         "ngram_novelty": q_ngram_novelty,
         "rendezvous_shards": q_rendezvous_shards,
+        "pca_outliers": q_pca_outliers,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,

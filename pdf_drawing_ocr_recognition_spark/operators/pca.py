@@ -42,7 +42,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_moments", "pca_fit", "pca_transform", "PcaModel", "quantize"]
+__all__ = [
+    "gram_moments",
+    "pca_fit",
+    "pca_transform",
+    "pca_outlier_scores",
+    "PcaModel",
+    "quantize",
+]
 
 
 def quantize(x: np.ndarray, scale_bits: int) -> np.ndarray:
@@ -192,5 +199,59 @@ def pca_transform(
     in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
         [*(f"{c} {in_schema[c]}" for c in idc), f"{out_col} array<double>"]
+    )
+    return df.select(*idc, vec_col).mapInPandas(part, schema)
+
+
+def pca_outlier_scores(
+    df: DataFrame,
+    vec_col: str,
+    model: PcaModel,
+    id_cols: tuple[str, ...] = (),
+    out_col: str = "recon_err",
+) -> DataFrame:
+    """Embedding-space outlier scoring for curation: squared reconstruction
+    error of each vector against the k-component PCA model — vectors far
+    from the corpus's principal subspace (corrupt embeddings, modality
+    mixups, adversarial junk) score high and can be gated before dedup/ANN
+    stages trust their geometry.
+
+    One narrow Arrow pass (no shuffle): err = ||(x-μ) − Wᵀ·W·(x-μ)||² with
+    every reduction a strict left-to-right cumsum fold, so the score is
+    bit-identical under any repartitioning (pytest-pinned).  No SQL oracle
+    BY CONTRACT: the components come from the driver-side LAPACK eigh
+    (T99), which has no DuckDB twin — correctness is pinned by the
+    pure-NumPy twin and the planted-outlier/zero-at-full-rank invariants
+    instead (the documented rows-only contract class, like T60).
+    """
+    comps = model.components
+    mean = model.mean
+    idc = list(id_cols)
+    k = comps.shape[0]
+
+    def part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - mean
+            scores = np.empty((x.shape[0], k), dtype=np.float64)
+            for c in range(k):
+                scores[:, c] = np.cumsum(x * comps[c], axis=1)[:, -1]
+            # strict c-order accumulation (BLAS gemm reduction order can
+            # vary with batch shape; this cannot)
+            rec = np.zeros_like(x)
+            for c in range(k):
+                rec += scores[:, c : c + 1] * comps[c]
+            resid = x - rec
+            err = np.cumsum(resid * resid, axis=1)[:, -1]
+            out = {c: pdf[c] for c in idc}
+            out[out_col] = err
+            yield pd.DataFrame(out)
+
+    in_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [*(f"{c} {in_schema[c]}" for c in idc), f"{out_col} double"]
     )
     return df.select(*idc, vec_col).mapInPandas(part, schema)

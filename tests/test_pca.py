@@ -127,3 +127,43 @@ def test_dim_mismatch_raises(spark, cloud):
     df, _, _ = cloud
     with pytest.raises(Exception):
         gram_moments(df, "embedding", DIM + 1, BITS).collect()
+
+
+def test_outlier_scores_planted_and_full_rank(spark, cloud):
+    """T108: a vector far off the principal subspace gets the top score;
+    at k=D the residual is ~0 for everything; scores are bitwise
+    partition-invariant."""
+    from pdf_drawing_ocr_recognition_spark.operators.pca import (
+        pca_outlier_scores,
+    )
+
+    df, x, u = cloud
+    moments = gram_moments(df, "embedding", DIM, BITS).collect()
+    m1 = pca_fit(moments, DIM, k=1, scale_bits=BITS)
+    # plant an outlier orthogonal-ish to u: flip sign pattern + big norm
+    v = np.ones(DIM, dtype=np.float32) * 30.0
+    v[::2] *= -1.0
+    planted = df.unionByName(
+        spark.createDataFrame([(999, [float(z) for z in v])], df.schema)
+    )
+    scores = {
+        r["vec_id"]: r["recon_err"]
+        for r in pca_outlier_scores(planted, "embedding", m1, ("vec_id",)).collect()
+    }
+    assert max(scores, key=scores.get) == 999
+    # full-rank model: every residual collapses to ~0
+    mD = pca_fit(moments, DIM, k=DIM, scale_bits=BITS)
+    full = pca_outlier_scores(df, "embedding", mD, ("vec_id",)).collect()
+    assert max(r["recon_err"] for r in full) < 1e-18
+    # bitwise partition invariance
+    a = sorted(
+        (r["vec_id"], r["recon_err"])
+        for r in pca_outlier_scores(planted, "embedding", m1, ("vec_id",)).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["recon_err"])
+        for r in pca_outlier_scores(
+            planted.repartition(9), "embedding", m1, ("vec_id",)
+        ).collect()
+    )
+    assert a == b
