@@ -3097,6 +3097,25 @@ TAXONOMY = [
 ]
 
 
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T109: cross-source quality-score calibration — each doc's T12
+    quality replaced by its percent-rank WITHIN its source, so 'keep the
+    top 30%' cuts every source fairly instead of letting one source's
+    inflated scorer dominate the gate.  One rank window PARTITIONED BY
+    source (independent spillable sorts, no global sort), (score, doc_id)
+    total order for engine-identical ties."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import quality_score
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        per_group_percentiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    return per_group_percentiles(scored, "source", "quality", "doc_id")
+
+
 def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T108: embedding-space outlier scores — squared reconstruction error
     against the k=8 PCA model (T99), top-20 by error: the curation gate
@@ -3416,6 +3435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "rendezvous_shards": q_rendezvous_shards,
         "pca_outliers": q_pca_outliers,
+        "score_calibration": q_score_calibration,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5635,6 +5655,29 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "score_calibration": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       round((
+                           (CASE WHEN {wc} >= 20 THEN 1.0
+                                 ELSE {wc} / 20.0 END) +
+                           (CASE WHEN {punct} <= 0.2 THEN 1.0
+                                 ELSE greatest(0.0,
+                                               1.0 - ({punct} - 0.2) * 5) END) +
+                           (CASE WHEN {stop_ratio} >= 0.05 THEN 1.0
+                                 ELSE {stop_ratio} / 0.05 END)
+                       ) / 3.0, 4) AS quality
+                FROM (SELECT doc_id, source, text,
+                             ' ' || lower(text) || ' ' AS p
+                      FROM documents)
+            )
+            SELECT doc_id, source, quality,
+                   round(percent_rank() OVER (PARTITION BY source
+                                              ORDER BY quality ASC,
+                                                       doc_id ASC),
+                         6) AS pctile
+            FROM scored
         """,
         "rendezvous_shards": """
             WITH cand AS (

@@ -332,3 +332,36 @@ def curriculum_order(
         "bin",
         F.row_number().over(w).alias("pos_in_bin"),
     )
+
+
+def per_group_percentiles(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    out_col: str = "pctile",
+) -> DataFrame:
+    """Cross-group score CALIBRATION: replace a raw quality score with its
+    percent-rank WITHIN its group (source, crawl, language) so one group's
+    systematically-inflated scorer cannot dominate a global quality gate —
+    'keep the top 30%' then means the top 30% of EVERY source, the fair
+    cross-source cut (the quantile-normalization step quality-classifier
+    pipelines run before thresholding across heterogeneous sources).
+
+    Shape: one rank window PARTITIONED BY group (each group sorts
+    independently and spills; no global sort), percent_rank with the
+    (score, id) total order so ties break identically in any engine;
+    single-row groups get 0.0 (percent_rank's defined value).  Replays
+    verbatim in ANSI SQL.
+
+    Returns the input key columns + ``out_col`` = round(percent_rank, 6).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    return df.select(
+        id_col,
+        group_col,
+        score_col,
+        F.round(F.percent_rank().over(w), 6).alias(out_col),
+    )

@@ -334,3 +334,48 @@ class TestCurriculumOrder:
 
         with _pytest.raises(ValueError):
             curriculum_order(df, "doc_id", "quality", n_bins=0)
+
+
+class TestPerGroupPercentiles:
+    """T109: within-group percent-rank calibration."""
+
+    def test_known_percentiles_and_fair_cut(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            per_group_percentiles,
+        )
+
+        # source A scores inflated (0.8..0.95), source B deflated (0.1..0.25)
+        rows = [(i, "A", 0.8 + i * 0.05) for i in range(4)] + [
+            (10 + i, "B", 0.1 + i * 0.05) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+        got = {
+            r["doc_id"]: r["pctile"]
+            for r in per_group_percentiles(df, "source", "q", "doc_id").collect()
+        }
+        # percent_rank = (rank-1)/(n-1): 0, 1/3, 2/3, 1 within EACH source
+        for base in (0, 10):
+            assert [got[base + k] for k in range(4)] == [
+                0.0,
+                round(1 / 3, 6),
+                round(2 / 3, 6),
+                1.0,
+            ]
+        # the fair top-50% cut keeps 2 docs from EACH source
+        keep = {d for d, p in got.items() if p >= 0.5}
+        assert len(keep & {2, 3}) == 2 and len(keep & {12, 13}) == 2
+
+    def test_tie_break_and_singleton(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+            per_group_percentiles,
+        )
+
+        rows = [(0, "A", 0.5), (1, "A", 0.5), (2, "B", 0.9)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+        got = {
+            r["doc_id"]: r["pctile"]
+            for r in per_group_percentiles(df, "source", "q", "doc_id").collect()
+        }
+        # (score, id) total order: equal scores still rank deterministically
+        assert got[0] == 0.0 and got[1] == 1.0
+        assert got[2] == 0.0  # percent_rank of a singleton group
