@@ -3097,6 +3097,20 @@ TAXONOMY = [
 ]
 
 
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T110: the production dedup CASCADE in one plan with first-drop
+    attribution — exact (md5) -> normalized (T53 casefolded key) ->
+    MinHash/LSH pairwise near-dup, cheapest-first so each costlier stage
+    sees only survivors; every doc reports the FIRST stage that dropped it
+    (T62's funnel-attribution shape, for dedup).  Each stage is oracled
+    individually elsewhere; THIS query oracles their boundaries (keeper
+    ties, survivor handoff) end to end."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import dedup_cascade
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_cascade(docs)
+
+
 def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T109: cross-source quality-score calibration — each doc's T12
     quality replaced by its percent-rank WITHIN its source, so 'keep the
@@ -3436,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_shards": q_rendezvous_shards,
         "pca_outliers": q_pca_outliers,
         "score_calibration": q_score_calibration,
+        "dedup_cascade": q_dedup_cascade,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5655,6 +5670,51 @@ def oracle_sql() -> dict[str, str]:
                    round(hhi_num / hhi_den, 6) AS hhi,
                    round(top_n / n_total, 6) AS top_share
             FROM agg
+        """,
+        "dedup_cascade": f"""
+            WITH ex AS (
+                SELECT doc_id, text, md5(text) AS dig FROM documents
+            ), exkeep AS (
+                SELECT dig, min(doc_id) AS keep FROM ex GROUP BY 1
+            ), exflag AS (
+                SELECT e.doc_id, e.text, e.doc_id != k.keep AS drop_exact
+                FROM ex e JOIN exkeep k USING (dig)
+            ), surv1 AS (
+                SELECT doc_id, text FROM exflag WHERE NOT drop_exact
+            ), nrm AS (
+                SELECT doc_id, text,
+                       md5({normalize_text_sql("text", casefold=True)}) AS dig
+                FROM surv1
+            ), nkeep AS (
+                SELECT dig, min(doc_id) AS keep FROM nrm GROUP BY 1
+            ), nflag AS (
+                SELECT n.doc_id, n.text, n.doc_id != k.keep AS drop_norm
+                FROM nrm n JOIN nkeep k USING (dig)
+            ), surv2 AS (
+                SELECT doc_id, text FROM nflag WHERE NOT drop_norm
+            ), hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM surv2)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), drop3 AS (
+                SELECT DISTINCT b.doc_id
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN ef.drop_exact THEN 'exact'
+                        WHEN nf.drop_norm THEN 'normalized'
+                        WHEN d3.doc_id IS NOT NULL THEN 'near'
+                        ELSE 'kept' END AS stage
+            FROM documents d
+            LEFT JOIN exflag ef ON ef.doc_id = d.doc_id
+            LEFT JOIN nflag nf ON nf.doc_id = d.doc_id
+            LEFT JOIN drop3 d3 ON d3.doc_id = d.doc_id
         """,
         "score_calibration": f"""
             WITH scored AS (

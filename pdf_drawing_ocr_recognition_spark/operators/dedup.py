@@ -868,3 +868,93 @@ def soft_dedup_weights(
             "weight_ppm"
         ),
     )
+
+
+def dedup_cascade(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The production three-stage dedup CASCADE in one plan, with first-drop
+    attribution: cheap exact (md5 of raw bytes) → normalized (md5 of the
+    T53-normalized, casefolded text — catches typographic/case variants) →
+    MinHash/LSH near-dup (pairwise smaller-id-wins over the T3 candidate
+    pairs of the REMAINING docs; the transitive variant is T45).  Stages
+    run cheapest-first so each later, costlier stage sees only survivors —
+    the ordering every real pipeline uses — and every document reports the
+    FIRST stage that dropped it (``stage`` ∈ exact | normalized | near |
+    kept), the funnel-attribution view (T62's shape, for dedup).
+
+    Composition is the point: each stage is individually oracled
+    elsewhere; here their BOUNDARIES (keeper ties, survivor handoff) are
+    oracled end-to-end in one SQL replay (``dedup_cascade``).
+
+    Scale shape: two digest hash-aggs (min-id keeper per digest — map-side
+    combinable, digests shuffle, never text), then the T3 signature/band
+    pipeline on the stage-2 survivors only (one shuffle on band_key,
+    in-array pair generation).
+    """
+    from ..functions.dedup import lsh_band_keys
+    from ..functions.normalize import normalize_text
+
+    d = docs.select(id_col, text_col)
+    dig1 = d.select(
+        id_col, F.md5(F.encode(F.col(text_col), "utf-8")).alias("_dig")
+    )
+    keep1 = dig1.groupBy("_dig").agg(F.min(id_col).alias("_keep"))
+    s1 = dig1.join(keep1, "_dig").select(
+        id_col, (F.col(id_col) != F.col("_keep")).alias("_drop_exact")
+    )
+    surv1 = d.join(s1.filter(~F.col("_drop_exact")).select(id_col), id_col)
+
+    dig2 = surv1.select(
+        id_col,
+        F.md5(
+            F.encode(normalize_text(F.col(text_col), casefold=True), "utf-8")
+        ).alias("_dig"),
+    )
+    keep2 = dig2.groupBy("_dig").agg(F.min(id_col).alias("_keep"))
+    s2 = dig2.join(keep2, "_dig").select(
+        id_col, (F.col(id_col) != F.col("_keep")).alias("_drop_norm")
+    )
+    surv2 = surv1.join(s2.filter(~F.col("_drop_norm")).select(id_col), id_col)
+
+    sigs = minhash_signatures(
+        surv2.withColumnRenamed(id_col, "doc_id"), text_col=text_col
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+    buckets = banded.groupBy("band_key").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    # any non-minimum id in a bucket has a smaller-id partner -> dropped
+    drop3 = (
+        buckets.select(
+            F.explode(
+                F.slice(F.col("ids"), 2, F.greatest(F.size("ids") - 1, F.lit(0)))
+            ).alias(id_col)
+        )
+        .distinct()
+    )
+
+    status = (
+        d.select(id_col)
+        .join(s1.filter(F.col("_drop_exact")).select(id_col).withColumn("_e", F.lit(1)), id_col, "left")
+        .join(s2.filter(F.col("_drop_norm")).select(id_col).withColumn("_n", F.lit(1)), id_col, "left")
+        .join(drop3.withColumn("_m", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_e") == 1, F.lit("exact"))
+            .when(F.col("_n") == 1, F.lit("normalized"))
+            .when(F.col("_m") == 1, F.lit("near"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+    )
+    return status

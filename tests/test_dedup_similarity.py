@@ -1116,3 +1116,66 @@ class TestMutualTop1Alignment:
             )
         )
         assert a == b and len(a) >= 1
+
+
+class TestDedupCascade:
+    """T110: three-stage cascade with first-drop attribution."""
+
+    def test_each_stage_attributes(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            dedup_cascade,
+        )
+
+        base = " ".join(f"w{i} w{i+1} common phrase token" for i in range(12))
+        near = base + " trailing extra"  # only tail shingles differ
+        rows = [
+            (0, base),               # keeper of the exact cluster
+            (1, base),               # exact dup of 0
+            (2, base.upper()),       # casefolded-normalized dup of 0
+            (3, near),               # LSH near-dup of 0
+            (4, "entirely different content " * 8),  # kept
+        ]
+        got = {
+            r["doc_id"]: r["stage"]
+            for r in dedup_cascade(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert got[0] == "kept"
+        assert got[1] == "exact"
+        assert got[2] == "normalized"
+        assert got[3] == "near"
+        assert got[4] == "kept"
+
+    def test_cheapest_first_attribution_priority(self, spark):
+        """A doc that is BOTH an exact dup and a near-dup of something
+        reports 'exact' — the first stage that touched it."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            dedup_cascade,
+        )
+
+        t = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        rows = [(0, t), (1, t), (2, t)]
+        got = {
+            r["doc_id"]: r["stage"]
+            for r in dedup_cascade(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            ).collect()
+        }
+        assert got[0] == "kept" and got[1] == "exact" and got[2] == "exact"
+
+    def test_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            dedup_cascade,
+        )
+
+        rows = [(i, f"doc {i % 4} body " * 10) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, dedup_cascade(df).collect()))
+        b = sorted(map(tuple, dedup_cascade(df.repartition(9)).collect()))
+        assert a == b
+        # exactly 4 keepers (one per distinct body), everything else exact
+        from collections import Counter
+
+        c = Counter(s for _, s in a)
+        assert c["kept"] == 4 and c["exact"] == 36
