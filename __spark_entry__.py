@@ -3097,6 +3097,30 @@ TAXONOMY = [
 ]
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T111: recall@10 of the IVF ANN (T10, nprobe=4/16) against the
+    brute-force cosine ground truth (T8) — the evaluation every ANN
+    deployment runs before trusting its index: per-query |approx cap
+    truth| / k as an exact ppm integer.  Composes two individually-oracled
+    queries; the oracle composes the SAME two SQL strings, so evaluation
+    and inputs share one source of truth.  Join is (query, neighbor)-keyed
+    over two k-bounded frames — evaluation cost is queries x k, never
+    corpus-sized."""
+    approx = q_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    truth = q_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    base = truth.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(
+            "CAST((1000000 * coalesce(n_hits, 0)) DIV 10 AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
 def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T110: the production dedup CASCADE in one plan with first-drop
     attribution — exact (md5) -> normalized (T53 casefolded key) ->
@@ -3451,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_outliers": q_pca_outliers,
         "score_calibration": q_score_calibration,
         "dedup_cascade": q_dedup_cascade,
+        "ann_recall": q_ann_recall,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -3675,7 +3700,7 @@ def oracle_sql() -> dict[str, str]:
     stop_hits = hits(en)
     stop_ratio = f"CASE WHEN {wc} = 0 THEN 0.0 ELSE {stop_hits} / {wc} END"
 
-    return {
+    d = {
         "crop_arithmetic": """
             SELECT l_orderkey, l_linenumber,
                    CAST(least(h, greatest(0, floor(h * top / 100.0))) AS BIGINT) AS y1,
@@ -6318,3 +6343,23 @@ def oracle_sql() -> dict[str, str]:
         .replace("{{window_mins}}", window_mins)
         .replace("{{band_keys}}", band_keys),
     }
+    # T111: recall@10 of the IVF ANN against the brute-force ground truth —
+    # composed from the two oracles above so the evaluation and its inputs
+    # share one source of truth.
+    d["ann_recall"] = f"""
+        WITH approx AS ({d["ivf_topk"]}),
+        truth AS ({d["cosine_topk"]}),
+        hits AS (
+            SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM approx a JOIN truth t
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST((1000000 * coalesce(h.n_hits, 0)) // 10 AS BIGINT)
+                   AS recall_ppm
+        FROM (SELECT DISTINCT query_id FROM truth) q
+        LEFT JOIN hits h USING (query_id)
+    """
+    return d
