@@ -3097,6 +3097,53 @@ TAXONOMY = [
 ]
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T112: MinHash estimator calibration — for every T3 candidate pair,
+    the sketch's Jaccard ESTIMATE (fraction of agreeing signature windows)
+    next to the TRUE shingle-set Jaccard, both as exact ppm integers (DIV,
+    no float): the table that tells you whether your banding threshold
+    actually sits where the S-curve math says it does.  Cost is bounded by
+    the candidate-pair set (never all-pairs); signatures and shingle sets
+    are computed once per side via the oracled T2 kernel."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    grams = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    side = lambda suf: sigs.join(grams, "doc_id").select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{suf}"),
+        F.col("sig").alias(f"_s{suf}"),
+        F.col("g").alias(f"_g{suf}"),
+    )
+    j = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda z: z,
+        )
+    )
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        (F.lit(62500).cast("bigint") * matches.cast("bigint")).alias("est_ppm"),
+        F.when(union == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "CAST((1000000 * CAST(size(array_intersect(_ga, _gb)) AS BIGINT))"
+                " DIV size(array_union(_ga, _gb)) AS BIGINT)"
+            )
+        )
+        .alias("true_ppm"),
+    ).withColumn("err_ppm", (F.col("est_ppm") - F.col("true_ppm")).cast("bigint"))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T111: recall@10 of the IVF ANN (T10, nprobe=4/16) against the
     brute-force cosine ground truth (T8) — the evaluation every ANN
@@ -3476,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration": q_score_calibration,
         "dedup_cascade": q_dedup_cascade,
         "ann_recall": q_ann_recall,
+        "minhash_calibration": q_minhash_calibration,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -6343,6 +6391,45 @@ def oracle_sql() -> dict[str, str]:
         .replace("{{window_mins}}", window_mins)
         .replace("{{band_keys}}", band_keys),
     }
+    # T112: estimator calibration — sig-window agreement vs true Jaccard
+    # over the T3 candidate pairs (same fragments as the pair oracles).
+    d["minhash_calibration"] = """
+        WITH hashed AS (
+            SELECT doc_id, list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                   list_transform(wsh, x -> md5('1|' || x)) AS h1,
+                   list_distinct(wsh) AS g
+            FROM (SELECT doc_id, {{shingle5}} AS wsh FROM documents)
+        ), sigs AS (
+            SELECT doc_id, [{{window_mins}}] AS sig, g FROM hashed
+        ), banded AS (
+            SELECT doc_id, unnest([{{band_keys}}]) AS band_key FROM sigs
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ), scored AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST(62500 * len(list_filter(
+                       generate_series(1, 16),
+                       i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS est_ppm,
+                   CASE WHEN len(list_distinct(list_concat(sa.g, sb.g))) = 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST((1000000
+                                   * len(list_intersect(sa.g, sb.g)))
+                                  // len(list_distinct(
+                                         list_concat(sa.g, sb.g)))
+                                  AS BIGINT)
+                   END AS true_ppm
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b
+        )
+        SELECT doc_a, doc_b, est_ppm, true_ppm,
+               CAST(est_ppm - true_ppm AS BIGINT) AS err_ppm
+        FROM scored
+    """.replace("{{shingle5}}", shingle5).replace(
+        "{{window_mins}}", window_mins
+    ).replace("{{band_keys}}", band_keys)
     # T111: recall@10 of the IVF ANN against the brute-force ground truth —
     # composed from the two oracles above so the evaluation and its inputs
     # share one source of truth.
