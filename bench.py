@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "soft_dedup_weights",
     "taxonomy_tags",
     "curriculum_order",
+    "dedup_cascade",
 ]
 
 
