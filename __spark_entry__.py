@@ -3097,6 +3097,42 @@ TAXONOMY = [
 ]
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T113: vocabulary-growth (Heaps'-law) audit from HLL sketches — the
+    distinct-word estimate over NESTED deterministic corpus samples
+    (doc_id%10 < k for k = 2,4,6,8,10), the datasheet curve that says
+    whether a corpus is still contributing new vocabulary or re-treading
+    (sublinear growth = diminishing returns).  At 100 TB the exact curve
+    is five vocabulary-sized shuffles; here it is ONE pass — each token
+    row fans out to the <= 5 thresholds that include it and the T98
+    register agg bounds every exchange at 5 x m rows.  filled/scaled_sum
+    are exact integers; growth monotonicity is structural (nested
+    samples -> register-wise max can only grow)."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        hll_build,
+        hll_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 10).alias("_b"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    fanned = toks.select(
+        "w",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(k) for k in (2, 4, 6, 8, 10)]),
+                lambda k: F.col("_b") < k,
+            )
+        ).alias("sample_tenths"),
+    )
+    regs = hll_build(fanned, "w", group_cols=("sample_tenths",), bucket_hex=2)
+    return hll_summary(regs, group_cols=("sample_tenths",), bucket_hex=2).orderBy(
+        "sample_tenths"
+    )
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T112: MinHash estimator calibration — for every T3 candidate pair,
     the sketch's Jaccard ESTIMATE (fraction of agreeing signature windows)
@@ -3524,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cascade": q_dedup_cascade,
         "ann_recall": q_ann_recall,
         "minhash_calibration": q_minhash_calibration,
+        "vocab_growth": q_vocab_growth,
         "quality_classifier_scores": q_quality_classifier_scores,
         "semantic_dedup_survivors": q_semantic_dedup_survivors,
         "weighted_sample": q_weighted_sample,
@@ -5987,6 +6024,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT)
             FROM q
         """,
+        "vocab_growth": """
+            WITH toks AS (
+                SELECT CAST(doc_id % 10 AS INT) AS b,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), fanned AS (
+                SELECT t.w, k.k AS sample_tenths
+                FROM toks t
+                JOIN (VALUES (2), (4), (6), (8), (10)) k(k) ON t.b < k.k
+            ), st AS (
+                SELECT sample_tenths, substr(md5(w), 1, 2) AS bucket,
+                       trim(LEADING '0' FROM substr(md5(w), 3, 12)) AS s
+                FROM fanned WHERE w IS NOT NULL
+            ), regs AS (
+                SELECT sample_tenths, bucket,
+                       max(CASE WHEN s = '' THEN 49
+                            ELSE 4 * (12 - length(s)) + 5
+                                 - length(bin(instr('123456789abcdef',
+                                                    substr(s, 1, 1))))
+                       END) AS reg
+                FROM st GROUP BY 1, 2
+            ), agg AS (
+                SELECT sample_tenths,
+                       CAST(count(*) AS BIGINT) AS filled_buckets,
+                       CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+                           AS ps
+                FROM regs GROUP BY 1
+            )
+            SELECT sample_tenths, filled_buckets,
+                   CAST(256 - filled_buckets AS BIGINT) AS zero_buckets,
+                   CAST(ps + (256 - filled_buckets)
+                             * (CAST(1 AS BIGINT) << 49) AS BIGINT)
+                       AS scaled_sum,
+                   round(__HLL_NUMER__
+                         / CAST(ps + (256 - filled_buckets)
+                                     * (CAST(1 AS BIGINT) << 49) AS DOUBLE),
+                         4) AS est_raw
+            FROM agg ORDER BY sample_tenths
+        """.replace("__HLL_NUMER__", _hll_numer()),
         "hll_distinct_words": """
             WITH toks AS (
                 SELECT lang, unnest(string_split(lower(text), ' ')) AS w
