@@ -2066,6 +2066,37 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T114: TrustRank over the harvested host graph — seed-personalized
+    PageRank (Gyöngyi et al. VLDB 2004), the standard spam-demotion prior:
+    teleport (and dangling) mass goes only to a curated whitelist (here the
+    deterministic rule host-number % 5 == 0, 5 of 23 hosts), so trust flows
+    strictly outward from the seeds along real extracted links and a spam
+    island unreachable from any seed ends at exactly 0.  Same per-iteration
+    scale shape as T50 (one shuffle join + hash agg; dangling = 1-row
+    broadcast); hash-matched against a DuckDB chained-CTE replay of the
+    same three seeded iterations."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+        trustrank,
+    )
+
+    pages, _ = _link_pages(spark, sf_dir)
+    edges = host_link_graph(extract_page_links(pages))
+    hosts = edges.select(F.col("src_host").alias("node")).union(
+        edges.select(F.col("dst_host").alias("node"))
+    )
+    hnum = F.regexp_extract(F.col("node"), r"^h(\d+)\.", 1).cast("int")
+    seeds = hosts.filter(hnum % 5 == 0).distinct()
+    trust = trustrank(edges, seeds, damping=0.85, n_iters=3)
+    return trust.select(
+        F.col("node").alias("host"),
+        F.round("rank", 6).alias("trust"),
+        "is_seed",
+    )
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T54: fixed-quota per-stratum sampling — exactly min(k, |stratum|)
     docs per language, selected by salted-md5 order (rerun-stable, engine-
@@ -3514,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_graph": q_host_link_graph,
         "anchor_texts": q_anchor_texts,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
         "rank_prioritized_docs": q_rank_prioritized_docs,
         "normalized_dedup": q_normalized_dedup,
         "quota_sample": q_quota_sample,
@@ -3701,6 +3733,34 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
                          * (COALESCE(c.contrib, 0) + d.dm / nc.c) AS r
                 FROM nodes CROSS JOIN nc CROSS JOIN d{cur} d
                 LEFT JOIN c{cur} c ON c.h = nodes.h
+            )"""
+
+
+def _trustrank_iter_sql(prev: str, cur: str) -> str:
+    """One seeded power-method iteration (DuckDB replay of
+    operators/links.trustrank — teleport AND dangling mass weighted by the
+    per-node tele column instead of uniform 1/n)."""
+    return f"""
+            c{cur} AS (
+                SELECT e.dst_h AS h,
+                       sum(r{prev}.r * (e.w / o.ow)) AS contrib
+                FROM edges e
+                JOIN r{prev} ON r{prev}.h = e.src_h
+                JOIN outw o ON o.src_h = e.src_h
+                GROUP BY e.dst_h
+            ),
+            d{cur} AS (
+                SELECT COALESCE(sum(r{prev}.r), CAST(0 AS DOUBLE)) AS dm
+                FROM r{prev} LEFT JOIN outw o ON o.src_h = r{prev}.h
+                WHERE o.src_h IS NULL
+            ),
+            r{cur} AS (
+                SELECT tn.h,
+                       (1 - CAST(0.85 AS DOUBLE)) * tn.tele
+                       + CAST(0.85 AS DOUBLE)
+                         * (COALESCE(c.contrib, 0) + d.dm * tn.tele) AS r
+                FROM tn CROSS JOIN d{cur} d
+                LEFT JOIN c{cur} c ON c.h = tn.h
             )"""
 
 
@@ -4965,6 +5025,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
                    round(r, 6) AS pr
             FROM r3
+        """,
+        "host_trustrank": f"""
+            WITH {_LINK_EDGES_SQL},
+            edges AS (
+                SELECT src_h, dst_h, CAST(count(*) AS DOUBLE) AS w
+                FROM links GROUP BY src_h, dst_h
+            ),
+            nodes AS (
+                SELECT DISTINCT h FROM (
+                    SELECT src_h AS h FROM edges
+                    UNION ALL SELECT dst_h FROM edges
+                )
+            ),
+            seeds AS (SELECT h FROM nodes WHERE h % 5 = 0),
+            sc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM seeds),
+            outw AS (SELECT src_h, sum(w) AS ow FROM edges GROUP BY src_h),
+            tn AS (
+                SELECT nodes.h,
+                       CASE WHEN s.h IS NULL THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(1 AS DOUBLE) / sc.c END AS tele
+                FROM nodes CROSS JOIN sc
+                LEFT JOIN seeds s ON s.h = nodes.h
+            ),
+            r0 AS (SELECT h, tele AS r FROM tn),
+            {_trustrank_iter_sql("0", "1")},
+            {_trustrank_iter_sql("1", "2")},
+            {_trustrank_iter_sql("2", "3")}
+            SELECT 'h' || CAST(r3.h AS VARCHAR) || '.example.com' AS host,
+                   round(r3.r, 6) AS trust,
+                   tn.tele > 0 AS is_seed
+            FROM r3 JOIN tn ON tn.h = r3.h
         """,
         "quota_sample": """
             SELECT doc_id, lang, pick_rank FROM (

@@ -155,3 +155,94 @@ def pagerank(
             ranks = ranks.localCheckpoint()
     trans.unpersist()
     return ranks
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "weight",
+    damping: float = 0.85,
+    n_iters: int = 3,
+    flatten_lineage: bool = True,
+) -> DataFrame:
+    """Seed-personalized PageRank — TrustRank (Gyöngyi, Garcia-Molina &
+    Pedersen, VLDB 2004): the standard spam-demotion prior for web corpora.
+
+    Identical power method to :func:`pagerank` except the teleport
+    distribution is concentrated on a curated SEED set instead of uniform:
+
+        trust_{t+1}(v) = (1-d)·tele(v) + d·( Σ_{u→v} trust_t(u)·w/out(u)
+                                             + dangling_mass_t·tele(v) )
+
+    where tele(v) = 1/|S| for seed nodes and 0 otherwise — so trust can
+    only flow OUT of the seed set along links, and hosts unreachable from
+    any seed end at exactly 0.0 (spam islands get no mass no matter how
+    densely they interlink).  ``seeds`` is a one-column DataFrame of node
+    ids; only seeds present in the edge universe carry teleport mass (the
+    normalizer is |S ∩ nodes|).
+
+    Scale shape is pagerank's: the teleport column rides the node dim,
+    each iteration is one shuffle join + hash agg, dangling mass is a
+    1-row broadcast, and the only driver scalar is the seed count.
+    """
+    if n_iters < 1:
+        raise ValueError(f"trustrank requires n_iters >= 1, got {n_iters}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(seed_nodes.select("node", F.lit(True).alias("is_seed")), "node", "left")
+        .localCheckpoint()
+    )
+    s = nodes.filter(F.col("is_seed")).count()  # the one driver scalar
+    if s == 0:
+        raise ValueError("trustrank: no seed intersects the edge universe")
+    tele_nodes = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(1.0) / s).otherwise(F.lit(0.0)).alias("tele"),
+    ).localCheckpoint()
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    trans.count()
+
+    ranks = tele_nodes.select("node", F.col("tele").alias("rank"))
+    for _ in range(n_iters):
+        contribs = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks["node"] == out_w["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            tele_nodes.crossJoin(F.broadcast(dangling))
+            .join(contribs, tele_nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") * F.col("tele")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if flatten_lineage:
+            ranks = ranks.localCheckpoint()
+    trans.unpersist()
+    return ranks.join(
+        tele_nodes.select("node", (F.col("tele") > 0).alias("is_seed")), "node"
+    ).select("node", "rank", "is_seed")

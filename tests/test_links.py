@@ -217,3 +217,80 @@ class TestLinkGraphEndToEnd:
         plan = extract_page_links(pages)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         assert "Exchange" not in plan
+
+
+def _ref_trustrank(edges, seeds, damping=0.85, n_iters=3):
+    """Dense NumPy seeded power iteration — the TrustRank oracle."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {h: i for i, h in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for u, v, w in edges:
+        P[idx[v], idx[u]] += w
+    out = P.sum(axis=0)
+    tele = np.zeros(n)
+    present = [s for s in seeds if s in idx]
+    for s in present:
+        tele[idx[s]] = 1.0 / len(present)
+    r = tele.copy()
+    for _ in range(n_iters):
+        nz = out > 0
+        contrib = P[:, nz] @ (r[nz] / out[nz])
+        dm = r[~nz].sum()
+        r = (1 - damping) * tele + damping * (contrib + dm * tele)
+    return {h: r[idx[h]] for h in nodes}
+
+
+class TestTrustrankOperator:
+    def _run(self, spark, edges, seeds, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.links import trustrank
+
+        df = spark.createDataFrame(edges, ["src_host", "dst_host", "weight"])
+        sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+        rows = trustrank(df, sdf, **kw).collect()
+        return (
+            {r["node"]: r["rank"] for r in rows},
+            {r["node"]: r["is_seed"] for r in rows},
+        )
+
+    def test_matches_numpy_reference(self, spark):
+        edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)]
+        got, is_seed = self._run(spark, edges, ["a"])
+        want = _ref_trustrank(edges, ["a"])
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+        assert is_seed == {"a": True, "b": False, "c": False}
+
+    def test_spam_island_gets_exact_zero(self, spark):
+        # x<->y interlink densely but are unreachable from the seed: trust
+        # must be EXACTLY 0.0 (not merely small) — no teleport, no inflow.
+        edges = [("a", "b", 1), ("x", "y", 5), ("y", "x", 5)]
+        got, _ = self._run(spark, edges, ["a"])
+        assert got["x"] == 0.0 and got["y"] == 0.0
+        want = _ref_trustrank(edges, ["a"])
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+    def test_dangling_mass_returns_to_seeds_sum_one(self, spark):
+        # 'sink' dangles: its trust re-teleports to the seed set each round,
+        # so total mass stays exactly 1.
+        edges = [("a", "sink", 1), ("a", "b", 1), ("b", "a", 1)]
+        got, _ = self._run(spark, edges, ["a", "b"])
+        want = _ref_trustrank(edges, ["a", "b"])
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_seed_outside_graph_ignored_all_outside_raises(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import trustrank
+
+        edges = [("a", "b", 1)]
+        got, _ = self._run(spark, edges, ["a", "ghost"])
+        want = _ref_trustrank(edges, ["a"])  # ghost carries no mass
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+        df = spark.createDataFrame(edges, ["src_host", "dst_host", "weight"])
+        sdf = spark.createDataFrame([("ghost",)], ["node"])
+        with pytest.raises(ValueError):
+            trustrank(df, sdf)
