@@ -1316,6 +1316,47 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T115: character-distribution gibberish signals — the cheap pre-filter
+    every web pipeline runs before tokenizing (C4's alphabetic-fraction rule,
+    Gopher's symbol ratios): per doc the distinct-char count, the modal-char
+    fraction, the Gini impurity of the char histogram (≈0 for 'aaaa…' spam,
+    high for natural text), and the alphabetic fraction — all floor-ppm
+    integers from exact counts, so the hash match is bitwise (the one double
+    op per signal is an integer-input IEEE multiply+divide both engines
+    execute identically).  Shape: explode chars → (doc, char) hash agg →
+    per-doc agg; map-side combine bounds the first exchange at
+    |alphabet| rows per doc per task, the second at one row per doc —
+    corpus-linear, never quadratic.  (Char split is UTF-16-unit vs codepoint
+    across engines only outside the BMP; the corpus is ASCII — asserted by
+    the oracle's own char grouping.)"""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    agg = freq.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("k").alias("mx"),
+        F.sum(F.col("k") * F.col("k")).alias("s2"),
+        F.sum(
+            F.when(F.col("c").rlike("^[A-Za-z]$"), F.col("k")).otherwise(F.lit(0))
+        ).alias("na"),
+    )
+    n2 = F.col("n") * F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_seen"),
+        "distinct_chars",
+        F.floor(F.lit(1000000.0) * F.col("mx") / F.col("n")).alias("top_char_ppm"),
+        F.floor(F.lit(1000000.0) * (n2 - F.col("s2")) / n2).alias("gini_ppm"),
+        F.floor(F.lit(1000000.0) * F.col("na") / F.col("n")).alias("alpha_ppm"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: md5 of the stable doc key → first
     two hex nibbles → bucket 0..255 → 80/10/10 by bucket % 10.  The standard
@@ -3534,6 +3575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_event_matrix": q_unpivot_event_matrix,
         "global_row_numbers": q_global_row_numbers,
         "repetition_signals": q_repetition_signals,
+        "char_diversity": q_char_diversity,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
         "extract_documents": q_extract_documents,
@@ -4619,6 +4661,30 @@ def oracle_sql() -> dict[str, str]:
                               ELSE agg.top_bigram_count / agg.n_bigrams END, 4)
                        AS top_bigram_frac
             FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        """,
+        "char_diversity": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+            ), f AS (
+                SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+                FROM ch WHERE c <> '' GROUP BY 1, 2
+            ), a AS (
+                SELECT doc_id,
+                       CAST(sum(k) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS distinct_chars,
+                       max(k) AS mx,
+                       CAST(sum(k * k) AS BIGINT) AS s2,
+                       CAST(sum(CASE WHEN regexp_matches(c, '^[A-Za-z]$')
+                                     THEN k ELSE 0 END) AS BIGINT) AS na
+                FROM f GROUP BY 1
+            )
+            SELECT doc_id, n AS n_chars_seen, distinct_chars,
+                   CAST(floor(1000000.0 * mx / n) AS BIGINT) AS top_char_ppm,
+                   CAST(floor(1000000.0 * (n * n - s2) / (n * n)) AS BIGINT)
+                       AS gini_ppm,
+                   CAST(floor(1000000.0 * na / n) AS BIGINT) AS alpha_ppm
+            FROM a
         """,
         "json_struct_extract": """
             SELECT event_id,
