@@ -3107,6 +3107,43 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, qt, top_k=10)
 
 
+PHRASE_QUERIES = [
+    ("p2_table", "table table"),
+    ("p3_scan", "fast key scan"),
+    ("p2_value", "value fast"),
+    ("p3_rep", "scan scan scan"),
+    ("p3_art", "a a the"),
+    ("p2_query", "query big"),
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T116: exact-phrase retrieval (operators/retrieval.py:phrase_search)
+    — the positional-inverted-index query next to T72's BM25 bag-of-words:
+    a phrase of m tokens matches at position p iff token i sits at p+i for
+    every offset (count(distinct offset) == m, an exact integer aggregate).
+    Finds VERBATIM benchmark sentences where n-gram-overlap decontamination
+    only finds shared vocabulary.  Broadcast phrase-term dim prunes the
+    token stream map-side; the one data shuffle is keyed (query, doc,
+    candidate start) and bounded by query-term postings, never the corpus.
+    The query set includes a repeated-term phrase ('scan scan scan') so the
+    offset algebra — not string splitting — is what the hash match proves;
+    overlapping occurrences each count (`aaa` appears 3× in `aaaaa`)."""
+    from pdf_drawing_ocr_recognition_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = spark.createDataFrame(PHRASE_QUERIES, "query_id string, phrase string")
+    return phrase_search(docs, ph)
+
+
+def _phrase_values() -> str:
+    """The T116 phrase-query dim as a VALUES list — same Python literal the
+    Spark query builds its DataFrame from (single source of truth)."""
+    return ", ".join(f"('{q}', '{p}')" for q, p in PHRASE_QUERIES)
+
+
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T71: cross-document exact-substring dedup (operators/dedup.py:
     exact_substring_dedupe) — the ExactSubstr pass of Lee et al. 2022 /
@@ -3610,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "exact_substring_dedup": q_exact_substring_dedup,
         "bm25_topk": q_bm25_topk,
+        "phrase_search": q_phrase_search,
         "dsir_weights": q_dsir_weights,
         "contamination_report": q_contamination_report,
         "balanced_shards": q_balanced_shards,
@@ -5650,6 +5688,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_tokens_dropped
             FROM kept GROUP BY 1
+        """,
+        "phrase_search": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, i - 1 AS pos, ws[i] AS term
+                FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+            ), ph AS (
+                SELECT query_id, string_split(lower(phrase), ' ') AS ps
+                FROM (VALUES {_phrase_values()}) AS v(query_id, phrase)
+            ), pt AS (
+                SELECT query_id, i - 1 AS i, ps[i] AS term
+                FROM ph, unnest(generate_series(1, len(ps))) AS t(i)
+            ), pl AS (
+                SELECT query_id, count(*) AS m FROM pt GROUP BY 1
+            ), cand AS (
+                SELECT pt.query_id, toks.doc_id, toks.pos - pt.i AS s, pt.i
+                FROM toks JOIN pt ON toks.term = pt.term
+                WHERE toks.pos - pt.i >= 0
+            ), st AS (
+                SELECT query_id, doc_id, s, count(DISTINCT i) AS hit
+                FROM cand GROUP BY 1, 2, 3
+            ), fm AS (
+                SELECT st.query_id, st.doc_id, st.s
+                FROM st JOIN pl ON pl.query_id = st.query_id
+                WHERE st.hit = pl.m
+            )
+            SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(s) AS BIGINT) AS first_pos
+            FROM fm GROUP BY 1, 2
         """,
         "bm25_topk": f"""
             WITH qt(query_id, term) AS (VALUES {_bm25_queries_sql()}),

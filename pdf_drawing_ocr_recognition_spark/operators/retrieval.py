@@ -185,3 +185,60 @@ def bm25_topk_indexed(
         .where(F.col("rank") <= top_k)
         .select("query_id", key_col, "bm25_scaled", "rank")
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional token stream — the
+    positional-inverted-index query every lexical engine pairs with BM25
+    (and the shape decontamination uses to find verbatim benchmark
+    sentences, not just bag-of-ngram overlap).
+
+    *phrases* is a small (query_id, phrase) frame — broadcast.  A phrase
+    of m whitespace tokens matches at document position p iff token i sits
+    at p+i for every offset i < m (positions from the same ``posexplode``
+    stream an index would persist).  Returns one row per (query_id, key)
+    with ≥1 match: (query_id, <key>, n_matches, first_pos).
+
+    Scale shape: the corpus token stream is joined against the BROADCAST
+    phrase-term dim, so only postings of query terms ever leave the scan
+    stage (the BM25 map-side-prune discipline); the one data shuffle is
+    keyed (query, doc, candidate_start) and is bounded by those postings,
+    never the corpus.  The full-match test is count(distinct offset) == m
+    — an exact integer aggregate, immune to partitioning; repeated terms
+    inside a phrase ('scan scan') are handled by the offset algebra, not
+    string games.
+    """
+    toks = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
+    )
+    pterms = phrases.select(
+        "query_id",
+        F.posexplode(F.split(F.lower(F.col("phrase")), " ")).alias("i", "term"),
+    )
+    plen = pterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("_m"))
+    cand = (
+        toks.join(F.broadcast(pterms), "term")
+        .select(
+            "query_id",
+            key_col,
+            (F.col("pos") - F.col("i")).alias("_start"),
+            "i",
+        )
+        .filter(F.col("_start") >= 0)
+    )
+    starts = cand.groupBy("query_id", key_col, "_start").agg(
+        F.count_distinct("i").alias("_hit")
+    )
+    full = starts.join(F.broadcast(plen), "query_id").filter(
+        F.col("_hit") == F.col("_m")
+    )
+    return full.groupBy("query_id", key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("_start").cast("bigint").alias("first_pos"),
+    )

@@ -96,3 +96,51 @@ class TestBm25Indexed:
         finally:
             spark.sql("DROP TABLE IF EXISTS bm25_postings_t")
             spark.sql("DROP TABLE IF EXISTS bm25_postings_t_stats")
+
+
+class TestPhraseSearch:
+    def _run(self, spark, docs, phrases):
+        from pdf_drawing_ocr_recognition_spark.operators.retrieval import (
+            phrase_search,
+        )
+
+        d = spark.createDataFrame(docs, ["doc_id", "text"])
+        p = spark.createDataFrame(phrases, ["query_id", "phrase"])
+        return {
+            (r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+            for r in phrase_search(d, p).collect()
+        }
+
+    def test_exact_match_and_position(self, spark):
+        got = self._run(
+            spark,
+            [(1, "the quick brown fox"), (2, "brown the quick")],
+            [("q", "quick brown")],
+        )
+        assert got == {("q", 1): (1, 1)}  # doc 2 has both words, wrong order
+
+    def test_overlapping_occurrences_each_count(self, spark):
+        # 'a a' occurs at positions 0,1,2,3 of 'a a a a a'
+        got = self._run(spark, [(1, "a a a a a")], [("q", "a a")])
+        assert got == {("q", 1): (4, 0)}
+
+    def test_repeated_term_phrase_offset_algebra(self, spark):
+        # 'x y x' needs x at p AND p+2 — bag-of-words would accept doc 2
+        got = self._run(
+            spark,
+            [(1, "z x y x z"), (2, "x x y z")],
+            [("q", "x y x")],
+        )
+        assert got == {("q", 1): (1, 1)}
+
+    def test_case_folded_and_multi_query(self, spark):
+        got = self._run(
+            spark,
+            [(1, "Alpha Beta gamma")],
+            [("q1", "alpha beta"), ("q2", "beta gamma"), ("q3", "gamma alpha")],
+        )
+        assert got == {("q1", 1): (1, 0), ("q2", 1): (1, 1)}
+
+    def test_phrase_longer_than_doc_no_match(self, spark):
+        got = self._run(spark, [(1, "a b")], [("q", "a b c")])
+        assert got == {}
