@@ -1968,6 +1968,39 @@ def q_image_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T117: perceptual difference hash (dHash) per image — REAL PNG decode
+    → horizontal gradient signs packed MSB-first into a 56-bit BIGINT
+    (operators/multimodal.py:image_dhash).  Hash-matched against DuckDB
+    recomputing every gradient bit from the text codepoints the renderer
+    drew (the T33 single-source-of-truth trick): an exact integer per doc,
+    so the match is bitwise."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    return image_dhash(_image_blobs(spark, sf_dir)).select(
+        "doc_id", "media_kind", "dhash", "n_bits"
+    )
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T117 (pairs): image near-duplicates as Hamming-ball search over the
+    dHash — pigeonhole multi-index (Manku et al. WWW 2007): 3 disjoint bit
+    bands for distance ≤ 2, band-equality join (one shuffle, the T3 band
+    shape), codegen bit_count(xor) confirm.  Recall is STRUCTURAL — a pair
+    within distance 2 must agree on ≥1 band — so the oracle can replay the
+    identical banding relationally and the match proves both the hash and
+    the index geometry."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        hamming_near_dupe_pairs,
+        image_dhash,
+    )
+
+    hashes = image_dhash(_image_blobs(spark, sf_dir))
+    return hamming_near_dupe_pairs(hashes, n_bits=56, max_distance=2)
+
+
 def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T37 relational audit: greedy next-fit packing of the 64-token chunks
     into 160-token bins, then the per-bin fill audit (chunk count, token
@@ -3620,6 +3653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "image_features": q_image_features,
         "image_near_dupes": q_image_near_dupes,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "packing_stats": q_packing_stats,
         "host_link_graph": q_host_link_graph,
         "anchor_texts": q_anchor_texts,
@@ -5010,6 +5045,60 @@ def oracle_sql() -> dict[str, str]:
                    round(sd.std_p / 255.0, 4) AS std_px,
                    hs.hist
             FROM m JOIN sd USING (doc_id) JOIN hs USING (doc_id)
+        """,
+        # T117: dHash bit b (row r=b//7, col c=b%7) compares text codepoints
+        # at positions r*8+c and r*8+c+1 (pad 32 past the 64-char window) —
+        # the same pixels the renderer drew, so the packed BIGINT is bitwise
+        "image_dhash": """
+            WITH px AS (
+                SELECT d.doc_id, t.b,
+                       CASE WHEN length(d.text) >= (t.b // 7) * 8 + (t.b % 7) + 1
+                            THEN least(ascii(substr(d.text,
+                                 (t.b // 7) * 8 + (t.b % 7) + 1, 1)), 255)
+                            ELSE 32 END AS p1,
+                       CASE WHEN length(d.text) >= (t.b // 7) * 8 + (t.b % 7) + 2
+                            THEN least(ascii(substr(d.text,
+                                 (t.b // 7) * 8 + (t.b % 7) + 2, 1)), 255)
+                            ELSE 32 END AS p2
+                FROM documents d, unnest(generate_series(0, 55)) AS t(b)
+            )
+            SELECT doc_id, 'png' AS media_kind,
+                   CAST(sum(CASE WHEN p1 > p2
+                                 THEN CAST(1 AS BIGINT) << (55 - b)
+                                 ELSE 0 END) AS BIGINT) AS dhash,
+                   CAST(56 AS INT) AS n_bits
+            FROM px GROUP BY doc_id
+        """,
+        "image_dhash_pairs": """
+            WITH px AS (
+                SELECT d.doc_id, t.b,
+                       CASE WHEN length(d.text) >= (t.b // 7) * 8 + (t.b % 7) + 1
+                            THEN least(ascii(substr(d.text,
+                                 (t.b // 7) * 8 + (t.b % 7) + 1, 1)), 255)
+                            ELSE 32 END AS p1,
+                       CASE WHEN length(d.text) >= (t.b // 7) * 8 + (t.b % 7) + 2
+                            THEN least(ascii(substr(d.text,
+                                 (t.b // 7) * 8 + (t.b % 7) + 2, 1)), 255)
+                            ELSE 32 END AS p2
+                FROM documents d, unnest(generate_series(0, 55)) AS t(b)
+            ), dh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN p1 > p2
+                                     THEN CAST(1 AS BIGINT) << (55 - b)
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM px GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, h, 0 AS bi, (h >> 37) & 524287 AS bv FROM dh
+                UNION ALL
+                SELECT doc_id, h, 1, (h >> 18) & 524287 FROM dh
+                UNION ALL
+                SELECT doc_id, h, 2, h & 262143 FROM dh
+            )
+            SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 2
         """,
         # T17 oracles (the T33 trick): DuckDB replays the deterministic
         # container arithmetic — codepoint-PNG pixel stats for the metadata

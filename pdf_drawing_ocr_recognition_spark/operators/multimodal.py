@@ -212,3 +212,114 @@ def image_feature_vectors(blobs: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(run, FEATURE_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id LONG, media_kind STRING, dhash LONG, n_bits INT"
+
+
+def image_dhash(blobs: DataFrame) -> DataFrame:
+    """(doc_id, payload) → 56-bit difference hash (dHash) per image — the
+    standard perceptual fingerprint for image near-dup detection (gradient
+    sign between horizontally adjacent pixels, Krawetz's dHash): bit
+    b = r·(W−1)+c is 1 iff px[r,c] > px[r,c+1], packed MSB-first into a
+    BIGINT.  Identical images hash equal; small brightness/compression
+    perturbations flip only the few bits whose local gradient they cross —
+    which is what makes Hamming-ball search (``hamming_near_dupe_pairs``)
+    the right join key, where exact digests (T1) see unrelated bytes.
+
+    Real decode for our PNG codec's payloads; opaque payloads get the first
+    7 digest bytes (deterministic stub contract of this module); empty → 0.
+    Requires H·(W−1) ≤ 62 (BIGINT packing) — 8×8 pages give 56 bits.
+    Narrow Arrow stage, no shuffle.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    rows.append({"doc_id": doc_id, "media_kind": "empty",
+                                 "dhash": 0, "n_bits": 0})
+                    continue
+                payload = bytes(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(payload).astype(np.int32)
+                    h, w = img.shape
+                    n_bits = h * (w - 1)
+                    if n_bits > 62:
+                        raise ValueError(
+                            f"dhash needs H*(W-1) <= 62 bits, got {n_bits} "
+                            f"for {h}x{w} — downsample first"
+                        )
+                    bits = (img[:, :-1] > img[:, 1:]).ravel()
+                    val = 0
+                    for bit in bits:
+                        val = (val << 1) | int(bit)
+                    rows.append({"doc_id": doc_id, "media_kind": "png",
+                                 "dhash": val, "n_bits": n_bits})
+                else:
+                    d = hashlib.sha1(payload).digest()
+                    val = int.from_bytes(d[:7], "big")
+                    rows.append({"doc_id": doc_id, "media_kind": "opaque",
+                                 "dhash": val, "n_bits": 56})
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(run, DHASH_SCHEMA)
+
+
+def hamming_near_dupe_pairs(
+    hashes: DataFrame,
+    n_bits: int = 56,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """All pairs within Hamming distance *max_distance* — EXACTLY, without
+    an all-pairs join: pigeonhole multi-index (the mod-p banding of
+    Manku/Jain/Sarma's SimHash dedup, WWW 2007).  The hash is split into
+    ``max_distance+1`` disjoint bit bands; two hashes within distance d
+    differ in at most d bands, so at least one band matches exactly —
+    band-equality join gives a candidate superset (same shape/cost as the
+    T3 MinHash band join: one shuffle keyed by (band, value)), then ONE
+    codegen ``bit_count(xor)`` filter confirms.  Recall is structural
+    (pigeonhole), not probabilistic.  Returns (key_a, key_b, hamming),
+    key_a < key_b.
+    """
+    from pyspark.sql import functions as F
+
+    n_bands = max_distance + 1
+    widths = [
+        n_bits // n_bands + (1 if i < n_bits % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    src = hashes.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    band_cols = []
+    shift = n_bits
+    for i, w in enumerate(widths):
+        shift -= w
+        band_cols.append(
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftright("_h", shift).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
+            )
+        )
+    banded = src.select("_id", "_h", F.explode(F.array(*band_cols)).alias("b"))
+    a = banded.select(
+        F.col("b").alias("ba"), F.col("_id").alias("key_a"), F.col("_h").alias("ha")
+    )
+    b = banded.select(
+        F.col("b").alias("bb"), F.col("_id").alias("key_b"), F.col("_h").alias("hb")
+    )
+    return (
+        a.join(b, (a["ba"] == b["bb"]) & (a["key_a"] < b["key_b"]))
+        .select(
+            "key_a",
+            "key_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )

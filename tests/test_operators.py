@@ -411,6 +411,92 @@ class TestImageFeatures:
         assert rows[1]["embedding"] == rows[2]["embedding"]
 
 
+class TestImageDhash:
+    def test_known_gradient_bits_pack_msb_first(self, spark):
+        """Hand 2x8 raster: bit b=1 iff px[r,c] > px[r,c+1], packed into
+        bits 13..0 (2*(8-1)=14 bits) MSB-first."""
+        import numpy as np
+
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        img = np.array(
+            [[9, 1, 2, 2, 5, 4, 3, 3], [0, 0, 7, 6, 5, 9, 9, 8]],
+            dtype=np.uint8,
+        )
+        want = 0
+        for r in range(2):
+            for c in range(7):
+                want = (want << 1) | int(img[r, c] > img[r, c + 1])
+        blobs = spark.createDataFrame(
+            [(1, bytearray(encode_png(img)))], "doc_id LONG, payload BINARY"
+        )
+        row = image_dhash(blobs).collect()[0]
+        assert (row["dhash"], row["n_bits"], row["media_kind"]) == (want, 14, "png")
+
+    def test_opaque_and_empty_contracts(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        blobs = spark.createDataFrame(
+            [(1, bytearray(b"not a png")), (2, bytearray(b"not a png")),
+             (3, bytearray(b""))],
+            "doc_id LONG, payload BINARY",
+        )
+        rows = {r["doc_id"]: r for r in image_dhash(blobs).collect()}
+        assert rows[1]["media_kind"] == "opaque" and rows[1]["n_bits"] == 56
+        assert rows[1]["dhash"] == rows[2]["dhash"] > 0
+        assert rows[3]["media_kind"] == "empty" and rows[3]["dhash"] == 0
+
+    def test_too_wide_raster_raises(self, spark):
+        import numpy as np
+
+        from pdf_drawing_ocr_recognition_spark.kernel.png import encode_png
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        img = np.zeros((9, 9), dtype=np.uint8)  # 9*8 = 72 bits > 62
+        blobs = spark.createDataFrame(
+            [(1, bytearray(encode_png(img)))], "doc_id LONG, payload BINARY"
+        )
+        with pytest.raises(Exception, match="62"):
+            image_dhash(blobs).collect()
+
+    def test_hamming_pairs_match_brute_force_exactly(self, spark):
+        """Pigeonhole completeness: banded join finds EVERY pair within
+        distance 2 (incl. a 2-bit flip straddling two bands) and confirms
+        none beyond."""
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            hamming_near_dupe_pairs,
+        )
+
+        base = 0x00A5C3F0F1E2D4
+        hashes = [
+            (1, base),
+            (2, base ^ 1),                      # distance 1 (band 2)
+            (3, base ^ (1 << 40) ^ (1 << 5)),   # distance 2, bands 0 and 2
+            (4, base ^ 0b111),                  # distance 3 from 1 — excluded
+            (5, base),                          # exact dup of 1
+        ]
+        df = spark.createDataFrame(hashes, "doc_id LONG, dhash LONG")
+        got = {
+            (r["key_a"], r["key_b"]): r["hamming"]
+            for r in hamming_near_dupe_pairs(df, n_bits=56, max_distance=2).collect()
+        }
+        want = {}
+        for i, (ka, ha) in enumerate(hashes):
+            for kb, hb in hashes[i + 1:]:
+                d = bin(ha ^ hb).count("1")
+                if d <= 2:
+                    want[(ka, kb)] = d
+        assert got == want
+        assert (4, 5) not in got and (1, 4) not in got
+
+
 class TestCorpusPrep:
     def test_prepared_equals_entry_audit_and_mix_composes(self, spark, sf_dir):
         from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
