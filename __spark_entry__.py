@@ -3223,6 +3223,31 @@ def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_summary(regs, group_cols=("lang",), bucket_hex=2).orderBy("lang")
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T118: mergeable log-binned quantile histogram (HDR-histogram /
+    DDSketch family in EXACT integer arithmetic) — per-language p50/p90/p99
+    of document length read off a ≤ ~500-row sketch.  Each power-of-two
+    range splits into 2^3 sub-buckets (relative error ≤ 12.5%, values < 8
+    exact); bin ids from length(bin(v)) shift arithmetic — no floats, no
+    UDFs — so the whole sketch, the ceil(q·n) rank targets ((ppm·n+999999)
+    div 10^6), and the bin bounds replay bit-identically in DuckDB.  The
+    corpus-touching stage is ONE map-side-combinable count agg bounded by
+    the bin universe, never the value cardinality; unlike T35's
+    approx_percentile (opaque GK sketch, rows-only contract) this quantile
+    path is a first-class TABLE: storable, mergeable (bin-wise sum; batch
+    ≡ union pytest-pinned), and fully oracle-checkable."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        qhist_build,
+        qhist_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = qhist_build(docs, "n_chars", group_cols=("lang",), sub_bits=3)
+    return qhist_quantiles(
+        hist, (500000, 900000, 990000), group_cols=("lang",), sub_bits=3
+    )
+
+
 TAXONOMY = [
     ("join", "joins"),
     ("merge", "joins"),
@@ -3694,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration": q_source_concentration,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_distinct_words": q_hll_distinct_words,
+        "length_quantiles": q_length_quantiles,
         "pca_gram": q_pca_gram,
         "soft_dedup_weights": q_soft_dedup_weights,
         "source_redundancy": q_source_redundancy,
@@ -6338,6 +6364,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-1 AS INT), CAST(-1 AS INT),
                    CAST(count(*) AS BIGINT)
             FROM q
+        """,
+        "length_quantiles": """
+            WITH v AS (
+                SELECT lang, CAST(n_chars AS BIGINT) AS v
+                FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+            ), h AS (
+                SELECT lang,
+                       CASE WHEN v < 8 THEN CAST(v AS INT)
+                            ELSE CAST((length(bin(v)) - 3) * 8
+                                      + (v >> (length(bin(v)) - 4)) - 8 AS INT)
+                       END AS bin_id
+                FROM v
+            ), hist AS (
+                SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n
+                FROM h GROUP BY 1, 2
+            ), cum AS (
+                SELECT lang, bin_id,
+                       sum(n) OVER (PARTITION BY lang ORDER BY bin_id) AS c,
+                       sum(n) OVER (PARTITION BY lang) AS nt
+                FROM hist
+            ), probes AS (
+                SELECT cum.*, q.q_ppm
+                FROM cum CROSS JOIN
+                     (VALUES (500000), (900000), (990000)) q(q_ppm)
+            ), best AS (
+                SELECT lang, q_ppm, min(bin_id) AS bin_id,
+                       CAST(max(nt) AS BIGINT) AS n_total
+                FROM probes
+                WHERE c >= (q_ppm * nt + 999999) // 1000000
+                GROUP BY 1, 2
+            )
+            SELECT lang, q_ppm, n_total, bin_id,
+                   CASE WHEN bin_id < 8 THEN CAST(bin_id AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << ((bin_id >> 3) + 2))
+                             + CAST(bin_id & 7 AS BIGINT)
+                               * (CAST(1 AS BIGINT) << ((bin_id >> 3) - 1))
+                   END AS est_lo,
+                   CASE WHEN bin_id < 8 THEN CAST(bin_id AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << ((bin_id >> 3) + 2))
+                             + (CAST(bin_id & 7 AS BIGINT) + 1)
+                               * (CAST(1 AS BIGINT) << ((bin_id >> 3) - 1)) - 1
+                   END AS est_hi
+            FROM best
         """,
         "vocab_growth": """
             WITH toks AS (

@@ -45,6 +45,9 @@ __all__ = [
     "hll_summary",
     "hll_cardinality",
     "hll_alpha_numerator",
+    "qhist_build",
+    "qhist_merge",
+    "qhist_quantiles",
 ]
 
 
@@ -311,3 +314,145 @@ def hll_cardinality(
     if est_raw <= 2.5 * m and zero_buckets > 0:
         return m * math.log(m / zero_buckets)
     return est_raw
+
+
+def _qhist_validate(sub_bits: int) -> None:
+    if not 0 <= sub_bits <= 6:
+        raise ValueError(f"need 0 <= sub_bits <= 6, got {sub_bits}")
+
+
+def qhist_build(
+    items: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Mergeable log-binned quantile histogram — the HDR-histogram /
+    DDSketch idea (Dunning's exponential bins; Masson et al., DDSketch,
+    VLDB 2019) in EXACT integer arithmetic, so the sketch replays
+    bit-identically in ANSI SQL.
+
+    A non-negative integer value v lands in bin
+
+        v < 2^s               → bin_id = v                  (exact region)
+        v in [2^(b-1), 2^b)   → bin_id = (b-s)·2^s + sub,
+                                 sub = (v >> (b-1-s)) - 2^s  (s = sub_bits)
+
+    i.e. each power-of-two range splits into 2^s equal sub-buckets: the
+    relative bin width — and so the worst-case quantile error — is ≤ 2^-s
+    (12.5% at the default s=3), with values below 2^s stored EXACTLY.
+    bin_id is monotone in v, so quantiles read off the cumulative counts.
+
+    Returns (*group_cols, bin_id INT, n BIGINT): ONE codegen projection
+    (length(bin(v)) is the bit-length — no floats anywhere) + one
+    map-side-combinable count agg.  The exchange and the stored sketch are
+    bounded by the ~64·2^s occupied bins per group, never the value
+    cardinality — a 100 TB length distribution compresses to ≤ ~500 rows.
+    NULL and negative values are rejected in-plan (assert folded into the
+    bin computation would be pruned; an explicit filter + count contract
+    documents them out instead — callers pre-clean).
+    """
+    _qhist_validate(sub_bits)
+    gc = list(group_cols)
+    s = sub_bits
+    v = F.col(value_col).cast("bigint")
+    # bit-length via length(bin(v)); variable shifts need the SQL form
+    # (pyspark's shiftright only takes a literal shift)
+    bin_id = F.expr(
+        f"CASE WHEN _v < {1 << s} THEN CAST(_v AS INT) "
+        f"ELSE CAST((length(bin(_v)) - {s}) * {1 << s} "
+        f"     + shiftright(_v, length(bin(_v)) - {1 + s}) - {1 << s} AS INT) "
+        f"END"
+    )
+    return (
+        items.filter(v.isNotNull() & (v >= 0))
+        .select(*gc, v.alias("_v"))
+        .select(*gc, bin_id.alias("bin_id"))
+        .groupBy(*gc, "bin_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def qhist_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge two histograms built with the SAME sub_bits: bin-wise count
+    sum.  sketch(A) merge sketch(B) == sketch(A UNION ALL B) exactly
+    (pytest pins the identity) — partial histograms from corpus slices,
+    days, or stream micro-batches combine without re-reading data."""
+    gc = list(group_cols)
+    cols = [*gc, "bin_id", "n"]
+    return (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy(*gc, "bin_id")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+
+
+def qhist_bounds(col: str, sub_bits: int = 3):
+    """(lo, hi) Columns — the exact integer value range of bin column
+    *col*.  Inverse of the qhist_build bin map; pure shift arithmetic
+    (SQL form: the shifts are data-dependent)."""
+    s = sub_bits
+    # b = (bin_id >> s) + s; lo = 2^(b-1) + sub·2^(b-1-s); hi = lo+width-1
+    lo = F.expr(
+        f"CASE WHEN {col} < {1 << s} THEN CAST({col} AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), shiftright({col}, {s}) + {s - 1}) "
+        f"     + CAST({col} & {(1 << s) - 1} AS BIGINT) "
+        f"       * shiftleft(CAST(1 AS BIGINT), shiftright({col}, {s}) - 1) "
+        f"END"
+    )
+    hi = F.expr(
+        f"CASE WHEN {col} < {1 << s} THEN CAST({col} AS BIGINT) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), shiftright({col}, {s}) + {s - 1}) "
+        f"     + (CAST({col} & {(1 << s) - 1} AS BIGINT) + 1) "
+        f"       * shiftleft(CAST(1 AS BIGINT), shiftright({col}, {s}) - 1) - 1 "
+        f"END"
+    )
+    return lo, hi
+
+
+def qhist_quantiles(
+    hist: DataFrame,
+    quantiles_ppm: tuple[int, ...] = (500000, 900000, 990000),
+    group_cols: tuple[str, ...] = (),
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Quantile read-off: for each group and each quantile q (given in ppm
+    so the rank target ``ceil(q·n)`` is EXACT integer arithmetic —
+    ``(ppm·n + 999999) div 10^6`` — never a float), find the first bin
+    whose cumulative count reaches the target and report its exact integer
+    value bounds (est_lo, est_hi): the true quantile provably lies inside,
+    and (est_hi - est_lo)/est_lo ≤ 2^-sub_bits.
+
+    Runs entirely on the ≤ ~500-row sketch: a window cumsum per group, a
+    tiny quantile cross join, one min_by — nothing here ever sees the
+    corpus.  Returns (*group_cols, q_ppm, n_total, bin_id, est_lo, est_hi).
+    """
+    _qhist_validate(sub_bits)
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc).orderBy("bin_id") if gc else Window.orderBy("bin_id")
+    cum = hist.select(
+        *gc,
+        "bin_id",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_total"),
+    )
+    qdim = F.array(*[F.lit(int(q)) for q in quantiles_ppm])
+    probes = cum.select(
+        *gc, "bin_id", "_cum", "n_total", F.explode(qdim).alias("q_ppm")
+    )
+    target = F.expr("(q_ppm * n_total + 999999) div 1000000")
+    hits = probes.filter(F.col("_cum") >= target)
+    best = hits.groupBy(*gc, "q_ppm").agg(
+        F.min("bin_id").alias("bin_id"), F.max("n_total").alias("n_total")
+    )
+    lo, hi = qhist_bounds("bin_id", sub_bits)
+    return best.select(
+        *gc, "q_ppm", "n_total", "bin_id", lo.alias("est_lo"), hi.alias("est_hi")
+    )

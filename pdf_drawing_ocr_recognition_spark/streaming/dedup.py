@@ -219,3 +219,49 @@ def streaming_hll_fold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_qhist_fold(
+    docs: DataFrame,
+    hist_path: str,
+    checkpoint_path: str,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    sub_bits: int = 3,
+):
+    """Continuous quantile-histogram maintenance — the T118 log-bin sketch
+    kept current by a stream: every micro-batch builds its own partial
+    histogram (one bin-bounded aggregate over the batch) and folds it into
+    the persisted table with ``qhist_merge`` (bin-wise sum — union of
+    streams ≡ sum of histograms, the CMS fold law).  Stream STATE stays
+    empty; the stored table never exceeds groups · ~64·2^sub_bits rows no
+    matter how much history flowed through; after any number of batches the
+    stored histogram is bit-identical to one batch build over the union
+    (tested multi-batch).  Quantiles read off any time via
+    ``qhist_quantiles``."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        qhist_build,
+        qhist_merge,
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = qhist_build(batch_df, value_col, (group_col,), sub_bits)
+        try:
+            prev = spark.read.parquet(hist_path)
+            merged = qhist_merge(prev, part, (group_col,))
+        except Exception:
+            merged = part
+        # sketch-sized table: collect-and-rewrite bounded by groups * bins
+        rows = merged.collect()
+        spark.createDataFrame(
+            [(r[group_col], r["bin_id"], r["n"]) for r in rows],
+            f"{group_col} string, bin_id int, n bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(hist_path)
+
+    return (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -176,3 +176,97 @@ def test_hll_grouped_and_validation(spark, hll_stream):
         hll_build(hll_stream, "k", bucket_hex=0)
     with pytest.raises(ValueError):
         hll_summary(hll_build(hll_stream, "k"), bucket_hex=9)
+
+
+# ---------------------------------------------------------------------------
+# T118: log-binned quantile histogram
+# ---------------------------------------------------------------------------
+
+
+class TestQhist:
+    def _bounds(self, bin_id, s=3):
+        if bin_id < (1 << s):
+            return bin_id, bin_id
+        b = (bin_id >> s) + s
+        sub = bin_id & ((1 << s) - 1)
+        width = 1 << (b - 1 - s)
+        lo = (1 << (b - 1)) + sub * width
+        return lo, lo + width - 1
+
+    def test_every_value_lands_inside_its_bin_bounds(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            qhist_build,
+        )
+
+        vals = list(range(0, 300)) + [2**k + d for k in range(9, 40, 7)
+                                      for d in (-1, 0, 1, 12345 % (2**k))]
+        df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+        hist = {r["bin_id"]: r["n"] for r in qhist_build(df, "v").collect()}
+        assert sum(hist.values()) == len(vals)
+        # replay: every value's python-computed bin must exist, bounds contain
+        for v in vals:
+            if v < 8:
+                bid = v
+            else:
+                b = v.bit_length()
+                bid = (b - 3) * 8 + (v >> (b - 4)) - 8
+            assert bid in hist
+            lo, hi = self._bounds(bid)
+            assert lo <= v <= hi
+            assert hi - lo <= max(0, lo >> 3)  # relative width <= 2^-3
+
+    def test_merge_equals_whole_and_is_sketch_sized(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            qhist_build,
+            qhist_merge,
+        )
+
+        a_rows = [(("en" if i % 2 else "de"), (i * 37) % 5000) for i in range(400)]
+        b_rows = [(("en" if i % 3 else "de"), (i * 91) % 9000) for i in range(300)]
+        a = spark.createDataFrame(a_rows, "lang STRING, v LONG")
+        b = spark.createDataFrame(b_rows, "lang STRING, v LONG")
+        ha = qhist_build(a, "v", ("lang",))
+        hb = qhist_build(b, "v", ("lang",))
+        merged = qhist_merge(ha, hb, ("lang",))
+        whole = qhist_build(a.unionAll(b), "v", ("lang",))
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+        assert merged.count() <= 2 * 64 * 8
+
+    def test_quantile_bracket_contains_true_quantile(self, spark):
+        import math
+
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            qhist_build,
+            qhist_quantiles,
+        )
+
+        vals = [(i * i) % 7919 for i in range(1000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+        hist = qhist_build(df, "v")
+        got = {
+            r["q_ppm"]: r
+            for r in qhist_quantiles(hist, (500000, 900000, 990000)).collect()
+        }
+        srt = sorted(vals)
+        for ppm in (500000, 900000, 990000):
+            rank = math.ceil(ppm * len(vals) / 1e6)
+            true_q = srt[rank - 1]
+            r = got[ppm]
+            assert r["est_lo"] <= true_q <= r["est_hi"], (ppm, true_q, dict(r.asDict()))
+            assert r["n_total"] == len(vals)
+
+    def test_negative_and_null_values_excluded_validation(self, spark):
+        import pytest as _pytest
+
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            qhist_build,
+        )
+
+        df = spark.createDataFrame(
+            [(5,), (-3,), (None,), (0,)], "v LONG"
+        )
+        hist = {r["bin_id"]: r["n"] for r in qhist_build(df, "v").collect()}
+        assert hist == {5: 1, 0: 1}
+        with _pytest.raises(ValueError):
+            qhist_build(df, "v", sub_bits=9)

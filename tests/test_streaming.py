@@ -475,3 +475,50 @@ class TestStreamingHllFold:
         assert stored.count() <= 2 * 16**2
         assert stored.exceptAll(whole).count() == 0
         assert whole.exceptAll(stored).count() == 0
+
+
+class TestStreamingQhistFold:
+    def test_multi_batch_fold_equals_whole_build(self, spark, tmp_path):
+        """Three micro-batches folded via qhist_merge: the persisted
+        histogram is row-identical to a single batch build over the union,
+        and the table stays sketch-sized."""
+        from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+            qhist_build,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            streaming_qhist_fold,
+        )
+
+        stream_dir = str(tmp_path / "qhdocs")
+        batches = [
+            [(i, ("en" if i % 2 else "de"), (i * 211) % 4000) for i in range(40)],
+            [(100 + i, "en", (i * 97) % 12000) for i in range(30)],
+            [(200 + i, ("en" if i % 3 else "de"), (i * 211) % 4000)
+             for i in range(40)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "doc_id LONG, lang STRING, n_chars LONG"
+            ).coalesce(1).write.parquet(f"{stream_dir}/f{i}")
+
+        docs = (
+            spark.readStream.schema("doc_id LONG, lang STRING, n_chars LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/f*")
+        )
+        hist_path = str(tmp_path / "qhist")
+        q = streaming_qhist_fold(
+            docs, hist_path, str(tmp_path / "qhckpt"), group_col="lang"
+        )
+        q.awaitTermination()
+
+        stored = spark.read.parquet(hist_path)
+        allrows = [r for b in batches for r in b]
+        whole = qhist_build(
+            spark.createDataFrame(allrows, "doc_id LONG, lang STRING, n_chars LONG"),
+            "n_chars",
+            ("lang",),
+        )
+        assert stored.count() <= 2 * 64 * 8
+        assert stored.exceptAll(whole).count() == 0
+        assert whole.exceptAll(stored).count() == 0
