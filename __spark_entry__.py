@@ -964,6 +964,53 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_url_template_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T119: URL-template farm detection (operators/filtering.py:
+    url_template_farms) — fetches grouped by (host, structural URL template:
+    hex runs ≥8 → <h> first, then digit runs → <n>) with the distinct-content
+    ratio per template: many pages + few distinct bodies = a page generator,
+    caught at the crawl frontier before more of the farm is fetched.  The
+    corpus has no URL column, so a fetch log is derived deterministically
+    from (doc_id, source, lang) with two URL grammars (article path with a
+    hex session id + page param; year-archive path) — identical derivation
+    in the DuckDB oracle (whose regexp_replace carries the 'g' flag Spark
+    implies)."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        url_template_farms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    sess = F.substring(F.md5(F.encode(did, "utf-8")), 1, 10)
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("/archive/"),
+                (F.col("doc_id") % 25 + 2000).cast("string"),
+                F.lit("/"),
+                did,
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("/"),
+                F.col("lang"),
+                F.lit("/p/"),
+                did,
+                F.lit("?sess="),
+                sess,
+                F.lit("&page="),
+                (F.col("doc_id") % 5).cast("string"),
+            )
+        ),
+    )
+    fetches = docs.select("text", url.alias("url"))
+    return url_template_farms(fetches, min_pages=2)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T55: corpus snapshot diff (CDC) — classify every key across two crawl
     snapshots as added/removed/changed/unchanged via map-side content digests
@@ -3648,6 +3695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
+        "url_template_farms": q_url_template_farms,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -4671,6 +4719,36 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "url_template_farms": """
+            WITH f AS (
+                SELECT d.text,
+                       d.source || '.example.com' AS host,
+                       CASE WHEN d.doc_id % 4 = 0
+                            THEN '/archive/'
+                                 || CAST(2000 + d.doc_id % 25 AS VARCHAR)
+                                 || '/' || CAST(d.doc_id AS VARCHAR)
+                            ELSE '/' || d.lang || '/p/'
+                                 || CAST(d.doc_id AS VARCHAR)
+                                 || '?sess='
+                                 || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 10)
+                                 || '&page=' || CAST(d.doc_id % 5 AS VARCHAR)
+                       END AS pq
+                FROM documents d
+            ), t AS (
+                SELECT host,
+                       regexp_replace(
+                           regexp_replace(pq, '[0-9a-f]{8,}', '<h>', 'g'),
+                           '[0-9]+', '<n>', 'g') AS template,
+                       md5(text) AS fp
+                FROM f
+            )
+            SELECT host, template,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+                   CAST(floor(1000000.0 * (count(*) - count(DISTINCT fp))
+                              / count(*)) AS BIGINT) AS dup_ratio_ppm
+            FROM t GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "url_dedup": """
             WITH u AS (

@@ -65,3 +65,20 @@ def url_path(url: Column) -> Column:
     """Path component of *url*; '/' for host-only URLs."""
     p = F.regexp_extract(url, _PATH_RE, 1)
     return F.when(F.length(p) == 0, F.lit("/")).otherwise(p)
+
+
+def url_template(url: Column) -> Column:
+    """Structural template of *url*: path+query with long hex runs masked
+    ``<h>`` (session ids, content hashes; ≥8 hex chars) then digit runs
+    masked ``<n>`` — the URL-pattern generalization crawl frontiers use to
+    spot template farms (millions of URLs, one page generator).  Hex first:
+    a pure-digit run of length ≥8 is an id, not a number, and must not be
+    split by the digit rule.  Fragment excluded (never fetched).  Both
+    regexes are Java/RE2-portable; replace-ALL on both engines (DuckDB
+    needs the 'g' flag — oracle twins carry it)."""
+    path_q = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    return F.regexp_replace(
+        F.regexp_replace(path_q, r"[0-9a-f]{8,}", "<h>"), r"[0-9]+", "<n>"
+    )

@@ -99,3 +99,56 @@ def domain_block_filter(
     )
     keep = ~F.col("__blocked") if mode == "block" else F.col("__blocked")
     return marked.filter(keep).drop("__blocked")
+
+
+def url_template_farms(
+    fetches: DataFrame,
+    url_col: str = "url",
+    content_col: str = "text",
+    min_pages: int = 2,
+) -> DataFrame:
+    """URL-template farm detection: group fetches by (host, structural URL
+    template) and measure how much DISTINCT content each template actually
+    serves.  A template with many pages and few distinct bodies is a page
+    generator (calendar spam, session-id mirrors, faceted-search explosions)
+    — the crawl-frontier analogue of content dedup, caught BEFORE fetching
+    more of the farm (Common Crawl / frontier "URL pattern dedup").
+
+    Emits (host, template, n_pages, n_distinct_texts, dup_ratio_ppm) for
+    templates with ≥ *min_pages* pages; dup_ratio_ppm =
+    floor(1e6·(n_pages − n_distinct)/n_pages) — exact integer arithmetic
+    (one integer-input IEEE mult+div, bitwise across engines).
+
+    Scale: content is reduced to an md5 digest in the scan projection, so
+    the ONE hash aggregate shuffles (host, template, digest-partials) —
+    map-side combine bounds the exchange by the template universe (URL
+    grammar × hosts, tiny), never the corpus; the distinct count is
+    Spark's standard two-phase partial-distinct, also template-bounded.
+    """
+    from ..functions.urls import url_host, url_template
+
+    u = F.col(url_col)
+    grouped = (
+        fetches.select(
+            url_host(u).alias("host"),
+            url_template(u).alias("template"),
+            F.md5(F.encode(F.col(content_col), "utf-8")).alias("_fp"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.count_distinct("_fp").cast("bigint").alias("n_distinct_texts"),
+        )
+        .filter(F.col("n_pages") >= min_pages)
+    )
+    return grouped.select(
+        "host",
+        "template",
+        "n_pages",
+        "n_distinct_texts",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_pages") - F.col("n_distinct_texts"))
+            / F.col("n_pages")
+        ).alias("dup_ratio_ppm"),
+    )

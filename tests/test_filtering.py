@@ -133,3 +133,50 @@ class TestNgramNovelty:
             ngram_novelty(d, d, n=0)
         with pytest.raises(ValueError):
             ngram_novelty(d, d, scale=0)
+
+
+class TestUrlTemplateFarms:
+    def _run(self, spark, rows, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            url_template_farms,
+        )
+
+        df = spark.createDataFrame(rows, ["url", "text"])
+        return {
+            (r["host"], r["template"]): (
+                r["n_pages"], r["n_distinct_texts"], r["dup_ratio_ppm"]
+            )
+            for r in url_template_farms(df, **kw).collect()
+        }
+
+    def test_farm_detected_hex_masked_before_digits(self, spark):
+        rows = [
+            (f"https://spam.example.com/cal/2024/{d}?sid=deadbeef{d:02d}", "same body")
+            for d in range(4)
+        ] + [
+            ("https://ok.example.com/about", "a"),
+            ("https://ok.example.com/contact", "b"),
+        ]
+        got = self._run(spark, rows)
+        # the 10-char hex run (deadbeefNN) masks as ONE <h>, not <n>s
+        key = ("spam.example.com", "/cal/<n>/<n>?sid=<h>")
+        assert key in got
+        assert got[key] == (4, 1, 750000)  # floor(1e6*3/4)
+        # distinct-template singletons fall under min_pages
+        assert not any(h == "ok.example.com" for h, _ in got)
+
+    def test_distinct_content_not_flagged_as_dup(self, spark):
+        rows = [
+            (f"https://news.example.com/p/{d}", f"unique body {d}")
+            for d in range(5)
+        ]
+        got = self._run(spark, rows)
+        assert got == {("news.example.com", "/p/<n>"): (5, 5, 0)}
+
+    def test_fragment_excluded_query_kept(self, spark):
+        rows = [
+            ("https://a.example.com/x?page=1#frag", "t1"),
+            ("https://a.example.com/x?page=2", "t2"),
+        ]
+        got = self._run(spark, rows)
+        assert got == {("a.example.com", "/x?page=<n>"): (2, 2, 0)}
