@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     "taxonomy_tags",
     "curriculum_order",
     "dedup_cascade",
+    # round 4 (cont. 4): retrieval / perceptual / sketch / frontier ops
+    "phrase_search",
+    "length_quantiles",
+    "image_dhash_pairs",
+    "url_template_farms",
+    "char_diversity",
+    "host_trustrank",
 ]
 
 

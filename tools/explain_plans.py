@@ -550,6 +550,60 @@ def main() -> int:
         "BroadcastNestedLoopJoin",
     )
 
+    # T114 trustrank: dangling mass folded back as a 1-row broadcast dim.
+    # The driver query localCheckpoints per iteration (flattened lineage),
+    # so assert on an un-flattened build where the iteration plan is visible.
+    from pdf_drawing_ocr_recognition_spark.operators.links import trustrank
+
+    _tr_edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 2), ("c", "a", 1)],
+        ["src_host", "dst_host", "weight"],
+    )
+    _tr_seeds = spark.createDataFrame([("a",)], ["node"])
+    grab(
+        "host_trustrank (iteration body)",
+        trustrank(_tr_edges, _tr_seeds, n_iters=1, flatten_lineage=False),
+        "BroadcastNestedLoopJoin",
+    )
+    # T115 char signals: both hash aggs combine map-side
+    grab("char_diversity", em.q_char_diversity(spark, sf), "partial_count")
+    # T116 phrase search: phrase-term dim broadcast prunes the token stream;
+    # full-match test is a count-distinct agg, no corpus-side window sort
+    grab(
+        "phrase_search",
+        em.q_phrase_search(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    ps_plan = sections[-1][1]
+    checks.append(("phrase_search", "no window sort", "Window" not in ps_plan))
+    # T117 dhash: one narrow Arrow stage; band join confirms via bit_count
+    grab(
+        "image_dhash_pairs",
+        em.q_image_dhash_pairs(spark, sf),
+        "MapInPandas",
+        "bit_count",
+    )
+    # T118 qhist: the corpus-touching stage is ONE map-side-combinable count
+    # agg; the quantile window runs on the sketch AFTER the bin-bounded
+    # exchange (bin(_v) marks the codegen bit-length projection)
+    grab(
+        "length_quantiles",
+        em.q_length_quantiles(spark, sf),
+        "partial_count",
+        "bin(",
+    )
+    # T119 url farms: content digested in the scan projection, one hash agg
+    # with partial distinct; template universe bounds the exchange
+    grab(
+        "url_template_farms",
+        em.q_url_template_farms(spark, sf),
+        "HashAggregate",
+        "md5",
+    )
+    # T113 vocab growth: register max-agg combines map-side, fan-out <= 5x
+    grab("vocab_growth", em.q_vocab_growth(spark, sf), "partial_max")
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
