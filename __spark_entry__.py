@@ -964,6 +964,68 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T120: recrawl scheduling tiers (operators/cdc.py:recrawl_tiers) —
+    Cho & Garcia-Molina refresh policy from two crawl snapshots: per-host
+    changed fraction over common keys as exact ppm → daily/weekly/monthly/
+    quarterly tier (plus 'new' for hosts with only churn).  Snapshots
+    derived exactly as T55's (yesterday drops doc_id%10==0, today drops
+    %10==1 and revises every %7==0 body), host from source — identical
+    derivation in the oracle.  Rides the T55 digest diff (map-side digests,
+    one keyed full-outer join); the host rollup ships only counters."""
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import recrawl_tiers
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+    old_snap = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text", host
+    )
+    new_snap = docs.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        host,
+    )
+    return recrawl_tiers(old_snap, new_snap, "doc_id", ["text"], "host")
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T121: frequency-of-frequencies table with Good-Turing smoothed
+    counts (Gale & Sampson 1995, simple GT): N_r = how many distinct terms
+    occur exactly r times, and r* = (r+1)·N_{r+1}/N_r as exact floor-ppm —
+    the table behind unseen-mass estimation (P0 = N_1/N) and every
+    count-smoothing LM; for a corpus datasheet it is the Zipf-tail health
+    check (a natural corpus has a long N_1 tail; a template farm doesn't).
+    Two map-side-combinable aggs: term counts (the one vocabulary-sized
+    exchange, same contract as T76's vocab build) then the ≤~100-row
+    counts-of-counts dim; the r+1 lookup is a self-join on that dim, not a
+    window (no single-partition sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    tc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("r"))
+    fof = tc.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_nn"))
+    return (
+        fof.join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("bigint").alias("n_r_next"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("r") + 1)
+                * F.coalesce(F.col("_nn"), F.lit(0))
+                / F.col("n_r")
+            ).alias("rstar_ppm"),
+        )
+    )
+
+
 def q_url_template_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T119: URL-template farm detection (operators/filtering.py:
     url_template_farms) — fetches grouped by (host, structural URL template:
@@ -3696,6 +3758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
         "url_template_farms": q_url_template_farms,
+        "recrawl_tiers": q_recrawl_tiers,
+        "good_turing": q_good_turing,
         "set_ops": q_set_ops,
         "distinct_counts": q_distinct_counts,
         "topk_docs": q_topk_docs,
@@ -4719,6 +4783,64 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "recrawl_tiers": """
+            WITH o_snap AS (
+                SELECT doc_id, text, source || '.example.com' AS host
+                FROM documents WHERE doc_id % 10 <> 0
+            ), n_snap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text,
+                       source || '.example.com' AS host
+                FROM documents WHERE doc_id % 10 <> 1
+            ), diff AS (
+                SELECT coalesce(n.host, o.host) AS host,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text = n.text THEN 'unchanged'
+                            ELSE 'changed' END AS ct
+                FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id
+            ), agg AS (
+                SELECT host,
+                       CAST(sum(CASE WHEN ct IN ('changed', 'unchanged')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                       CAST(sum(CASE WHEN ct = 'changed' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_changed,
+                       CAST(sum(CASE WHEN ct = 'added' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_added,
+                       CAST(sum(CASE WHEN ct = 'removed' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_removed
+                FROM diff GROUP BY host
+            ), ppm AS (
+                SELECT *,
+                       CASE WHEN n_common = 0 THEN CAST(-1 AS BIGINT)
+                            ELSE CAST(floor(1000000.0 * n_changed / n_common)
+                                      AS BIGINT) END AS change_ppm
+                FROM agg
+            )
+            SELECT host, n_common, n_changed, n_added, n_removed, change_ppm,
+                   CASE WHEN n_common = 0 THEN 'new'
+                        WHEN change_ppm >= 500000 THEN 'daily'
+                        WHEN change_ppm >= 100000 THEN 'weekly'
+                        WHEN change_ppm >= 1 THEN 'monthly'
+                        ELSE 'quarterly' END AS tier
+            FROM ppm
+        """,
+        "good_turing": """
+            WITH toks AS (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), tc AS (
+                SELECT w, count(*) AS r FROM toks GROUP BY w
+            ), fof AS (
+                SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r
+            )
+            SELECT a.r, a.n_r,
+                   CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r_next,
+                   CAST(floor(1000000.0 * (a.r + 1) * COALESCE(b.n_r, 0)
+                              / a.n_r) AS BIGINT) AS rstar_ppm
+            FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
         """,
         "url_template_farms": """
             WITH f AS (

@@ -171,3 +171,61 @@ def category_drift(
             F.round(F.col("tvd_num") / F.col("tvd_den"), 6).alias("tvd"),
         )
     )
+
+
+def recrawl_tiers(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str,
+    compare_cols: Sequence[str],
+    host_col: str,
+    daily_ppm: int = 500000,
+    weekly_ppm: int = 100000,
+) -> DataFrame:
+    """Recrawl scheduling from two crawl snapshots — the Cho &
+    Garcia-Molina ("Effective page refresh policies", 2003) shape: hosts
+    whose pages change often get recrawled often; static archives drop to
+    a slow tier.  Crawl budget then follows the tiers (compose with T70's
+    waterfilling).
+
+    Per host over the keys present in BOTH snapshots: the changed fraction
+    as exact ppm (floor(10^6·changed/common) — integer-input IEEE ops,
+    bitwise across engines), plus add/remove churn, mapped to a tier:
+
+        change_ppm ≥ daily_ppm   → 'daily'
+        change_ppm ≥ weekly_ppm  → 'weekly'
+        change_ppm ≥ 1           → 'monthly'
+        no observed change       → 'quarterly'
+        no common keys           → 'new' (only churn, no change signal)
+
+    Scale: rides :func:`snapshot_diff` (map-side digests, one full-outer
+    join keyed by ``key_col``); the host rollup is a map-side-combinable
+    count agg — only per-host counters cross the final exchange.
+    """
+    diff = snapshot_diff(
+        old_df, new_df, key_col, compare_cols, carry_cols=[host_col]
+    )
+    ct = F.col(CHANGE_COL)
+    agg = diff.groupBy(host_col).agg(
+        F.sum(F.when(ct.isin("changed", "unchanged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_common"),
+        F.sum(F.when(ct == "changed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(ct == "added", 1).otherwise(0)).cast("bigint").alias("n_added"),
+        F.sum(F.when(ct == "removed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    change_ppm = F.when(F.col("n_common") == 0, F.lit(-1).cast("bigint")).otherwise(
+        F.floor(F.lit(1000000.0) * F.col("n_changed") / F.col("n_common"))
+    )
+    tier = (
+        F.when(F.col("n_common") == 0, F.lit("new"))
+        .when(F.col("change_ppm") >= daily_ppm, F.lit("daily"))
+        .when(F.col("change_ppm") >= weekly_ppm, F.lit("weekly"))
+        .when(F.col("change_ppm") >= 1, F.lit("monthly"))
+        .otherwise(F.lit("quarterly"))
+    )
+    return agg.withColumn("change_ppm", change_ppm).withColumn("tier", tier)

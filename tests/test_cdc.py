@@ -172,3 +172,45 @@ class TestCategoryDrift:
         )
         got = self._drift(spark, rows)
         assert got["2024-01-02"] == (4, 16, 0.25)
+
+
+class TestRecrawlTiers:
+    def _run(self, spark, old_rows, new_rows, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import recrawl_tiers
+
+        o = spark.createDataFrame(old_rows, ["k", "text", "host"])
+        n = spark.createDataFrame(new_rows, ["k", "text", "host"])
+        return {
+            r["host"]: (
+                r["n_common"], r["n_changed"], r["n_added"], r["n_removed"],
+                r["change_ppm"], r["tier"],
+            )
+            for r in recrawl_tiers(o, n, "k", ["text"], "host", **kw).collect()
+        }
+
+    def test_tier_thresholds_and_churn(self, spark):
+        old = (
+            [(i, f"t{i}", "hot.com") for i in range(4)]
+            + [(10 + i, f"t{i}", "warm.com") for i in range(10)]
+            + [(30 + i, f"t{i}", "cold.com") for i in range(3)]
+            + [(50, "gone", "warm.com")]
+        )
+        new = (
+            [(i, f"t{i}'", "hot.com") for i in range(3)] + [(3, "t3", "hot.com")]
+            + [(10 + i, ("t0x" if i == 0 else f"t{i}"), "warm.com")
+               for i in range(10)]
+            + [(30 + i, f"t{i}", "cold.com") for i in range(3)]
+            + [(60, "fresh", "brand.example")]
+        )
+        got = self._run(spark, old, new)
+        assert got["hot.com"] == (4, 3, 0, 0, 750000, "daily")
+        assert got["warm.com"] == (10, 1, 0, 1, 100000, "weekly")
+        assert got["cold.com"] == (3, 0, 0, 0, 0, "quarterly")
+        assert got["brand.example"] == (0, 0, 1, 0, -1, "new")
+
+    def test_monthly_band_and_exact_ppm(self, spark):
+        old = [(i, f"t{i}", "slow.com") for i in range(100)]
+        new = [(i, ("CHANGED" if i == 0 else f"t{i}"), "slow.com")
+               for i in range(100)]
+        got = self._run(spark, old, new)
+        assert got["slow.com"] == (100, 1, 0, 0, 10000, "monthly")
