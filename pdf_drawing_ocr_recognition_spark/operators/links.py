@@ -119,7 +119,9 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # the one driver scalar (node-universe size)
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # host-dim sized; pinned so the per-iteration dangling-mass aggregate
+    # reads it back instead of re-running the corpus scan every round
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w")).localCheckpoint()
     # transition edges, normalized once and reused by every iteration
     trans = (
         e.join(out_w, "src")
@@ -206,7 +208,9 @@ def trustrank(
         "node",
         F.when(F.col("is_seed"), F.lit(1.0) / s).otherwise(F.lit(0.0)).alias("tele"),
     ).localCheckpoint()
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # host-dim sized; pinned so the per-iteration dangling-mass aggregate
+    # reads it back instead of re-running the corpus scan every round
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w")).localCheckpoint()
     trans = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
