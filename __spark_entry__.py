@@ -964,6 +964,39 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T122: mirror-site detection (operators/dedup.py:host_mirror_pairs) —
+    host pairs by content-SET Jaccard (Bharat & Broder WWW 1999): per-digest
+    host lists expanded to unordered pairs in-array (the T3 one-shuffle
+    combination shape), Jaccard exact floor-ppm over distinct-content
+    counts.  The fetch log synthesizes a full mirror (every even doc) and a
+    partial CDN copy (every 4th doc) per source host — identical derivation
+    in the oracle (which, below the 100-host digest cap, is exactly the
+    relational self-join the in-array expansion replaces)."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        host_mirror_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    primary = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"), "text"
+    )
+    mirror = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("mirror-"), F.col("source"), F.lit(".example.net")).alias(
+            "host"
+        ),
+        "text",
+    )
+    cdn = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("cdn-"), F.col("source"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        "text",
+    )
+    pages = primary.unionAll(mirror).unionAll(cdn)
+    return host_mirror_pairs(pages, "host", "text", min_jaccard_ppm=100000)
+
+
 def q_recrawl_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T120: recrawl scheduling tiers (operators/cdc.py:recrawl_tiers) —
     Cho & Garcia-Molina refresh policy from two crawl snapshots: per-host
@@ -3758,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
         "url_template_farms": q_url_template_farms,
+        "host_mirrors": q_host_mirrors,
         "recrawl_tiers": q_recrawl_tiers,
         "good_turing": q_good_turing,
         "set_ops": q_set_ops,
@@ -4783,6 +4817,37 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "host_mirrors": """
+            WITH pages AS (
+                SELECT source || '.example.com' AS host, md5(text) AS fp
+                FROM documents
+                UNION ALL
+                SELECT 'mirror-' || source || '.example.net', md5(text)
+                FROM documents WHERE doc_id % 2 = 0
+                UNION ALL
+                SELECT 'cdn-' || source || '.example.org', md5(text)
+                FROM documents WHERE doc_id % 4 = 0
+            ), d AS (
+                SELECT DISTINCT host, fp FROM pages
+            ), sizes AS (
+                SELECT host, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY 1
+            ), co AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM d a JOIN d b ON a.fp = b.fp AND a.host < b.host
+                GROUP BY 1, 2
+            )
+            SELECT co.host_a, co.host_b, co.n_common,
+                   sa.sz AS n_a, sb.sz AS n_b,
+                   CAST(floor(1000000.0 * co.n_common
+                              / (sa.sz + sb.sz - co.n_common)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM co
+            JOIN sizes sa ON sa.host = co.host_a
+            JOIN sizes sb ON sb.host = co.host_b
+            WHERE floor(1000000.0 * co.n_common
+                        / (sa.sz + sb.sz - co.n_common)) >= 100000
         """,
         "recrawl_tiers": """
             WITH o_snap AS (

@@ -958,3 +958,81 @@ def dedup_cascade(
         )
     )
     return status
+
+
+def host_mirror_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    content_col: str = "text",
+    min_jaccard_ppm: int = 100000,
+    max_hosts_per_digest: int = 100,
+) -> DataFrame:
+    """Mirror-site detection: host pairs whose CONTENT-SET Jaccard exceeds a
+    threshold — the host-level twin of document dedup (Bharat & Broder,
+    "Mirror, mirror on the web", WWW 1999).  A crawl that finds
+    docs.example.com mirrored on cdn.example.net wants to drop the whole
+    mirror host from the frontier, not re-discover every page pair.
+
+    Content reduces to md5 digests in the scan projection; per-digest host
+    lists are capped (``max_hosts_per_digest`` — a digest shared by hundreds
+    of hosts is boilerplate, not mirroring, and would blow the pair fan-out
+    quadratically) and expanded to unordered host pairs IN-ARRAY (the T3
+    one-shuffle combination shape, no self-join of the digest table).
+    Jaccard over distinct-content sets is exact integer arithmetic:
+    ``floor(10^6·co / (|A| + |B| − co))``.
+
+    Returns (host_a, host_b, n_common, n_a, n_b, jaccard_ppm) for pairs at
+    or above ``min_jaccard_ppm``.  Shuffles: one digest-keyed agg (map-side
+    combined), one pair-keyed count agg, host-size dim joins (broadcast —
+    the host dim is tiny next to the corpus).
+    """
+    d = pages.select(
+        F.col(host_col).alias("_h"),
+        F.md5(F.encode(F.col(content_col), "utf-8")).alias("_fp"),
+    ).distinct()
+    sizes = d.groupBy("_h").agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+    buckets = d.groupBy("_fp").agg(F.sort_array(F.collect_set("_h")).alias("hs"))
+    pairs = (
+        buckets.filter(F.size("hs").between(2, max_hosts_per_digest))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("hs"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("hs"),
+                                i + 2,
+                                F.greatest(F.size(F.col("hs")) - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("host_a"), y.alias("host_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.host_a", "p.host_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_h").alias("host_a"), F.col("_sz").alias("n_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_h").alias("host_b"), F.col("_sz").alias("n_b"))),
+            "host_b",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+    return out.select("host_a", "host_b", "n_common", "n_a", "n_b", "jaccard_ppm")

@@ -1179,3 +1179,46 @@ class TestDedupCascade:
 
         c = Counter(s for _, s in a)
         assert c["kept"] == 4 and c["exact"] == 36
+
+
+class TestHostMirrorPairs:
+    def _run(self, spark, rows, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            host_mirror_pairs,
+        )
+
+        df = spark.createDataFrame(rows, ["host", "text"])
+        return {
+            (r["host_a"], r["host_b"]): (
+                r["n_common"], r["n_a"], r["n_b"], r["jaccard_ppm"]
+            )
+            for r in host_mirror_pairs(df, **kw).collect()
+        }
+
+    def test_full_and_partial_mirror_exact_jaccard(self, spark):
+        rows = (
+            [("a.com", f"doc {i}") for i in range(4)]
+            + [("b.com", f"doc {i}") for i in range(4)]      # full mirror
+            + [("c.com", f"doc {i}") for i in range(2)]      # half mirror
+            + [("c.com", "only on c")]
+            + [("d.com", "unrelated")]
+        )
+        got = self._run(spark, rows, min_jaccard_ppm=100000)
+        assert got[("a.com", "b.com")] == (4, 4, 4, 1000000)
+        # |A∩C|=2, |A∪C|=5 → floor(1e6*2/5)=400000; symmetric for b
+        assert got[("a.com", "c.com")] == (2, 4, 3, 400000)
+        assert got[("b.com", "c.com")] == (2, 4, 3, 400000)
+        assert not any("d.com" in k for k in got)
+
+    def test_duplicate_fetches_collapse_to_content_sets(self, spark):
+        rows = [("a.com", "x")] * 5 + [("b.com", "x")]  # refetches don't inflate
+        got = self._run(spark, rows, min_jaccard_ppm=1)
+        assert got == {("a.com", "b.com"): (1, 1, 1, 1000000)}
+
+    def test_boilerplate_digest_cap_suppresses_fanout(self, spark):
+        # one digest shared by 6 hosts: with cap 5 it must produce NO pairs
+        rows = [(f"h{i}.com", "same footer") for i in range(6)]
+        got = self._run(spark, rows, min_jaccard_ppm=1, max_hosts_per_digest=5)
+        assert got == {}
+        got2 = self._run(spark, rows, min_jaccard_ppm=1, max_hosts_per_digest=6)
+        assert len(got2) == 15  # 6 choose 2 once allowed
