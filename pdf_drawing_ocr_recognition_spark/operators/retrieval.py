@@ -217,6 +217,12 @@ def phrase_search(
         F.col(key_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
     )
+    return _phrase_match(toks, phrases, key_col)
+
+
+def _phrase_match(toks: DataFrame, phrases: DataFrame, key_col: str) -> DataFrame:
+    """Shared offset-algebra core of phrase_search / phrase_search_indexed
+    over a (term, <key>, pos) token stream."""
     pterms = phrases.select(
         "query_id",
         F.posexplode(F.split(F.lower(F.col("phrase")), " ")).alias("i", "term"),
@@ -242,3 +248,52 @@ def phrase_search(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("_start").cast("bigint").alias("first_pos"),
     )
+
+
+def write_positions_index(
+    docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Persist the POSITIONAL inverted index once: (term, key, pos) rows
+    as a Hive-bucketed table keyed by term — ``write_postings_index``'s
+    tf-index with positions kept, the layout that upgrades the index from
+    bag-of-words (T72/T79) to phrase/proximity queries (T116).  Write-once
+    / probe-many: at 10^12 docs the tokenize pass runs once; every later
+    ``phrase_search_indexed`` probe scans pre-hashed term buckets — no
+    re-tokenization, no corpus-side explode, ever again.
+    """
+    from .skew import write_bucketed
+
+    toks = docs.select(
+        F.col(key_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "term"),
+    )
+    write_bucketed(toks.select("term", key_col, "pos"), table, n_buckets, "term")
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrases: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over a persisted positional index
+    (``spark.table`` of ``write_positions_index``) — result-identical to
+    ``phrase_search`` on the same corpus (pytest-asserted) with the
+    tokenize/explode stage gone from the probe plan (plan-asserted: no
+    Generate).  The broadcast phrase-term join prunes the bucketed scan
+    map-side, so only matched postings (query-term-sized, never
+    corpus-sized) flow into the start-aligned aggregate.
+    """
+    toks = postings.join(
+        F.broadcast(
+            phrases.select(
+                F.explode(F.split(F.lower(F.col("phrase")), " ")).alias("term")
+            ).distinct()
+        ),
+        "term",
+        "left_semi",
+    )
+    return _phrase_match(toks, phrases, key_col)

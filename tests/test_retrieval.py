@@ -144,3 +144,45 @@ class TestPhraseSearch:
     def test_phrase_longer_than_doc_no_match(self, spark):
         got = self._run(spark, [(1, "a b")], [("q", "a b c")])
         assert got == {}
+
+
+class TestPhraseSearchIndexed:
+    """T123: persisted positional index — write-once/probe-many phrases."""
+
+    def test_indexed_equals_direct_and_no_retokenize(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.retrieval import (
+            phrase_search,
+            phrase_search_indexed,
+            write_positions_index,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "quick brown quick brown"),
+                (3, "a a a a"),
+                (4, "brown the quick"),
+            ],
+            ["doc_id", "text"],
+        )
+        phrases = spark.createDataFrame(
+            [("q1", "quick brown"), ("q2", "a a"), ("q3", "fox jumps")],
+            ["query_id", "phrase"],
+        )
+        try:
+            write_positions_index(docs, "phrase_pos_t", n_buckets=4)
+            postings = spark.table("phrase_pos_t")
+            got = phrase_search_indexed(postings, phrases)
+            direct = phrase_search(docs, phrases)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, direct.collect())
+            )
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            # the probe never re-tokenizes the CORPUS: the only explode in
+            # the plan is the tiny phrase dim, and the bucketed index is
+            # the corpus-side scan
+            assert "posexplode(split(lower(text" not in plan, plan
+            assert "posexplode(split(lower(phrase" in plan
+            assert "phrase_pos_t" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS phrase_pos_t")
