@@ -964,6 +964,78 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page corpus with <head> metadata: doc i lives at
+    ``http://h{i%23}.example.com/p/{i}``, carries a title with an HTML
+    entity (unescape exercised), a Description meta (case-folded key), an
+    OpenGraph property meta, a robots meta (noindex every 5th), and — for
+    odd i — a rel=canonical declaring the even sibling i−1 as the true
+    copy.  The DuckDB twins recompute every field from doc_id arithmetic,
+    so a hash match proves the real head-parsing kernel is exact."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    did = F.col("doc_id")
+    url = F.format_string("http://h%d.example.com/p/%d", did % _LINK_HOSTS, did)
+    partner = F.format_string(
+        "http://h%d.example.com/p/%d", (did - 1) % _LINK_HOSTS, did - 1
+    )
+    link = F.when(
+        did % 2 == 1,
+        F.format_string("<link rel=\"canonical\" href=\"%s\">", partner),
+    ).otherwise(F.lit(""))
+    robots = F.when(did % 5 == 0, F.lit("noindex")).otherwise(
+        F.lit("index,follow")
+    )
+    html = F.concat(
+        F.lit("<html><head><title> Doc "),
+        did.cast("string"),
+        F.lit(" &amp;\n "),
+        F.col("source"),
+        F.lit("</title><meta name=\"Description\" content=\"lang="),
+        F.col("lang"),
+        F.lit(" len="),
+        F.col("n_chars").cast("string"),
+        F.lit("\"><meta property=\"og:type\" content=\"article\">"),
+        F.lit("<meta name=\"robots\" content=\""),
+        robots,
+        F.lit("\">"),
+        link,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    return docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T124: HTML <head> metadata extraction (kernel/meta.py via the shared
+    linear tokenizer; operators/metadata.py:extract_page_meta) — title
+    (entity-unescaped, whitespace-collapsed), meta description/robots
+    (name= and property= forms, first-wins, key case-folded), and the
+    rel=canonical resolved against the page URL.  One narrow Arrow stage;
+    every field hash-proved against a DuckDB replay from doc_id
+    arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        extract_page_meta,
+    )
+
+    return extract_page_meta(_meta_pages(spark, sf_dir))
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T125: rel=canonical dedup groups (RFC 6596) — pages collapse onto
+    their publisher-declared canonical target (odd docs declare their even
+    sibling), undeclared pages stand for themselves; one map-side-
+    combinable hash agg keyed by the canonical URL.  The declared-intent
+    twin of T48's rule-based URL dedup, fed by the REAL head-parsing
+    kernel end to end."""
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        canonical_groups,
+        extract_page_meta,
+    )
+
+    return canonical_groups(extract_page_meta(_meta_pages(spark, sf_dir)))
+
+
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T122: mirror-site detection (operators/dedup.py:host_mirror_pairs) —
     host pairs by content-SET Jaccard (Bharat & Broder WWW 1999): per-digest
@@ -3791,6 +3863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
         "url_template_farms": q_url_template_farms,
+        "page_metadata": q_page_metadata,
+        "canonical_dedup": q_canonical_dedup,
         "host_mirrors": q_host_mirrors,
         "recrawl_tiers": q_recrawl_tiers,
         "good_turing": q_good_turing,
@@ -4817,6 +4891,39 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "page_metadata": """
+            SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' & ' || source
+                       AS title,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN 'http://h' || CAST((doc_id - 1) % 23 AS VARCHAR)
+                             || '.example.com/p/' || CAST(doc_id - 1 AS VARCHAR)
+                   END AS canonical,
+                   'lang=' || lang || ' len=' || CAST(n_chars AS VARCHAR)
+                       AS meta_description,
+                   CASE WHEN doc_id % 5 = 0 THEN 'noindex'
+                        ELSE 'index,follow' END AS meta_robots,
+                   CAST(3 AS INT) AS n_meta_tags
+            FROM documents
+        """,
+        "canonical_dedup": """
+            WITH pages AS (
+                SELECT doc_id,
+                       'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                       CASE WHEN doc_id % 2 = 1
+                            THEN 'http://h' || CAST((doc_id - 1) % 23 AS VARCHAR)
+                                 || '.example.com/p/'
+                                 || CAST(doc_id - 1 AS VARCHAR)
+                       END AS canonical
+                FROM documents
+            )
+            SELECT coalesce(canonical, url) AS canonical_target,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   min(url) AS keeper_url
+            FROM pages GROUP BY 1
         """,
         "host_mirrors": """
             WITH pages AS (

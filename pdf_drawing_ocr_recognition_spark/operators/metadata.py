@@ -1,0 +1,82 @@
+"""Page-metadata extraction operator — kernel/meta.py batched over Arrow.
+
+Same plumbing contract as ``extract_page_links``: one narrow
+``mapInPandas`` stage (no shuffle, no per-row Python UDF), bytes decoded
+with 'replace' so hostile encodings degrade instead of throwing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "url STRING, title STRING, canonical STRING, meta_description STRING, "
+    "meta_robots STRING, n_meta_tags INT"
+)
+
+
+def extract_page_meta(pages: DataFrame) -> DataFrame:
+    """(url, html[, …]) → one metadata row per page: title, resolved
+    rel=canonical, the two metas pipelines act on (description → quality/
+    display, robots → indexability gate), and the total meta-tag count.
+    Embarrassingly parallel; composes with ``canonical_dedupe_key`` below.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.meta import extract_meta
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                m = extract_meta(text, base_url=url)
+                rows.append(
+                    (
+                        url,
+                        m["title"],
+                        m["canonical"],
+                        m["metas"].get("description"),
+                        m["metas"].get("robots"),
+                        len(m["metas"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url",
+                    "title",
+                    "canonical",
+                    "meta_description",
+                    "meta_robots",
+                    "n_meta_tags",
+                ],
+            )
+
+    return pages.select("url", "html").mapInPandas(run, META_SCHEMA)
+
+
+def canonical_groups(meta: DataFrame) -> DataFrame:
+    """rel=canonical dedup groups: pages collapse onto their declared
+    canonical target (RFC 6596), pages without a declaration stand for
+    themselves.  One map-side-combinable hash agg keyed by the canonical
+    URL — the publisher-declared twin of T48's rule-based URL dedup.
+    Returns (canonical_target, n_pages, keeper_url) with keeper = the
+    lexicographically-first member (deterministic, engine-portable).
+    """
+    target = F.coalesce(F.col("canonical"), F.col("url"))
+    return (
+        meta.select(target.alias("canonical_target"), "url")
+        .groupBy("canonical_target")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.min("url").alias("keeper_url"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""kernel/meta.py — HTML head-metadata extraction (T124/T125)."""
+
+import pytest
+
+from pdf_drawing_ocr_recognition_spark.kernel.meta import extract_meta
+
+BASE = "http://h0.example.com/p/7"
+
+
+class TestTitle:
+    def test_unescaped_and_whitespace_collapsed(self):
+        m = extract_meta("<title> A &amp;\n\t B </title>")
+        assert m["title"] == "A & B"
+
+    def test_first_title_wins(self):
+        m = extract_meta("<title>one</title><title>two</title>")
+        assert m["title"] == "one"
+
+    def test_unterminated_title_flushes_at_eof(self):
+        m = extract_meta("<head><title>cut off")
+        assert m["title"] == "cut off"
+
+    def test_markup_inside_title_is_not_text(self):
+        m = extract_meta("<title>a<b>c</b>d</title>")
+        assert m["title"] == "acd"
+
+    def test_no_title(self):
+        assert extract_meta("<p>hi</p>")["title"] is None
+
+
+class TestMetas:
+    def test_name_and_property_forms_key_casefolded(self):
+        m = extract_meta(
+            '<meta name="Description" content="d1">'
+            '<meta property="og:type" content="article">'
+        )
+        assert m["metas"] == {"description": "d1", "og:type": "article"}
+
+    def test_first_occurrence_wins(self):
+        m = extract_meta(
+            '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="index">'
+        )
+        assert m["metas"]["robots"] == "noindex"
+
+    def test_data_name_attribute_not_mistaken_for_name(self):
+        m = extract_meta('<meta data-name="x" content="y">')
+        assert m["metas"] == {}
+
+    def test_unquoted_and_entity_values(self):
+        m = extract_meta("<meta name=author content=Bob&amp;Ann>")
+        assert m["metas"]["author"] == "Bob&Ann"
+
+    def test_content_missing_is_skipped(self):
+        assert extract_meta('<meta name="x">')["metas"] == {}
+
+
+class TestCanonical:
+    def test_root_relative_resolved_against_base(self):
+        m = extract_meta('<link rel="canonical" href="/p/6">', base_url=BASE)
+        assert m["canonical"] == "http://h0.example.com/p/6"
+
+    def test_multi_valued_rel_matches_token(self):
+        m = extract_meta(
+            '<link rel="canonical nofollow" href="http://a.com/x">',
+            base_url=BASE,
+        )
+        assert m["canonical"] == "http://a.com/x"
+        m2 = extract_meta(
+            '<link rel="canonicalish" href="http://a.com/x">', base_url=BASE
+        )
+        assert m2["canonical"] is None
+
+    def test_first_canonical_wins_and_no_base_passthrough(self):
+        m = extract_meta(
+            '<link rel="canonical" href="http://a.com/1">'
+            '<link rel="canonical" href="http://a.com/2">'
+        )
+        assert m["canonical"] == "http://a.com/1"
+
+
+class TestHostileTotality:
+    @pytest.mark.parametrize(
+        "html",
+        [
+            "",
+            "<",
+            "<title>" + "<" * 1000,
+            "<!-- unterminated " * 50,
+            "<meta name='a' content='b",  # unterminated tag
+            "<title>\x00\x01</title><meta name=\x02 content=ok>",
+            "<link rel=canonical href='::not a url::'>",
+        ],
+    )
+    def test_never_raises(self, html):
+        m = extract_meta(html, base_url=BASE)
+        assert set(m) == {"title", "canonical", "metas"}
