@@ -964,6 +964,84 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_sitemap_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T127: sitemap harvesting (kernel/sitemap.py via the shared linear
+    tokenizer; sources/sitemaps.py) — the frontier-seeding read: one REAL
+    urlset XML per source (entries assembled in doc_id order, locs with
+    &amp;-escaped query URLs — the protocol-mandated case the parser must
+    unescape) plus one sitemapindex shard list, exploded to scheduler rows
+    (loc, lastmod, changefreq, priority).  Every field hash-proved against
+    a DuckDB replay from (doc_id, source) arithmetic.  One narrow Arrow
+    stage; the protocol's 50k-URL file cap makes files the parallelism
+    unit — no skew by construction."""
+    from pdf_drawing_ocr_recognition_spark.sources.sitemaps import (
+        harvest_sitemaps,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url>\n  <loc>http://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2024-03-"),
+        F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>"),
+        F.when(did % 3 == 0, F.lit("daily")).otherwise(F.lit("weekly")),
+        F.lit("</changefreq><priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    urlsets = (
+        docs.select("source", F.struct(did.alias("i"), entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("s")).alias("es"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com/sitemap.xml")
+            ).alias("sitemap_url"),
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+                F.concat_ws("", F.transform(F.col("es"), lambda s: s["e"])),
+                F.lit("</urlset>"),
+            ).alias("content"),
+        )
+    )
+    index = (
+        docs.select("source")
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.lit("http://index.example.com/sitemap_index.xml").alias(
+                "sitemap_url"
+            ),
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.col("ss"),
+                        lambda s: F.concat(
+                            F.lit("<sitemap><loc>http://"),
+                            s,
+                            F.lit(
+                                ".example.com/sitemap.xml</loc>"
+                                "<lastmod>2024-04-01</lastmod></sitemap>"
+                            ),
+                        ),
+                    ),
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("content"),
+        )
+    )
+    blobs = urlsets.unionAll(index).select(
+        "sitemap_url", F.encode(F.col("content"), "utf-8").alias("content")
+    )
+    return harvest_sitemaps(blobs)
+
+
 def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic page corpus with <head> metadata: doc i lives at
     ``http://h{i%23}.example.com/p/{i}``, carries a title with an HTML
@@ -3863,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "url_dedup": q_url_dedup,
         "url_template_farms": q_url_template_farms,
+        "sitemap_harvest": q_sitemap_harvest,
         "page_metadata": q_page_metadata,
         "canonical_dedup": q_canonical_dedup,
         "host_mirrors": q_host_mirrors,
@@ -4891,6 +4970,25 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "sitemap_harvest": """
+            SELECT 'http://' || source || '.example.com/sitemap.xml'
+                       AS sitemap_url,
+                   'urlset' AS kind,
+                   'http://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+                   '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS lastmod,
+                   CASE WHEN doc_id % 3 = 0 THEN 'daily' ELSE 'weekly' END
+                       AS changefreq,
+                   '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+            FROM documents
+            UNION ALL
+            SELECT DISTINCT 'http://index.example.com/sitemap_index.xml',
+                   'sitemapindex',
+                   'http://' || source || '.example.com/sitemap.xml',
+                   '2024-04-01', NULL, NULL
+            FROM documents
         """,
         "page_metadata": """
             SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR)
