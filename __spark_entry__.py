@@ -964,6 +964,53 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T128: hreflang translation groups — pages of the same content in
+    different languages, clustered from their own ``<link rel=alternate
+    hreflang=…>`` head declarations (Google's hreflang protocol; the
+    multilingual sampling unit that seeds T102 bitext mining and T77
+    language quotas).  Synthesized groups of five language variants each
+    declare the full reciprocal set; the REAL head kernel extracts the
+    edges, and clustering is one map-side min + hash agg (reciprocal sets
+    need no connected components).  Replayed in DuckDB from doc_id
+    arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        extract_hreflang,
+        hreflang_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    langs5 = ["en", "de", "fr", "es", "zh"]
+    gs = F.expr("doc_id div 5").cast("string")
+    my_lang = F.element_at(
+        F.array(*[F.lit(x) for x in langs5]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("http://site.example.com/"), my_lang, F.lit("/g/"), gs
+    )
+    links = F.concat(
+        *[
+            F.concat(
+                F.lit(
+                    f'<link rel="alternate" hreflang="{lng}" '
+                    f'href="http://site.example.com/{lng}/g/'
+                ),
+                gs,
+                F.lit('">'),
+            )
+            for lng in langs5
+        ]
+    )
+    html = F.concat(
+        F.lit("<html><head>"), links, F.lit("</head><body>b</body></html>")
+    )
+    pages = docs.select(
+        url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    return hreflang_clusters(extract_hreflang(pages))
+
+
 def q_sitemap_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T127: sitemap harvesting (kernel/sitemap.py via the shared linear
     tokenizer; sources/sitemaps.py) — the frontier-seeding read: one REAL
@@ -3942,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
+        "hreflang_clusters": q_hreflang_clusters,
         "page_metadata": q_page_metadata,
         "canonical_dedup": q_canonical_dedup,
         "host_mirrors": q_host_mirrors,
@@ -4970,6 +5018,14 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "hreflang_clusters": """
+            SELECT 'http://site.example.com/de/g/'
+                   || CAST(doc_id // 5 AS VARCHAR) AS cluster_key,
+                   CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(5 AS INT) AS n_langs,
+                   'de,en,es,fr,zh' AS langs
+            FROM documents GROUP BY doc_id // 5
         """,
         "sitemap_harvest": """
             SELECT 'http://' || source || '.example.com/sitemap.xml'

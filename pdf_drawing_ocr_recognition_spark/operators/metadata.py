@@ -80,3 +80,60 @@ def canonical_groups(meta: DataFrame) -> DataFrame:
             F.min("url").alias("keeper_url"),
         )
     )
+
+
+HREFLANG_SCHEMA = "url STRING, hreflang STRING, alt_url STRING"
+
+
+def extract_hreflang(pages: DataFrame) -> DataFrame:
+    """(url, html[, …]) → one row per ``<link rel=alternate hreflang=…>``
+    declaration: (url, hreflang, alt_url resolved).  The raw translation-
+    graph edges of the hreflang protocol; same narrow-Arrow contract as
+    ``extract_page_meta``."""
+
+    def run(batches):
+        from ..kernel.meta import extract_meta
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                for hl, alt in extract_meta(text, base_url=url)["alternates"]:
+                    rows.append((url, hl, alt))
+            yield pd.DataFrame(rows, columns=["url", "hreflang", "alt_url"])
+
+    return pages.select("url", "html").mapInPandas(run, HREFLANG_SCHEMA)
+
+
+def hreflang_clusters(edges: DataFrame) -> DataFrame:
+    """Translation groups from hreflang edges: each page keys to the
+    lexicographic minimum of {itself} ∪ {its declared alternates} — for a
+    well-formed reciprocal hreflang set (the protocol REQUIRES return
+    links) every member computes the same key, so one map-side min + one
+    hash agg clusters the whole group without connected components.
+    Returns (cluster_key, n_pages, n_langs, langs CSV) — the multilingual
+    sampling unit for bitext mining (T102) and per-language quota
+    accounting (T77).  Malformed one-way declarations split clusters
+    (conservative — never merges unrelated pages).
+    """
+    per_page = edges.groupBy("url").agg(
+        F.least(F.min("alt_url"), F.first("url")).alias("cluster_key"),
+        F.sort_array(F.collect_set("hreflang")).alias("_langs"),
+    )
+    return (
+        per_page.groupBy("cluster_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.array_sort(F.flatten(F.collect_set("_langs"))).alias("_all"),
+        )
+        .select(
+            "cluster_key",
+            "n_pages",
+            F.size(F.array_distinct("_all")).alias("n_langs"),
+            F.array_join(F.array_distinct("_all"), ",").alias("langs"),
+        )
+    )

@@ -94,4 +94,53 @@ class TestHostileTotality:
     )
     def test_never_raises(self, html):
         m = extract_meta(html, base_url=BASE)
-        assert set(m) == {"title", "canonical", "metas"}
+        assert set(m) == {"title", "canonical", "metas", "alternates"}
+
+
+class TestAlternates:
+    def test_hreflang_collected_in_order_and_resolved(self):
+        m = extract_meta(
+            '<link rel="alternate" hreflang="FR" href="/fr/p">'
+            '<link rel="alternate" hreflang="de" href="http://b.com/de">'
+            '<link rel="alternate" type="application/rss+xml" href="/feed">'
+            '<link rel="stylesheet" href="/css">',
+            base_url=BASE,
+        )
+        assert m["alternates"] == [
+            ("fr", "http://h0.example.com/fr/p"),
+            ("de", "http://b.com/de"),
+        ]
+
+    def test_canonical_and_alternate_on_one_tag(self):
+        m = extract_meta(
+            '<link rel="canonical alternate" hreflang="en" href="/x">',
+            base_url=BASE,
+        )
+        assert m["canonical"] == "http://h0.example.com/x"
+        assert m["alternates"] == [("en", "http://h0.example.com/x")]
+
+
+class TestHreflangClusters:
+    def test_reciprocal_set_clusters_one_way_splits(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+            hreflang_clusters,
+        )
+
+        edges = spark.createDataFrame(
+            # reciprocal pair a<->b (self-refs included, protocol style)
+            [("http://s/en", "en", "http://s/en"),
+             ("http://s/en", "de", "http://s/de"),
+             ("http://s/de", "en", "http://s/en"),
+             ("http://s/de", "de", "http://s/de"),
+             # one-way: c declares d, d declares nothing → separate cluster
+             ("http://s/c", "fr", "http://s/zz")],
+            ["url", "hreflang", "alt_url"],
+        )
+        got = {
+            r["cluster_key"]: (r["n_pages"], r["n_langs"], r["langs"])
+            for r in hreflang_clusters(edges).collect()
+        }
+        assert got == {
+            "http://s/de": (2, 2, "de,en"),
+            "http://s/c": (1, 1, "fr"),
+        }
