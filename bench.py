@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "url_template_farms",
     "char_diversity",
     "host_trustrank",
+    # round 4 (cont. 4b): head-metadata / frontier composition ops
+    "page_metadata",
+    "host_mirrors",
+    "recrawl_tiers",
+    "sitemap_harvest",
 ]
 
 

@@ -603,6 +603,40 @@ def main() -> int:
     )
     # T113 vocab growth: register max-agg combines map-side, fan-out <= 5x
     grab("vocab_growth", em.q_vocab_growth(spark, sf), "partial_max")
+    # T122 mirrors: digest computed in the scan projection; host-size dims
+    # broadcast; pair expansion is in-array (no digest self-join)
+    grab(
+        "host_mirrors",
+        em.q_host_mirrors(spark, sf),
+        "md5",
+        "BroadcastHashJoin",
+    )
+    # T120 recrawl tiers: ONE keyed join (digests, not bodies) + counter agg
+    grab(
+        "recrawl_tiers",
+        em.q_recrawl_tiers(spark, sf),
+        "FullOuter",
+        "partial_sum",
+    )
+    # T121 good-turing: both aggs combine map-side; r+1 lookup is a dim join
+    grab("good_turing", em.q_good_turing(spark, sf), "partial_count")
+    gt_plan = sections[-1][1]
+    checks.append(("good_turing", "no window sort", "Window" not in gt_plan))
+    # T124 metadata / T127 sitemaps / T128 hreflang: one narrow Arrow stage
+    grab("page_metadata", em.q_page_metadata(spark, sf), "MapInPandas")
+    pm_plan = sections[-1][1]
+    checks.append(
+        ("page_metadata", "no shuffle (narrow)", "Exchange" not in pm_plan)
+    )
+    grab("sitemap_harvest", em.q_sitemap_harvest(spark, sf), "MapInPandas")
+    # T125/T128: the rollups after the Arrow stage are map-side-combinable
+    grab("canonical_dedup", em.q_canonical_dedup(spark, sf), "partial_count")
+    grab(
+        "hreflang_clusters",
+        em.q_hreflang_clusters(spark, sf),
+        "partial_min",
+        "MapInPandas",
+    )
 
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
