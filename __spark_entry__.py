@@ -964,6 +964,83 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_feed_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T129: RSS/Atom feed harvesting (kernel/feed.py via the shared linear
+    tokenizer; sources/feeds.py) — the freshness frontier: one REAL RSS 2.0
+    feed per source (titles with entities, element-text links, pubDate,
+    guid) plus one Atom feed (ATTRIBUTE links with a rel=self decoy the
+    parser must skip, updated, urn ids), exploded to scheduler rows.  Every
+    field hash-proved against a DuckDB replay from (doc_id, source)
+    arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.sources.feeds import harvest_feeds
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    day = F.lpad((did % 28 + 1).cast("string"), 2, "0")
+    rss_item = F.concat(
+        F.lit("<item><title>Doc "),
+        did.cast("string"),
+        F.lit(" &amp; more</title><link>http://"),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+        F.lit("</link><pubDate>2024-03-"),
+        day,
+        F.lit("</pubDate><guid>tag:"),
+        F.col("source"),
+        F.lit(":"),
+        did.cast("string"),
+        F.lit("</guid></item>"),
+    )
+    rss = (
+        docs.select(
+            "source", F.struct(did.alias("i"), rss_item.alias("e")).alias("s")
+        )
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("s")).alias("es"))
+        .select(
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com/feed.xml")
+            ).alias("feed_url"),
+            F.concat(
+                F.lit('<rss version="2.0"><channel><title>ch</title>'),
+                F.concat_ws("", F.transform(F.col("es"), lambda s: s["e"])),
+                F.lit("</channel></rss>"),
+            ).alias("content"),
+        )
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>A"),
+        did.cast("string"),
+        F.lit('</title><link rel="self" href="http://atom.example.com/self"/>'),
+        F.lit('<link href="http://atom.example.com/a/'),
+        did.cast("string"),
+        F.lit('" rel="alternate"/><updated>2024-04-'),
+        day,
+        F.lit("</updated><id>urn:"),
+        did.cast("string"),
+        F.lit("</id></entry>"),
+    )
+    atom = (
+        docs.filter(did < 40)
+        .select(F.struct(did.alias("i"), atom_entry.alias("e")).alias("s"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("s")).alias("es"))
+        .select(
+            F.lit("http://atom.example.com/feed.atom").alias("feed_url"),
+            F.concat(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'),
+                F.concat_ws("", F.transform(F.col("es"), lambda s: s["e"])),
+                F.lit("</feed>"),
+            ).alias("content"),
+        )
+    )
+    blobs = rss.unionAll(atom).select(
+        "feed_url", F.encode(F.col("content"), "utf-8").alias("content")
+    )
+    return harvest_feeds(blobs)
+
+
 def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T128: hreflang translation groups — pages of the same content in
     different languages, clustered from their own ``<link rel=alternate
@@ -3990,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
+        "feed_harvest": q_feed_harvest,
         "page_metadata": q_page_metadata,
         "canonical_dedup": q_canonical_dedup,
         "host_mirrors": q_host_mirrors,
@@ -5018,6 +5096,25 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "feed_harvest": """
+            SELECT 'http://' || source || '.example.com/feed.xml' AS feed_url,
+                   'rss' AS kind,
+                   'http://' || source || '.example.com/p/'
+                   || CAST(doc_id AS VARCHAR) AS link,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS title,
+                   '2024-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS published,
+                   'tag:' || source || ':' || CAST(doc_id AS VARCHAR)
+                       AS entry_id
+            FROM documents
+            UNION ALL
+            SELECT 'http://atom.example.com/feed.atom', 'atom',
+                   'http://atom.example.com/a/' || CAST(doc_id AS VARCHAR),
+                   'A' || CAST(doc_id AS VARCHAR),
+                   '2024-04-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'),
+                   'urn:' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE doc_id < 40
         """,
         "hreflang_clusters": """
             SELECT 'http://site.example.com/de/g/'
