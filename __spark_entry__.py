@@ -964,6 +964,36 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T130: production-width (56-bit) SimHash per document — one
+    map-side-combinable 56-counter hash agg over the token stream
+    (operators/dedup.py:simhash_wide); integer counters make the sign bits
+    and therefore the packed BIGINT engine-exact (DuckDB replays every
+    counter from the same md5 nibbles)."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import simhash_wide
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return simhash_wide(docs)
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T130 (pairs): Manku/Jain/Sarma WWW'07 web dedup end to end — 56-bit
+    SimHash + the SAME pigeonhole Hamming index as the image dHash (T117):
+    4 disjoint 14-bit bands for distance ≤ 3, band-equality join, codegen
+    bit_count(xor) confirm; recall structural.  One machinery, two
+    modalities (text here, rasters in T117)."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import simhash_wide
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        hamming_near_dupe_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hashes = simhash_wide(docs)
+    return hamming_near_dupe_pairs(
+        hashes, n_bits=56, max_distance=3, hash_col="simhash"
+    )
+
+
 def q_feed_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T129: RSS/Atom feed harvesting (kernel/feed.py via the shared linear
     tokenizer; sources/feeds.py) — the freshness frontier: one REAL RSS 2.0
@@ -4067,6 +4097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
+        "simhash_wide": q_simhash_wide,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "feed_harvest": q_feed_harvest,
         "page_metadata": q_page_metadata,
         "canonical_dedup": q_canonical_dedup,
@@ -5096,6 +5128,61 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "simhash_wide": """
+            WITH toks AS (
+                SELECT doc_id,
+                       md5(unnest(string_split(lower(text), ' '))) AS h
+                FROM documents WHERE doc_id < 300
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(h, (b.b // 4) + 1, 1)) - 1)
+                                  >> (3 - (b.b % 4))) & 1 = 1
+                            THEN 1 ELSE -1 END AS d
+                FROM toks, (SELECT unnest(generate_series(0, 55)) AS b) b
+            ), counters AS (
+                SELECT doc_id, b, sum(d) AS c FROM bits GROUP BY 1, 2
+            ), dh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0
+                                     THEN CAST(1 AS BIGINT) << (55 - b)
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM counters GROUP BY doc_id
+            )
+            SELECT doc_id, h AS simhash FROM dh
+        """,
+        "simhash_near_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       md5(unnest(string_split(lower(text), ' '))) AS h
+                FROM documents
+            ), bits AS (
+                SELECT doc_id, b.b AS b,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(h, (b.b // 4) + 1, 1)) - 1)
+                                  >> (3 - (b.b % 4))) & 1 = 1
+                            THEN 1 ELSE -1 END AS d
+                FROM toks, (SELECT unnest(generate_series(0, 55)) AS b) b
+            ), counters AS (
+                SELECT doc_id, b, sum(d) AS c FROM bits GROUP BY 1, 2
+            ), dh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0
+                                     THEN CAST(1 AS BIGINT) << (55 - b)
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM counters GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, h, 0 AS bi, (h >> 42) & 16383 AS bv FROM dh
+                UNION ALL SELECT doc_id, h, 1, (h >> 28) & 16383 FROM dh
+                UNION ALL SELECT doc_id, h, 2, (h >> 14) & 16383 FROM dh
+                UNION ALL SELECT doc_id, h, 3, h & 16383 FROM dh
+            )
+            SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b,
+                   CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+            FROM bands a JOIN bands b
+              ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h, b.h)) <= 3
         """,
         "feed_harvest": """
             SELECT 'http://' || source || '.example.com/feed.xml' AS feed_url,

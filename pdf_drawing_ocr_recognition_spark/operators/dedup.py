@@ -1036,3 +1036,65 @@ def host_mirror_pairs(
         .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
     )
     return out.select("host_a", "host_b", "n_common", "n_a", "n_b", "jaccard_ppm")
+
+
+def simhash_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bits: int = 56,
+) -> DataFrame:
+    """Wide SimHash (Charikar STOC'02 at production width) — the 56-bit
+    upgrade of T5's 16-bit demo, sized so the fingerprint packs into a
+    BIGINT and feeds the SAME pigeonhole Hamming index as the image dHash
+    (T117 ``hamming_near_dupe_pairs``): Manku/Jain/Sarma's WWW'07 web-dedup
+    pipeline, end to end.
+
+    Per token, one md5 → ``n_bits/4`` hex nibbles fold into a BIGINT v
+    (one projection); per document, bit b's counter is
+    ``Σ_tokens (2·bit_b(v) − 1)`` — n_bits integer ``sum`` aggregates in
+    ONE map-side-combinable hash agg (exchange = one 56-counter row per
+    doc per task; the token stream never shuffles).  Sign of each counter
+    is the output bit; integer counters make ties (=0 → bit 0) and
+    therefore the whole hash engine-exact.  The wide agg runs interpreted
+    if codegen overflows the JIT method cap — a documented trade against
+    exploding 56 rows/token, which would multiply the corpus stream.
+    """
+    if n_bits % 4 != 0 or not 4 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be a multiple of 4 in [4, 60], got {n_bits}")
+    from ..functions.dedup import _HEX
+
+    h = F.md5(F.encode(F.col("_w"), "utf-8"))
+    v = None
+    for i in range(n_bits // 4):
+        nib = (
+            F.position(F.substring(F.col("_h"), i + 1, 1), F.lit(_HEX)) - 1
+        ).cast("bigint")
+        term = F.shiftleft(nib, n_bits - 4 * (i + 1))
+        v = term if v is None else v + term
+    toks = (
+        docs.select(
+            F.col(key_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_w"),
+        )
+        .select(key_col, h.alias("_h"))
+        .select(key_col, v.alias("_v"))
+    )
+    sums = [
+        F.sum(
+            F.shiftright(F.col("_v"), n_bits - 1 - b).bitwiseAND(F.lit(1))
+            * F.lit(2)
+            - F.lit(1)
+        ).alias(f"_c{b}")
+        for b in range(n_bits)
+    ]
+    counters = toks.groupBy(key_col).agg(*sums)
+    out = None
+    for b in range(n_bits):
+        term = (
+            F.when(F.col(f"_c{b}") > 0, F.lit(1 << (n_bits - 1 - b)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+        out = term if out is None else out + term
+    return counters.select(key_col, out.alias("simhash"))

@@ -1222,3 +1222,76 @@ class TestHostMirrorPairs:
         assert got == {}
         got2 = self._run(spark, rows, min_jaccard_ppm=1, max_hosts_per_digest=6)
         assert len(got2) == 15  # 6 choose 2 once allowed
+
+
+class TestSimhashWide:
+    def _hash(self, spark, rows, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            simhash_wide,
+        )
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {r["doc_id"]: r["simhash"] for r in simhash_wide(df, **kw).collect()}
+
+    @staticmethod
+    def _py_simhash(text, n_bits=56):
+        import hashlib
+
+        counters = [0] * n_bits
+        for w in text.lower().split(" "):
+            h = int(hashlib.md5(w.encode()).hexdigest()[: n_bits // 4], 16)
+            for b in range(n_bits):
+                counters[b] += 1 if (h >> (n_bits - 1 - b)) & 1 else -1
+        out = 0
+        for b in range(n_bits):
+            out |= (1 if counters[b] > 0 else 0) << (n_bits - 1 - b)
+        return out
+
+    def test_matches_python_twin_and_order_invariance(self, spark):
+        rows = [(1, "the quick brown fox"), (2, "fox brown quick the"),
+                (3, "completely different words here")]
+        got = self._hash(spark, rows)
+        for i, t in rows:
+            assert got[i] == self._py_simhash(t), i
+        assert got[1] == got[2]  # bag-of-words: order-free
+        assert got[1] != got[3]
+
+    def test_small_edit_small_distance(self, spark):
+        base = " ".join(f"w{i}" for i in range(60))
+        edited = base.replace("w30", "xx")
+        got = self._hash(spark, [(1, base), (2, edited)])
+        d = bin(got[1] ^ got[2]).count("1")
+        assert 0 < d <= 12  # one token of sixty flips few sign bits
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            simhash_wide,
+        )
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            simhash_wide(df, n_bits=57)
+        with _pytest.raises(ValueError):
+            simhash_wide(df, n_bits=64)
+
+    def test_feeds_hamming_index_with_text(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            simhash_wide,
+        )
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            hamming_near_dupe_pairs,
+        )
+
+        base = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [(1, base), (2, base), (3, "entirely other tokens " * 10)],
+            ["doc_id", "text"],
+        )
+        pairs = hamming_near_dupe_pairs(
+            simhash_wide(df), n_bits=56, max_distance=3, hash_col="simhash"
+        ).collect()
+        assert [(p["key_a"], p["key_b"], p["hamming"]) for p in pairs] == [
+            (1, 2, 0)
+        ]
