@@ -964,6 +964,57 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T131: charset sniffing (kernel/charset.py via the shared tokenizer;
+    WHATWG order: BOM → bounded meta scan → HTML5 default) — the decode
+    decision made per page BEFORE text exists, on the raw binary column.
+    Four page shapes by doc_id%4: UTF-8 BOM, <meta charset=ISO-8859-1>,
+    http-equiv Content-Type (charset=windows-1252, quoted, mixed case),
+    and no declaration; a decoy non-Content-Type http-equiv meta precedes
+    the real one so the scan's filtering — not just presence — is what
+    hash-matches."""
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        sniff_page_charsets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.format_string("http://h%d.example.com/p/%d", did % _LINK_HOSTS, did)
+    body = F.lit('<meta http-equiv="refresh" content="30"><p>b</p>')
+    html = (
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("﻿<html><head>"), body, F.lit("</head></html>")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("<html><head>"),
+                body,
+                F.lit('<meta charset="ISO-8859-1"></head></html>'),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                F.lit("<html><head>"),
+                body,
+                F.lit(
+                    '<meta http-equiv="Content-Type" '
+                    'content="text/html; Charset=Windows-1252"></head></html>'
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><head>"), body, F.lit("</head></html>"))
+        )
+    )
+    pages = docs.select(
+        url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    return sniff_page_charsets(pages)
+
+
 def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T130: production-width (56-bit) SimHash per document — one
     map-side-combinable 56-counter hash agg over the token stream
@@ -4097,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
+        "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
         "simhash_near_pairs": q_simhash_near_pairs,
         "feed_harvest": q_feed_harvest,
@@ -5128,6 +5180,21 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "charset_sniff": """
+            SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'utf-8'
+                        WHEN 1 THEN 'iso-8859-1'
+                        WHEN 2 THEN 'windows-1252'
+                        ELSE 'utf-8' END AS charset,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'bom'
+                        WHEN 1 THEN 'meta-charset'
+                        WHEN 2 THEN 'meta-http-equiv'
+                        ELSE 'default' END AS charset_source
+            FROM documents
         """,
         "simhash_wide": """
             WITH toks AS (

@@ -137,3 +137,28 @@ def hreflang_clusters(edges: DataFrame) -> DataFrame:
             F.array_join(F.array_distinct("_all"), ",").alias("langs"),
         )
     )
+
+
+CHARSET_SCHEMA = "url STRING, charset STRING, charset_source STRING"
+
+
+def sniff_page_charsets(pages: DataFrame) -> DataFrame:
+    """(url, html binary) → (url, charset, charset_source) via the WHATWG
+    sniff (kernel/charset.py).  O(1) per page (1024-byte cap), one narrow
+    Arrow stage — runs BEFORE decode, so it takes the raw binary column,
+    not text."""
+
+    def run(batches):
+        from ..kernel.charset import sniff_charset
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                raw = bytes(html) if html is not None else b""
+                s = sniff_charset(raw)
+                rows.append((url, s["charset"], s["source"]))
+            yield pd.DataFrame(
+                rows, columns=["url", "charset", "charset_source"]
+            )
+
+    return pages.select("url", "html").mapInPandas(run, CHARSET_SCHEMA)

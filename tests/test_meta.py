@@ -144,3 +144,44 @@ class TestHreflangClusters:
             "http://s/de": (2, 2, "de,en"),
             "http://s/c": (1, 1, "fr"),
         }
+
+
+class TestCharsetSniff:
+    def _s(self, raw):
+        from pdf_drawing_ocr_recognition_spark.kernel.charset import (
+            sniff_charset,
+        )
+
+        return sniff_charset(raw)
+
+    def test_bom_beats_meta(self):
+        raw = b"\xef\xbb\xbf<meta charset='latin-1'>"
+        assert self._s(raw) == {"charset": "utf-8", "source": "bom"}
+        assert self._s(b"\xff\xfex")["charset"] == "utf-16-le"
+        assert self._s(b"\xfe\xffx")["charset"] == "utf-16-be"
+
+    def test_meta_charset_and_http_equiv(self):
+        assert self._s(b"<head><meta charset=UTF-8></head>") == {
+            "charset": "utf-8", "source": "meta-charset"
+        }
+        raw = (b'<meta http-equiv="Content-Type" '
+               b'content="text/html; Charset=Windows-1252">')
+        assert self._s(raw) == {
+            "charset": "windows-1252", "source": "meta-http-equiv"
+        }
+
+    def test_charset_inside_other_content_never_matches(self):
+        # refresh URL carrying 'charset=' must not be mistaken for a decl
+        raw = (b'<meta http-equiv="refresh" '
+               b'content="0; url=/x?charset=evil">'
+               b"<meta charset='KOI8-R'>")
+        assert self._s(raw) == {"charset": "koi8-r", "source": "meta-charset"}
+
+    def test_declaration_beyond_1024_bytes_ignored(self):
+        raw = b"<p>" + b"x" * 1100 + b"</p><meta charset='latin-1'>"
+        assert self._s(raw) == {"charset": "utf-8", "source": "default"}
+
+    def test_hostile_bytes_never_raise(self):
+        for raw in (b"", b"\xff", b"\x80" * 2000, b"<meta charset="):
+            s = self._s(raw)
+            assert set(s) == {"charset", "source"}
