@@ -964,6 +964,41 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T132: redirect-chain resolution (operators/links.py:
+    resolve_redirects) — collapse fetch-log redirects to final targets
+    before URL dedup: bounded hop joins (max_hops=4, the HTTP-client
+    discipline — never an unbounded loop), loops and over-long chains
+    flagged unresolved.  The synthetic fetch log exercises 1/2/3-hop
+    chains, a self-redirect, and a 2-cycle; the oracle replays the SAME
+    bounded iteration as chained CTEs, so hop counts and the unresolved
+    flags — not just finals — hash-match."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        resolve_redirects,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def u(expr):
+        return F.format_string(
+            "http://h%d.example.com/p/%d", expr % _LINK_HOSTS, expr
+        )
+
+    m = did % 10
+    edges = (
+        docs.filter(m.isin(1, 2, 3, 7, 8, 9))
+        .select(
+            u(did).alias("src_url"),
+            F.when(m.isin(1, 2, 3, 8), u(did - 1))
+            .when(m == 9, u(did))
+            .otherwise(u(did + 1))  # m == 7
+            .alias("dst_url"),
+        )
+    )
+    return resolve_redirects(edges, max_hops=4)
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T131: charset sniffing (kernel/charset.py via the shared tokenizer;
     WHATWG order: BOM → bounded meta scan → HTML5 default) — the decode
@@ -4148,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
+        "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -5180,6 +5216,51 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "redirect_chains": """
+            WITH raw AS (
+                SELECT doc_id,
+                       'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS s,
+                       CASE WHEN doc_id % 10 IN (1, 2, 3, 8)
+                            THEN 'http://h' || CAST((doc_id - 1) % 23 AS VARCHAR)
+                                 || '.example.com/p/'
+                                 || CAST(doc_id - 1 AS VARCHAR)
+                            WHEN doc_id % 10 = 9
+                            THEN 'http://h' || CAST(doc_id % 23 AS VARCHAR)
+                                 || '.example.com/p/'
+                                 || CAST(doc_id AS VARCHAR)
+                            ELSE 'http://h' || CAST((doc_id + 1) % 23 AS VARCHAR)
+                                 || '.example.com/p/'
+                                 || CAST(doc_id + 1 AS VARCHAR)
+                       END AS d
+                FROM documents WHERE doc_id % 10 IN (1, 2, 3, 7, 8, 9)
+            ), e AS (
+                SELECT s, min(d) AS d FROM raw GROUP BY s
+            ), m1 AS (
+                SELECT s AS url, d AS final_url, 1 AS n_hops FROM e
+            ), m2 AS (
+                SELECT m.url,
+                       COALESCE(e.d, m.final_url) AS final_url,
+                       m.n_hops + CASE WHEN e.d IS NULL THEN 0 ELSE 1 END
+                           AS n_hops
+                FROM m1 m LEFT JOIN e ON e.s = m.final_url
+            ), m3 AS (
+                SELECT m.url,
+                       COALESCE(e.d, m.final_url) AS final_url,
+                       m.n_hops + CASE WHEN e.d IS NULL THEN 0 ELSE 1 END
+                           AS n_hops
+                FROM m2 m LEFT JOIN e ON e.s = m.final_url
+            ), m4 AS (
+                SELECT m.url,
+                       COALESCE(e.d, m.final_url) AS final_url,
+                       m.n_hops + CASE WHEN e.d IS NULL THEN 0 ELSE 1 END
+                           AS n_hops
+                FROM m3 m LEFT JOIN e ON e.s = m.final_url
+            )
+            SELECT m.url, m.final_url, CAST(m.n_hops AS INT) AS n_hops,
+                   e.s IS NULL AS resolved
+            FROM m4 m LEFT JOIN e ON e.s = m.final_url
         """,
         "charset_sniff": """
             SELECT 'http://h' || CAST(doc_id % 23 AS VARCHAR)

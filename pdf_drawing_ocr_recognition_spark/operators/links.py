@@ -250,3 +250,70 @@ def trustrank(
     return ranks.join(
         tele_nodes.select("node", (F.col("tele") > 0).alias("is_seed")), "node"
     ).select("node", "rank", "is_seed")
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src_url",
+    dst: str = "dst_url",
+    max_hops: int = 4,
+    flatten_lineage: bool = True,
+) -> DataFrame:
+    """Collapse HTTP redirect chains to their final targets — the fetch-log
+    normalization that runs before URL dedup (T48/T125): every alias URL
+    maps to the URL whose content was actually served, so a chain of moved
+    pages counts as ONE page, not ``len(chain)``.
+
+    *redirects* is the redirect edge list (one out-edge per source; if a
+    crawl observed several, the lexicographic minimum target wins —
+    deterministic, engine-portable).  Returns one row per source URL:
+    (url, final_url, n_hops, resolved) where ``resolved`` is False for
+    chains still pointing at another redirect after *max_hops* (loops and
+    over-long chains — flagged, never spun on; a self-redirect is the
+    1-hop unresolved case).
+
+    Scale: each hop is ONE equi-join keyed by the current target against
+    the redirect dim — *max_hops* joins total, never an unbounded loop
+    (HTTP clients cap redirects the same way; browsers stop around 20).
+    The redirect dim is usually tiny next to the corpus — broadcast it by
+    wrapping: ``resolve_redirects(F.broadcast(edges))`` is NOT needed;
+    Spark's AQE will pick broadcast when the dim is small.  Lineage is
+    flattened per hop (``localCheckpoint``) unless disabled for plan
+    inspection.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    e = (
+        redirects.groupBy(F.col(src).alias("_s"))
+        .agg(F.min(F.col(dst)).alias("_d"))
+    )
+    mapping = e.select(
+        F.col("_s").alias("url"),
+        F.col("_d").alias("final_url"),
+        F.lit(1).alias("n_hops"),
+    )
+    for _ in range(max_hops - 1):
+        step = e.select(F.col("_s").alias("_fs"), F.col("_d").alias("_fd"))
+        mapping = (
+            mapping.join(step, mapping["final_url"] == step["_fs"], "left")
+            .select(
+                "url",
+                F.coalesce(F.col("_fd"), F.col("final_url")).alias("final_url"),
+                (
+                    F.col("n_hops")
+                    + F.when(F.col("_fd").isNotNull(), 1).otherwise(0)
+                ).alias("n_hops"),
+            )
+        )
+        if flatten_lineage:
+            mapping = mapping.localCheckpoint()
+    probe = e.select(F.col("_s").alias("_fs"), F.lit(True).alias("_still"))
+    return (
+        mapping.join(probe, mapping["final_url"] == probe["_fs"], "left")
+        .select(
+            "url",
+            "final_url",
+            F.col("n_hops").cast("int").alias("n_hops"),
+            (~F.coalesce(F.col("_still"), F.lit(False))).alias("resolved"),
+        )
+    )

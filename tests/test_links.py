@@ -294,3 +294,46 @@ class TestTrustrankOperator:
         sdf = spark.createDataFrame([("ghost",)], ["node"])
         with pytest.raises(ValueError):
             trustrank(df, sdf)
+
+
+class TestResolveRedirects:
+    def _run(self, spark, edges, **kw):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            resolve_redirects,
+        )
+
+        df = spark.createDataFrame(edges, ["src_url", "dst_url"])
+        return {
+            r["url"]: (r["final_url"], r["n_hops"], r["resolved"])
+            for r in resolve_redirects(df, **kw).collect()
+        }
+
+    def test_chains_resolve_with_hop_counts(self, spark):
+        got = self._run(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        assert got == {"a": ("d", 3, True), "b": ("d", 2, True),
+                       "c": ("d", 1, True)}
+
+    def test_self_loop_and_two_cycle_flagged_not_spun(self, spark):
+        got = self._run(spark, [("s", "s"), ("u", "v"), ("v", "u")],
+                        max_hops=4)
+        assert got["s"] == ("s", 4, False)
+        assert got["u"][2] is False and got["v"][2] is False
+
+    def test_over_long_chain_unresolved_at_cap(self, spark):
+        edges = [(f"u{i}", f"u{i+1}") for i in range(6)]
+        got = self._run(spark, edges, max_hops=3)
+        assert got["u0"] == ("u3", 3, False)   # still a redirect at the cap
+        assert got["u3"] == ("u6", 3, True)    # tail fits inside the cap
+
+    def test_multiple_observed_targets_min_wins(self, spark):
+        got = self._run(spark, [("a", "z"), ("a", "b")])
+        assert got["a"] == ("b", 1, True)
+
+    def test_validation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            resolve_redirects,
+        )
+
+        df = spark.createDataFrame([("a", "b")], ["src_url", "dst_url"])
+        with pytest.raises(ValueError):
+            resolve_redirects(df, max_hops=0)
