@@ -964,6 +964,44 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedupe(fetches, "url", "doc_id", "n_chars")
 
 
+PSL_SUBSET = ["com", "org", "net", "io", "co.uk", "github.io"]
+
+
+def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T133: registered-domain (PLD) extraction (operators/filtering.py:
+    registered_domains) — the public-suffix-list algorithm (exact-rule
+    subset): longest matching suffix + one label, suffix-only hosts → NULL,
+    unmatched hosts → implicit-* last-two-labels fallback.  Same zero-
+    corpus-shuffle broadcast ancestor-join discipline as T56.  Five host
+    shapes exercise multi-label suffixes (co.uk), nested rules (io vs
+    github.io — longest wins), deep subdomains, and the suffix-as-host
+    NULL case; the oracle replays the EXPECTED pld per rule, so the match
+    proves the algorithm meets its spec, not just itself."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        registered_domains,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".org")))
+        .when(
+            m == 3,
+            F.concat(F.lit("cdn."), F.col("source"), F.lit(".github.io")),
+        )
+        .otherwise(F.lit("co.uk"))
+    )
+    psl = spark.createDataFrame([(s,) for s in PSL_SUBSET], ["suffix"])
+    hosts = docs.select(host.alias("host"))
+    return (
+        registered_domains(hosts, "host", psl)
+        .groupBy("host", "pld")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T132: redirect-chain resolution (operators/links.py:
     resolve_redirects) — collapse fetch-log redirects to final targets
@@ -4183,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_template_farms": q_url_template_farms,
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
+        "registered_domains": q_registered_domains,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5216,6 +5255,25 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "registered_domains": """
+            WITH hp AS (
+                SELECT CASE doc_id % 5
+                            WHEN 0 THEN 'www.' || source || '.co.uk'
+                            WHEN 1 THEN source || '.com'
+                            WHEN 2 THEN 'a.b.' || source || '.org'
+                            WHEN 3 THEN 'cdn.' || source || '.github.io'
+                            ELSE 'co.uk' END AS host,
+                       CASE doc_id % 5
+                            WHEN 0 THEN source || '.co.uk'
+                            WHEN 1 THEN source || '.com'
+                            WHEN 2 THEN source || '.org'
+                            WHEN 3 THEN source || '.github.io'
+                            ELSE NULL END AS pld
+                FROM documents
+            )
+            SELECT host, pld, CAST(count(*) AS BIGINT) AS n_docs
+            FROM hp GROUP BY 1, 2
         """,
         "redirect_chains": """
             WITH raw AS (

@@ -152,3 +152,65 @@ def url_template_farms(
             / F.col("n_pages")
         ).alias("dup_ratio_ppm"),
     )
+
+
+def registered_domains(
+    df: DataFrame,
+    host_col: str,
+    psl_df: DataFrame,
+    suffix_col: str = "suffix",
+    max_labels: int = MAX_LABELS_DEFAULT,
+    pld_col: str = "pld",
+) -> DataFrame:
+    """Add ``pld_col``: the registered (pay-level) domain of each host —
+    the LONGEST matching public suffix from *psl_df* plus one label.  The
+    grouping key every host-level statistic in a web pipeline actually
+    wants (blog.a.co.uk and shop.a.co.uk are ONE registrant; per-host
+    stats over them double-count).
+
+    Semantics (the public-suffix-list algorithm, exact-rule subset —
+    wildcard/exception rules out of contract, documented): longest suffix
+    match wins; a host that IS a public suffix has no registrable domain
+    (NULL); a host matching no rule falls back to its last two labels
+    (PSL's implicit ``*`` rule).
+
+    Same scale shape as :func:`mark_blocked_hosts`: one BROADCAST
+    equi-join per ancestor depth — pure codegen keys, zero shuffle on the
+    corpus side, never a regex scan of the rule list.
+    """
+    psl = psl_df.select(F.lower(F.col(suffix_col)).alias("__ps")).distinct()
+    cur = df.withColumn("__host_lc", F.lower(F.col(host_col))).withColumn(
+        "__n_labels", F.size(F.split(F.col("__host_lc"), r"\."))
+    )
+    depth_hits: list[tuple[int, str]] = []
+    for d in range(1, max_labels + 1):
+        key, hit = f"__anc_{d}", f"__psl_{d}"
+        cur = cur.withColumn(
+            key,
+            F.when(
+                F.col("__n_labels") >= d, host_ancestor(F.col("__host_lc"), d)
+            ),
+        )
+        dim = psl.select(F.col("__ps").alias(key), F.lit(d).alias(hit))
+        cur = cur.join(F.broadcast(dim), key, "left").drop(key)
+        depth_hits.append((d, hit))
+    cur = cur.withColumn(
+        "__psl_m",
+        F.greatest(*[F.coalesce(F.col(h), F.lit(0)) for _, h in depth_hits]),
+    )
+    pld = (
+        F.when(F.col("__psl_m") == 0,
+               F.when(F.col("__n_labels") >= 2,
+                      F.substring_index(F.col("__host_lc"), ".", -2))
+               .otherwise(F.col("__host_lc")))
+        .when(F.col("__psl_m") >= F.col("__n_labels"),
+              F.lit(None).cast("string"))
+        .otherwise(
+            # data-dependent label count → SQL form (pyspark's
+            # substring_index only takes a literal count)
+            F.expr("substring_index(__host_lc, '.', -(__psl_m + 1))")
+        )
+    )
+    out = cur.withColumn(pld_col, pld)
+    drop = ["__host_lc", "__n_labels", "__psl_m"] + [h for _, h in depth_hits]
+    return out.drop(*drop)

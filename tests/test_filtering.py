@@ -180,3 +180,54 @@ class TestUrlTemplateFarms:
         ]
         got = self._run(spark, rows)
         assert got == {("a.example.com", "/x?page=<n>"): (2, 2, 0)}
+
+
+class TestRegisteredDomains:
+    def _run(self, spark, hosts, psl):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            registered_domains,
+        )
+
+        df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+        pd_ = spark.createDataFrame([(s,) for s in psl], ["suffix"])
+        return {
+            r["host"]: r["pld"]
+            for r in registered_domains(df, "host", pd_).collect()
+        }
+
+    def test_longest_suffix_wins_and_null_for_suffix_hosts(self, spark):
+        psl = ["com", "uk", "co.uk", "io", "github.io"]
+        got = self._run(
+            spark,
+            ["Blog.Shop.A.co.uk", "a.co.uk", "co.uk", "x.github.io",
+             "deep.x.github.io", "plain.io"],
+            psl,
+        )
+        assert got["Blog.Shop.A.co.uk"] == "a.co.uk"   # longest rule, lc
+        assert got["a.co.uk"] == "a.co.uk"
+        assert got["co.uk"] is None                    # suffix itself
+        assert got["x.github.io"] == "x.github.io"     # github.io beats io
+        assert got["deep.x.github.io"] == "x.github.io"
+        assert got["plain.io"] == "plain.io"
+
+    def test_unmatched_fallback_last_two_labels(self, spark):
+        got = self._run(spark, ["a.b.weirdtld", "single"], ["com"])
+        assert got["a.b.weirdtld"] == "b.weirdtld"
+        assert got["single"] == "single"
+
+    def test_no_corpus_side_exchange(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            registered_domains,
+        )
+
+        df = spark.createDataFrame([("a.com",)], ["host"])
+        psl = spark.createDataFrame([("com",)], ["suffix"])
+        plan = (
+            registered_domains(df, "host", psl)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # every depth join broadcasts the PSL dim; the corpus side never
+        # sort-merge-joins (the only Exchange in the plan is the tiny dim's
+        # own distinct)
+        assert plan.count("BroadcastHashJoin") >= 6
+        assert "SortMergeJoin" not in plan, plan
