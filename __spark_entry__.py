@@ -1002,6 +1002,54 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T134 fixture strings — module-level so the Spark query and the DuckDB
+# oracle are built from the SAME constants and cannot drift.  Three byte
+# forms of one logical string (composed / fully decomposed / mixed) plus a
+# Hangul-jamo string that composes to a different logical text.
+NFC_COMPOSED = "Caf\u00e9 d\u00e9j\u00e0 vu \u2116"
+NFC_DECOMPOSED = "Cafe\u0301 de\u0301ja\u0300 vu \u2116"
+NFC_MIXED = "Caf\u00e9 de\u0301ja\u0300 vu \u2116"
+NFC_JAMO = "\u1112\u1161\u11ab\u1100\u116d"
+
+
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T134: Unicode NFC canonicalization dedup (functions/normalize.py:
+    nfc_text) — byte-hash dedup misses "café" (U+00E9) vs "café"
+    (e + combining acute): same rendered text, different md5.  UAX #15 NFC
+    before hashing is the standard fix; Spark has no built-in normalizer,
+    so the kernel is an Arrow-batched pandas_udf over unicodedata, and the
+    oracle is DuckDB's utf8proc ``nfc_normalize`` — two independent
+    implementations of the normative algorithm hash-matching byte-for-byte.
+    Four raw shapes per doc_id%4 (composed / NFD / mixed / Hangul jamo);
+    the first three collapse to ONE canonical group per key (n_forms=3),
+    the jamo shape composes into its own group — so composition, reorder,
+    and Hangul LV/LVT arithmetic are all load-bearing in the match.
+    One narrow Arrow stage + one hash-agg exchange on the canonical form;
+    at 10^12 pages the shuffle carries canonical digests, not raw bytes."""
+    from pdf_drawing_ocr_recognition_spark.functions.normalize import nfc_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    k = F.concat(F.lit(" #"), (F.col("doc_id") % 25).cast("string"))
+    raw = (
+        F.when(m == 0, F.concat(F.lit(NFC_COMPOSED), k))
+        .when(m == 1, F.concat(F.lit(NFC_DECOMPOSED), k))
+        .when(m == 2, F.concat(F.lit(NFC_MIXED), k))
+        .otherwise(F.concat(F.lit(NFC_JAMO), k))
+    )
+    canon = docs.select(
+        "doc_id", raw.alias("raw_text")
+    ).withColumn("nfc_text", nfc_text("raw_text"))
+    return canon.groupBy("nfc_text").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("raw_text").cast("bigint").alias("n_forms"),
+        F.min("doc_id").alias("rep_doc_id"),
+        F.sum(F.when(F.col("raw_text") != F.col("nfc_text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+    )
+
+
 def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T132: redirect-chain resolution (operators/links.py:
     resolve_redirects) — collapse fetch-log redirects to final targets
@@ -4222,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_harvest": q_sitemap_harvest,
         "hreflang_clusters": q_hreflang_clusters,
         "registered_domains": q_registered_domains,
+        "unicode_nfc_dedup": q_unicode_nfc_dedup,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5255,6 +5304,29 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "unicode_nfc_dedup": f"""
+            WITH raw AS (
+                SELECT doc_id,
+                       CASE doc_id % 4
+                            WHEN 0 THEN '{NFC_COMPOSED}'
+                            WHEN 1 THEN '{NFC_DECOMPOSED}'
+                            WHEN 2 THEN '{NFC_MIXED}'
+                            ELSE '{NFC_JAMO}' END
+                       || ' #' || CAST(doc_id % 25 AS VARCHAR) AS raw_text
+                FROM documents
+            ), n AS (
+                SELECT doc_id, raw_text,
+                       nfc_normalize(raw_text) AS nfc_text
+                FROM raw
+            )
+            SELECT nfc_text,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT raw_text) AS BIGINT) AS n_forms,
+                   min(doc_id) AS rep_doc_id,
+                   CAST(sum(CASE WHEN raw_text <> nfc_text
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+            FROM n GROUP BY 1
         """,
         "registered_domains": """
             WITH hp AS (

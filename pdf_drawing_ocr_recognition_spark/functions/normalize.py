@@ -19,8 +19,12 @@ pdor/pdor_out.py renders values verbatim); this is corpus-pipeline scope.
 
 from __future__ import annotations
 
+import unicodedata
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # 1-to-1 typographic fold (translate: cheapest engine path, identical
 # semantics in DuckDB): curly quotes/primes → ascii quotes, the dash
@@ -73,3 +77,38 @@ def normalize_text_sql(expr: str, casefold: bool = False) -> str:
     out = f"regexp_replace({out}, '{_WS_RE}', ' ', 'g')"
     out = f"trim({out})"
     return f"lower({out})" if casefold else out
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC canonicalization (T134)
+# ---------------------------------------------------------------------------
+# Byte-level dedup misses the classic web duplicate pair "café" (U+00E9)
+# vs "café" (e + U+0301): same rendered text, different bytes, different
+# md5.  UAX #15 NFC is the canonical fix every corpus pipeline applies
+# before hashing.  Spark has no built-in normalizer, so this is an
+# Arrow-batched scalar pandas_udf over Python's unicodedata (the reference
+# UAX #15 implementation); DuckDB's utf8proc-backed ``nfc_normalize`` is
+# the cross-engine oracle twin — both implement the same normative
+# algorithm, so outputs are byte-identical (pinned by tests AND by the
+# ``unicode_nfc_dedup`` driver oracle).
+#
+# No reference analogue (the reference renders values verbatim,
+# pdor/pdor_out.py); corpus-pipeline scope, same contract as T53 above.
+
+
+def nfc_py(text: str) -> str:
+    """Pure-Python twin (the test oracle): UAX #15 canonical composition."""
+    return unicodedata.normalize("NFC", text)
+
+
+def _nfc_batch(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t)
+    )
+
+
+def nfc_text(col: Column | str) -> Column:
+    """Column form of :func:`nfc_py` (lazy pandas_udf — see T60 note on
+    import-time DDL parsing).  NULL in → NULL out, matching SQL engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_nfc_batch, "string")(c)

@@ -638,6 +638,27 @@ def main() -> int:
         "MapInPandas",
     )
 
+    # T134: one Arrow eval for the NFC kernel; the only exchange is the
+    # hash-agg on the canonical form (partial combine first)
+    grab(
+        "unicode_nfc_dedup",
+        em.q_unicode_nfc_dedup(spark, sf),
+        "ArrowEvalPython",
+        "partial_count",
+    )
+    nfc_plan = sections[-1][1]
+    # count(DISTINCT raw_text) plans as the standard two-phase distinct
+    # aggregate: (nfc,raw) partial -> exchange -> (nfc) final; both levels
+    # carry map-side partial combines, so the two exchanges move group
+    # rows, never documents.
+    checks.append(
+        (
+            "unicode_nfc_dedup",
+            "two-phase distinct agg (exactly 2 exchanges)",
+            nfc_plan.count("Exchange") == 2,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
