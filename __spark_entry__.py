@@ -1002,6 +1002,46 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T135: leakage-safe domain-level split (operators/sampling.py:
+    domain_split) — train/val/test assigned by md5 of the REGISTERED
+    domain (T133's PSL extraction), so every page of one registrant lands
+    in one split.  Doc-level hash splits (T16) leak near-duplicate
+    templates of one site across train and test; domain-level cuts are
+    the C4/FineWeb discipline.  Pure codegen after the broadcast PSL
+    ancestor joins — zero corpus shuffle before the final count;
+    suffix-only hosts (NULL pld, no registrant identity) fall back to
+    train by contract.  The oracle replays pld-per-rule AND the md5
+    nibble-bucket arithmetic, so the split assignment itself — not just
+    the counts — is what hash-matches."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        registered_domains,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import (
+        domain_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    lbl = F.concat(
+        F.col("source"), F.lit("-x"), (F.col("doc_id") % 40).cast("string")
+    )
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), lbl, F.lit(".co.uk")))
+        .when(m == 1, F.concat(lbl, F.lit(".com")))
+        .when(m == 2, F.concat(F.lit("a.b."), lbl, F.lit(".org")))
+        .when(m == 3, F.concat(F.lit("cdn."), lbl, F.lit(".github.io")))
+        .otherwise(F.lit("co.uk"))
+    )
+    psl = spark.createDataFrame([(s,) for s in PSL_SUBSET], ["suffix"])
+    hosts = docs.select("doc_id", "lang", host.alias("host"))
+    out = domain_split(registered_domains(hosts, "host", psl), "pld")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("pld").cast("bigint").alias("n_plds"),
+    )
+
+
 # T134 fixture strings — module-level so the Spark query and the DuckDB
 # oracle are built from the SAME constants and cannot drift.  Three byte
 # forms of one logical string (composed / fully decomposed / mixed) plus a
@@ -4271,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "registered_domains": q_registered_domains,
         "unicode_nfc_dedup": q_unicode_nfc_dedup,
+        "domain_split": q_domain_split,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5304,6 +5345,39 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "domain_split": """
+            WITH hp AS (
+                SELECT doc_id, lang,
+                       CASE doc_id % 5
+                            WHEN 0 THEN source || '-x'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '.co.uk'
+                            WHEN 1 THEN source || '-x'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '.com'
+                            WHEN 2 THEN source || '-x'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '.org'
+                            WHEN 3 THEN source || '-x'
+                                 || CAST(doc_id % 40 AS VARCHAR) || '.github.io'
+                            ELSE NULL END AS pld
+                FROM documents
+            ), b AS (
+                SELECT pld,
+                       ((strpos('0123456789abcdef',
+                                substr(md5(pld), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substr(md5(pld), 2, 1)) - 1)) % 10 AS bucket
+                FROM hp
+            ), s AS (
+                SELECT pld,
+                       CASE WHEN pld IS NULL THEN 'train'
+                            WHEN bucket < 1 THEN 'test'
+                            WHEN bucket < 2 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM b
+            )
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT pld) AS BIGINT) AS n_plds
+            FROM s GROUP BY 1
         """,
         "unicode_nfc_dedup": f"""
             WITH raw AS (

@@ -197,3 +197,40 @@ def weighted_quota_sample(
         .filter(F.col("_r") <= n_per_stratum)
         .drop("_p", "_r")
     )
+
+
+def domain_split(
+    df: DataFrame,
+    pld_col: str,
+    val_buckets: int = 1,
+    test_buckets: int = 1,
+    n_buckets: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every document of one
+    registered domain (*pld_col*, from ``registered_domains``) lands in the
+    SAME split — md5 of the domain, first two hex nibbles, bucket %
+    *n_buckets*.  Doc-level hash splits (T16) leak: near-duplicate pages of
+    one site straddle train and test, so held-out loss is contaminated by
+    template memorization.  Domain-level assignment is how public corpora
+    (C4, FineWeb ablations) actually cut eval sets.
+
+    Pure codegen projection — no shuffle, no Python; deterministic across
+    reruns, engines and cluster sizes (the same leakage-free contract as
+    T16, lifted from doc keys to registrant keys).  NULL plds (hosts that
+    ARE a public suffix) fall back to bucket 'train' — they carry no
+    registrant identity to leak.
+    """
+    if not 0 < val_buckets + test_buckets < n_buckets:
+        raise ValueError("val+test buckets must leave room for train")
+    h = F.md5(F.encode(F.col(pld_col), "utf-8"))
+    hexd = "0123456789abcdef"
+    nib1 = F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1
+    nib2 = F.position(F.substring(h, 2, 1), F.lit(hexd)) - 1
+    bucket = (nib1 * 16 + nib2) % n_buckets
+    split = F.when(F.col(pld_col).isNull(), F.lit("train")).otherwise(
+        F.when(bucket < test_buckets, F.lit("test"))
+        .when(bucket < test_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, split)

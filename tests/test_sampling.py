@@ -80,3 +80,85 @@ class TestPlan:
         final_at = plan.find("Final")
         assert -1 < final_at < exch_at  # top-down print: Final above Exchange
         assert plan.find("Partial") > exch_at  # Partial below (map side)
+
+
+# ---------------------------------------------------------------------------
+# T135 — leakage-safe domain-level split (domain_split)
+# ---------------------------------------------------------------------------
+
+
+def _pld_rows():
+    # 60 docs over 12 registered domains, 5 pages each, plus 4 NULL-pld rows
+    rows = []
+    for d in range(12):
+        for p in range(5):
+            rows.append((d * 5 + p, f"site{d}.co.uk"))
+    rows += [(100 + i, None) for i in range(4)]
+    return rows
+
+
+def test_domain_split_is_pld_disjoint(spark):
+    """The whole point: no registered domain straddles two splits."""
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import domain_split
+
+    df = spark.createDataFrame(_pld_rows(), "doc_id long, pld string")
+    out = domain_split(df, "pld")
+    per_pld = (
+        out.filter(F.col("pld").isNotNull())
+        .groupBy("pld")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert per_pld and all(r["k"] == 1 for r in per_pld)
+
+
+def test_domain_split_null_pld_goes_to_train(spark):
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import domain_split
+
+    df = spark.createDataFrame(_pld_rows(), "doc_id long, pld string")
+    nulls = domain_split(df, "pld").filter(F.col("pld").isNull()).collect()
+    assert len(nulls) == 4 and all(r["split"] == "train" for r in nulls)
+
+
+def test_domain_split_deterministic_under_repartition(spark):
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import domain_split
+
+    df = spark.createDataFrame(_pld_rows(), "doc_id long, pld string")
+    a = {(r["doc_id"], r["split"]) for r in domain_split(df, "pld").collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in domain_split(df.repartition(7), "pld").collect()
+    }
+    assert a == b
+
+
+def test_domain_split_fixes_doc_level_leakage(spark):
+    """Contrast with the T16 doc-hash split: hashing doc keys scatters one
+    site's near-duplicate pages across splits (leakage); hashing the pld
+    keeps them together.  Uses enough pages that doc-hash scatter is
+    structurally certain (P[all 40 in one split] ~ 0.8^40)."""
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import domain_split
+
+    df = spark.createDataFrame(
+        [(i, "onesite.com") for i in range(40)], "doc_id long, pld string"
+    )
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    hexd = "0123456789abcdef"
+    bucket = (
+        (F.position(F.substring(h, 1, 1), F.lit(hexd)) - 1) * 16
+        + F.position(F.substring(h, 2, 1), F.lit(hexd))
+        - 1
+    ) % 10
+    doc_split = F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train")
+    n_doc = df.select(doc_split.alias("s")).distinct().count()
+    n_dom = domain_split(df, "pld").select("split").distinct().count()
+    assert n_doc > 1  # doc-level split leaks the site across splits
+    assert n_dom == 1  # domain-level split keeps the registrant together
+
+
+def test_domain_split_rejects_degenerate_buckets(spark):
+    from pdf_drawing_ocr_recognition_spark.operators.sampling import domain_split
+
+    df = spark.createDataFrame([(1, "a.com")], "doc_id long, pld string")
+    with pytest.raises(ValueError):
+        domain_split(df, "pld", val_buckets=5, test_buckets=5)

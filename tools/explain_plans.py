@@ -659,6 +659,25 @@ def main() -> int:
         )
     )
 
+    # T135: PSL ancestor joins stay broadcast (no corpus-side shuffle);
+    # the only hash exchanges are the two-phase distinct agg at the end
+    grab("domain_split", em.q_domain_split(spark, sf), "BroadcastHashJoin")
+    ds_plan = sections[-1][1]
+    checks.append(
+        (
+            "domain_split",
+            "corpus shuffles only in the final distinct agg",
+            ds_plan.count("Exchange hashpartitioning(split") == 2,
+        )
+    )
+    checks.append(
+        (
+            "domain_split",
+            "no sort-merge join for the PSL dim",
+            "SortMergeJoin" not in ds_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
