@@ -1002,6 +1002,39 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T136: asymmetric containment pairs (operators/dedup.py:
+    containment_pairs) — Broder containment |S(A)∩S(B)|/|S(A)| over word
+    3-shingle sets catches the doc-in-doc duplicates Jaccard scores near
+    zero (a short article quoted whole inside a long aggregator page).
+    T3's one-shuffle discipline: capped per-shingle doc lists, in-array
+    pair expansion, broadcast size dims.  The synthetic corpus builds
+    token-stream windows in groups of four — one 60-token page and three
+    12-token excerpts fully inside it — so true containments are exactly
+    10^6 ppm BY CONSTRUCTION while excerpt-excerpt overlaps stay below
+    threshold; the oracle replays shingling, the cap, and both ppm
+    directions."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 4
+    base = F.floor(did / 4) * 100
+    start = base + F.when(m == 0, F.lit(0)).otherwise(m * 10)
+    length = F.when(m == 0, F.lit(60)).otherwise(F.lit(12))
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(start, start + length - 1),
+            lambda j: F.concat(F.lit("w"), j.cast("string")),
+        ),
+    )
+    synth = docs.select("doc_id", text.alias("text"))
+    return containment_pairs(synth, min_containment_ppm=600000)
+
+
 def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T135: leakage-safe domain-level split (operators/sampling.py:
     domain_split) — train/val/test assigned by md5 of the REGISTERED
@@ -4312,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_domains": q_registered_domains,
         "unicode_nfc_dedup": q_unicode_nfc_dedup,
         "domain_split": q_domain_split,
+        "containment_pairs": q_containment_pairs,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5345,6 +5379,39 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "containment_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       (doc_id // 4) * 100
+                       + CASE WHEN doc_id % 4 = 0 THEN 0
+                              ELSE (doc_id % 4) * 10 END AS s,
+                       CASE WHEN doc_id % 4 = 0 THEN 60 ELSE 12 END AS len
+                FROM documents
+            ), sh AS (
+                -- shingle 'w<j> w<j+1> w<j+2>' <-> start index j (bijective),
+                -- so the shingle SET replays as an integer range
+                SELECT doc_id, unnest(generate_series(s, s + len - 3)) AS j
+                FROM d
+            ), sz AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+                FROM sh GROUP BY 1
+            ), co AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM sh a JOIN sh b ON a.j = b.j AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_common, sa.c AS n_a, sb.c AS n_b,
+                   CAST(floor(1000000.0 * n_common / sa.c) AS BIGINT)
+                       AS cont_ab_ppm,
+                   CAST(floor(1000000.0 * n_common / sb.c) AS BIGINT)
+                       AS cont_ba_ppm
+            FROM co
+            JOIN sz sa ON sa.doc_id = co.doc_a
+            JOIN sz sb ON sb.doc_id = co.doc_b
+            WHERE greatest(floor(1000000.0 * n_common / sa.c),
+                           floor(1000000.0 * n_common / sb.c)) >= 600000
         """,
         "domain_split": """
             WITH hp AS (

@@ -1098,3 +1098,93 @@ def simhash_wide(
         )
         out = term if out is None else out + term
     return counters.select(key_col, out.alias("simhash"))
+
+
+def containment_pairs(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment_ppm: int = 500000,
+    max_docs_per_shingle: int = 50,
+) -> DataFrame:
+    """Asymmetric containment detection (Broder, SEQUENCES 1997):
+    c(A,B) = |S(A) ∩ S(B)| / |S(A)| over word k-shingle SETS.  Jaccard
+    misses the doc-in-doc case — a short article quoted whole inside a long
+    aggregator page scores near zero symmetric similarity but containment
+    1.0; corpus dedup wants to drop the engulfed copy, not keep both.
+
+    Same one-shuffle discipline as T3/T122: distinct (doc, shingle) set →
+    per-shingle doc lists capped at ``max_docs_per_shingle`` (a shingle in
+    hundreds of docs is boilerplate vocabulary, and uncapped fan-out is
+    quadratic) → unordered pairs expanded IN-ARRAY → one pair-count agg.
+    Sizes join back as a broadcast dim.  Exact integer arithmetic:
+    ``floor(10^6·co/|S(A)|)`` per direction; a pair survives when EITHER
+    direction clears ``min_containment_ppm``.
+
+    Returns (doc_a, doc_b, n_common, n_a, n_b, cont_ab_ppm, cont_ba_ppm)
+    with doc_a < doc_b; cont_ab is "A's shingles found in B".
+    """
+    sh = docs.select(
+        F.col(key_col).alias("_k"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    ).distinct()
+    sizes = sh.groupBy("_k").agg(F.count(F.lit(1)).cast("bigint").alias("_sz"))
+    buckets = sh.groupBy("_sh").agg(
+        F.sort_array(F.collect_set("_k")).alias("ks")
+    )
+    pairs = (
+        buckets.filter(F.size("ks").between(2, max_docs_per_shingle))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ks"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ks"),
+                                i + 2,
+                                F.greatest(
+                                    F.size(F.col("ks")) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                sizes.select(F.col("_k").alias("doc_a"), F.col("_sz").alias("n_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("_k").alias("doc_b"), F.col("_sz").alias("n_b"))
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "cont_ab_ppm",
+            F.floor(F.lit(1000000.0) * F.col("n_common") / F.col("n_a")),
+        )
+        .withColumn(
+            "cont_ba_ppm",
+            F.floor(F.lit(1000000.0) * F.col("n_common") / F.col("n_b")),
+        )
+        .filter(
+            F.greatest("cont_ab_ppm", "cont_ba_ppm") >= min_containment_ppm
+        )
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "cont_ab_ppm", "cont_ba_ppm",
+    )

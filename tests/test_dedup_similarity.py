@@ -1295,3 +1295,72 @@ class TestSimhashWide:
         assert [(p["key_a"], p["key_b"], p["hamming"]) for p in pairs] == [
             (1, 2, 0)
         ]
+
+
+# ---------------------------------------------------------------------------
+# T136 — asymmetric containment pairs (operators/dedup.py:containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+class TestContainmentPairs:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_engulfed_quote_is_full_containment(self, spark):
+        """A 6-word excerpt quoted verbatim inside a 40-word page: containment
+        of the excerpt is exactly 10^6 ppm even though symmetric Jaccard is
+        tiny (4 shared shingles / 38+4-4)."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        page = " ".join(f"t{i}" for i in range(40))
+        quote = " ".join(f"t{i}" for i in range(10, 16))
+        out = containment_pairs(
+            self._mk(spark, [(1, page), (2, quote)]), min_containment_ppm=900000
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["n_common"] == 4 and r["n_b"] == 4 and r["n_a"] == 38
+        assert r["cont_ba_ppm"] == 1000000  # quote fully inside page
+        assert r["cont_ab_ppm"] == 105263  # page barely inside quote
+        # and the symmetric jaccard would have missed it:
+        assert r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"]) < 0.2
+
+    def test_disjoint_docs_produce_no_pairs(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        rows = [(1, "a b c d e f"), (2, "x y z w v u")]
+        assert containment_pairs(self._mk(spark, rows)).count() == 0
+
+    def test_boilerplate_shingle_cap(self, spark):
+        """A shingle shared by more docs than the cap creates no pairs —
+        the quadratic-fan-out guard."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        rows = [(i, f"u{i} click here now v{i}") for i in range(8)]
+        df = self._mk(spark, rows)
+        assert containment_pairs(df, max_docs_per_shingle=4).count() == 0
+        # same corpus, cap lifted: all 28 unordered pairs appear
+        lifted = containment_pairs(
+            df, max_docs_per_shingle=50, min_containment_ppm=1
+        )
+        assert lifted.count() == 28
+
+    def test_threshold_filters_weak_overlap(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        # 12-word docs sharing a 4-word run: 2 shared shingles / 10 = 20%
+        a = " ".join(f"a{i}" for i in range(8)) + " s0 s1 s2 s3"
+        b = "s0 s1 s2 s3 " + " ".join(f"b{i}" for i in range(8))
+        df = self._mk(spark, [(1, a), (2, b)])
+        assert containment_pairs(df, min_containment_ppm=500000).count() == 0
+        weak = containment_pairs(df, min_containment_ppm=100000).collect()
+        assert len(weak) == 1 and weak[0]["cont_ab_ppm"] == 200000

@@ -678,6 +678,23 @@ def main() -> int:
         )
     )
 
+    # T136: pair expansion is in-array (no shingle-table self-join);
+    # size dims come back as broadcasts
+    grab(
+        "containment_pairs",
+        em.q_containment_pairs(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    cp_plan = sections[-1][1]
+    checks.append(
+        (
+            "containment_pairs",
+            "no sort-merge self-join",
+            "SortMergeJoin" not in cp_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
