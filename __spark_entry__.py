@@ -1002,6 +1002,25 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T137: shard export manifest (operators/packing.py:shard_manifest) —
+    the integrity record a data loader checks before training: per-shard
+    doc count, char volume, key range, and an ORDER-INSENSITIVE bit_xor
+    fingerprint of per-doc 60-bit digests, so a re-export or a
+    cross-datacenter copy verifies without sorting the shard.  One
+    map-side-combinable aggregate; the shuffle carries one row per shard.
+    The oracle replays the md5→hex→bigint digest and DuckDB's own bit_xor
+    — two engines computing the same multiset fingerprint independently."""
+    from pdf_drawing_ocr_recognition_spark.operators.packing import (
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    return shard_manifest(docs)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T136: asymmetric containment pairs (operators/dedup.py:
     containment_pairs) — Broder containment |S(A)∩S(B)|/|S(A)| over word
@@ -4346,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_dedup": q_unicode_nfc_dedup,
         "domain_split": q_domain_split,
         "containment_pairs": q_containment_pairs,
+        "shard_manifest": q_shard_manifest,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5379,6 +5399,24 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "shard_manifest": """
+            WITH d AS (
+                SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+                       length(coalesce(text, '')) AS len,
+                       CAST('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || ':'
+                               || md5(coalesce(text, ''))),
+                           1, 15) AS BIGINT) AS fp
+                FROM documents
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len) AS BIGINT) AS n_chars,
+                   min(doc_id) AS min_key,
+                   max(doc_id) AS max_key,
+                   bit_xor(fp) AS content_fp
+            FROM d GROUP BY 1
         """,
         "containment_pairs": """
             WITH d AS (

@@ -174,3 +174,61 @@ def rendezvous_shards(
     return cand.groupBy(id_col).agg(
         F.substring(F.max("_wk"), 35, 4).cast("int").alias(shard_col)
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard integrity manifest for an exported training corpus: doc
+    count, char volume, key range, and an ORDER-INSENSITIVE content
+    fingerprint — ``bit_xor`` of per-doc 60-bit digests
+    (md5(key ‖ ':' ‖ md5(content)) → first 15 hex → bigint).  Two exports
+    of a shard match the manifest iff they hold the same (key, content)
+    rows, regardless of row order, file count or partitioning — the check
+    a data loader or a cross-datacenter copy runs BEFORE training, without
+    sorting a terabyte shard.
+
+    XOR is associative/commutative → one map-side-combinable hash
+    aggregate; the shuffle carries one row per shard.  Caveats (documented
+    contract): an EVEN number of identical duplicate rows XOR-cancels, so
+    the fingerprint is read together with n_docs — any duplication that
+    cancels in the xor still shifts the count; NULL content digests as the
+    empty string (engines disagree on NULL propagation through string
+    concat, so the manifest pins one deterministic answer).
+
+    Returns (shard, n_docs, n_chars, min_key, max_key, content_fp).
+    """
+    content = F.coalesce(F.col(text_col), F.lit(""))
+    doc_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        ":",
+                        F.col(key_col).cast("string"),
+                        F.md5(F.encode(content, "utf-8")),
+                    ),
+                    "utf-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(F.col(shard_col).alias("shard"), F.col(key_col).alias("_k"),
+                  F.length(content).alias("_len"), doc_fp.alias("_fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_len").cast("bigint").alias("n_chars"),
+            F.min("_k").alias("min_key"),
+            F.max("_k").alias("max_key"),
+            F.bit_xor("_fp").alias("content_fp"),
+        )
+    )

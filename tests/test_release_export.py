@@ -124,3 +124,67 @@ class TestRendezvousShards:
 
         with pytest.raises(ValueError):
             rendezvous_shards(docs, "doc_id", 0)
+
+
+class TestShardManifest:
+    """T137 — order-insensitive per-shard integrity manifests."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, shard int")
+
+    BASE = [(1, "alpha", 0), (2, "beta", 0), (3, "gamma", 1), (4, "delta", 1)]
+
+    def test_manifest_invariant_under_order_and_partitioning(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            shard_manifest,
+        )
+
+        a = shard_manifest(self._docs(spark, self.BASE)).collect()
+        shuffled = self._docs(spark, list(reversed(self.BASE))).repartition(5)
+        b = shard_manifest(shuffled).collect()
+        key = lambda r: r["shard"]
+        assert sorted(map(tuple, a), key=lambda t: t[0]) == sorted(
+            map(tuple, b), key=lambda t: t[0]
+        )
+
+    def test_manifest_detects_single_char_mutation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            shard_manifest,
+        )
+
+        good = {r["shard"]: r["content_fp"]
+                for r in shard_manifest(self._docs(spark, self.BASE)).collect()}
+        mutated = [(1, "alphA", 0)] + self.BASE[1:]
+        bad = {r["shard"]: r["content_fp"]
+               for r in shard_manifest(self._docs(spark, mutated)).collect()}
+        assert good[0] != bad[0]  # touched shard flags
+        assert good[1] == bad[1]  # untouched shard does not
+
+    def test_manifest_detects_moved_doc_and_xor_cancel_caveat(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            shard_manifest,
+        )
+
+        moved = [(1, "alpha", 1)] + self.BASE[1:]
+        good = {r["shard"]: (r["n_docs"], r["content_fp"])
+                for r in shard_manifest(self._docs(spark, self.BASE)).collect()}
+        bad = {r["shard"]: (r["n_docs"], r["content_fp"])
+               for r in shard_manifest(self._docs(spark, moved)).collect()}
+        assert good != bad
+        # documented caveat: an even number of identical rows xor-cancels,
+        # but n_docs still shifts — the manifest reads both together
+        doubled = self.BASE + [self.BASE[0], self.BASE[0]]
+        dd = {r["shard"]: (r["n_docs"], r["content_fp"])
+              for r in shard_manifest(self._docs(spark, doubled)).collect()}
+        assert dd[0][1] == good[0][1] and dd[0][0] == good[0][0] + 2
+
+    def test_manifest_null_text_digests_as_empty(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.packing import (
+            shard_manifest,
+        )
+
+        with_null = [(1, None, 0)]
+        with_empty = [(1, "", 0)]
+        a = shard_manifest(self._docs(spark, with_null)).collect()[0]
+        b = shard_manifest(self._docs(spark, with_empty)).collect()[0]
+        assert a["content_fp"] == b["content_fp"] and a["n_chars"] == 0

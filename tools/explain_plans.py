@@ -695,6 +695,22 @@ def main() -> int:
         )
     )
 
+    # T137: one map-side-combinable agg, one exchange carrying shard rows
+    grab(
+        "shard_manifest",
+        em.q_shard_manifest(spark, sf),
+        "partial_count",
+        "partial_bit_xor",
+    )
+    sm_plan = sections[-1][1]
+    checks.append(
+        (
+            "shard_manifest",
+            "single shard-keyed exchange",
+            sm_plan.count("Exchange hashpartitioning") == 1,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
