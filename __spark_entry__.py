@@ -1002,6 +1002,23 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T138: Kneser–Ney continuation counts (operators/lm.py:
+    kn_continuation) — N1+(·w) distinct-left-context counts and
+    P_cont(w) as exact floor-ppm, the proper backoff leaf the LM stack
+    (T94 Stupid Backoff, T121 Good–Turing) was missing and a
+    vocabulary-versatility signal for curation ("francisco" is frequent
+    but follows only "san").  Bigrams via codegen lead() windows, ONE
+    distinct over bigram types, word-keyed counts — exchanges carry types,
+    never tokens.  Filtered to words seen ≥5 times so the result is the
+    head of the distribution; the oracle replays tokenization, the
+    distinct, and the ppm division."""
+    from pdf_drawing_ocr_recognition_spark.operators.lm import kn_continuation
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_continuation(docs).filter(F.col("n_tokens") >= 5)
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T137: shard export manifest (operators/packing.py:shard_manifest) —
     the integrity record a data loader checks before training: per-shard
@@ -4366,6 +4383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         "containment_pairs": q_containment_pairs,
         "shard_manifest": q_shard_manifest,
+        "kn_continuation": q_kn_continuation,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5399,6 +5417,40 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "kn_continuation": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w,
+                       generate_subscripts(
+                           string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+            ), big AS (
+                SELECT DISTINCT a.w AS l, b.w AS r
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM big
+            ), nl AS (
+                SELECT r AS w, CAST(count(*) AS BIGINT) AS n_left
+                FROM big GROUP BY 1
+            ), nr AS (
+                SELECT l AS w, CAST(count(*) AS BIGINT) AS n_right
+                FROM big GROUP BY 1
+            ), raw AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY 1
+            )
+            SELECT raw.w, raw.n_tokens,
+                   coalesce(nl.n_left, 0) AS n_left,
+                   coalesce(nr.n_right, 0) AS n_right,
+                   CAST(floor(1000000.0 * coalesce(nl.n_left, 0) / nn.n)
+                        AS BIGINT) AS pcont_ppm
+            FROM raw
+            LEFT JOIN nl ON nl.w = raw.w
+            LEFT JOIN nr ON nr.w = raw.w
+            CROSS JOIN nn
+            WHERE raw.n_tokens >= 5
         """,
         "shard_manifest": """
             WITH d AS (

@@ -137,3 +137,66 @@ def stupid_backoff_scores(
             ),
         )
     )
+
+
+def kn_continuation(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Kneser–Ney continuation statistics (Kneser & Ney, ICASSP 1995; Chen &
+    Goodman 1999 §2.7): per word w, ``n_left`` = N1+(·w) — the number of
+    DISTINCT left contexts preceding w — and the continuation probability
+    P_cont(w) = N1+(·w) / N1+(··) as exact floor-ppm.  The KN insight raw
+    frequency misses: "francisco" is frequent but follows only "san", so
+    its continuation mass — how likely it starts NEW material — is tiny;
+    count-based unigram backoff (T94's leaf) overweights exactly such
+    words.  Corpus curation reads P_cont as a vocabulary-versatility /
+    templated-text signal; the LM stack reads it as the proper backoff
+    leaf.  Also emits ``n_right`` = N1+(w·) (the numerator of the KN
+    higher-order discount) and the raw token count for contrast.
+
+    Scale shape: doc-ordered bigrams via codegen lead() windows (window
+    sort bounded by doc length, the T71 discipline), ONE distinct over
+    bigram TYPES, then two word-keyed counts — every exchange carries
+    types, never the token stream.  N1+(··) is a broadcast scalar.
+    """
+    toks = docs.select(
+        key_col,
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(key_col).orderBy("pos")
+    big = (
+        toks.select(
+            F.col("w").alias("l"), F.lead("w", 1).over(w_ord).alias("r")
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    types = big.distinct()
+    n_bigram_types = types.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nn")
+    )
+    n_left = types.groupBy(F.col("r").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left")
+    )
+    n_right = types.groupBy(F.col("l").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    raw = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    out = (
+        raw.join(n_left, "w", "left")
+        .join(n_right, "w", "left")
+        .crossJoin(F.broadcast(n_bigram_types))
+        .select(
+            "w",
+            "n_tokens",
+            F.coalesce("n_left", F.lit(0)).alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).alias("n_right"),
+            F.floor(
+                F.lit(1000000.0) * F.coalesce("n_left", F.lit(0)) / F.col("_nn")
+            ).alias("pcont_ppm"),
+        )
+    )
+    return out

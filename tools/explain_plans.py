@@ -711,6 +711,15 @@ def main() -> int:
         )
     )
 
+    # T138: the bigram-type scalar comes back as a broadcast nested loop
+    # (1-row dim), word counts are map-side combined
+    grab(
+        "kn_continuation",
+        em.q_kn_continuation(spark, sf),
+        "partial_count",
+        "BroadcastNestedLoopJoin",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
