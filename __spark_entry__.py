@@ -1002,6 +1002,41 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cocitation_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T139: co-citation link-farm detection (operators/links.py:
+    cocitation_pairs) — hosts sharing their in-linking sources belong to
+    one backlink ring; content-blind, so it catches farms that rewrite
+    text past every content dedup (complements T114 TrustRank, T119 URL
+    farms, T122 mirrors).  Capped per-source out-link lists, in-array pair
+    expansion, broadcast in-degree dims — the T3 one-shuffle shape.  The
+    synthetic graph wires 9 sources to ALL 5 farm hosts (pairwise jaccard
+    1.0 by construction) while each of 17 normal hosts draws from only TWO
+    sources ({k%9, (k+3)%9}) — farm-farm pairs pass, farm-noise pairs sit
+    at 2/9 ≈ 222k ppm below threshold, and the rare noise pair with an
+    identical 2-source set (k, k+9) passes, exercising the cut both ways;
+    the oracle replays the distinct-edge self-join, so the cap, the pair
+    counts and the exact ppm all hash-match."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        cocitation_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 10
+    k = did % 17
+    src = F.when(m < 5, F.concat(F.lit("s"), (did % 9).cast("string"))).otherwise(
+        F.concat(
+            F.lit("s"),
+            F.when(did % 2 == 0, k % 9).otherwise((k + 3) % 9).cast("string"),
+        )
+    )
+    dst = F.when(
+        m < 5, F.concat(F.lit("farm"), (did % 5).cast("string"))
+    ).otherwise(F.concat(F.lit("n"), k.cast("string")))
+    edges = docs.select(src.alias("src_host"), dst.alias("dst_host"))
+    return cocitation_pairs(edges, min_jaccard_ppm=400000)
+
+
 def q_kn_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T138: Kneser–Ney continuation counts (operators/lm.py:
     kn_continuation) — N1+(·w) distinct-left-context counts and
@@ -4384,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "shard_manifest": q_shard_manifest,
         "kn_continuation": q_kn_continuation,
+        "cocitation_farms": q_cocitation_farms,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5417,6 +5453,44 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "cocitation_farms": """
+            WITH e AS (
+                SELECT DISTINCT
+                       CASE WHEN doc_id % 10 < 5
+                            THEN 's' || CAST(doc_id % 9 AS VARCHAR)
+                            WHEN doc_id % 2 = 0
+                            THEN 's' || CAST(doc_id % 17 % 9 AS VARCHAR)
+                            ELSE 's' || CAST((doc_id % 17 + 3) % 9 AS VARCHAR)
+                       END AS s,
+                       CASE WHEN doc_id % 10 < 5
+                            THEN 'farm' || CAST(doc_id % 5 AS VARCHAR)
+                            ELSE 'n' || CAST(doc_id % 17 AS VARCHAR)
+                       END AS d
+                FROM documents
+            ), indeg AS (
+                SELECT d, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1
+            ), fan AS (
+                SELECT s FROM e GROUP BY s
+                HAVING count(*) BETWEEN 2 AND 200
+            ), co AS (
+                SELECT a.d AS host_a, b.d AS host_b,
+                       CAST(count(*) AS BIGINT) AS n_cociting
+                FROM e a
+                JOIN e b ON a.s = b.s AND a.d < b.d
+                JOIN fan ON fan.s = a.s
+                GROUP BY 1, 2
+            )
+            SELECT host_a, host_b, n_cociting,
+                   ia.n AS n_in_a, ib.n AS n_in_b,
+                   CAST(floor(1000000.0 * n_cociting
+                              / (ia.n + ib.n - n_cociting)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM co
+            JOIN indeg ia ON ia.d = co.host_a
+            JOIN indeg ib ON ib.d = co.host_b
+            WHERE floor(1000000.0 * n_cociting
+                        / (ia.n + ib.n - n_cociting)) >= 400000
         """,
         "kn_continuation": """
             WITH toks AS (

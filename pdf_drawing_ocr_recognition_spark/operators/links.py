@@ -317,3 +317,85 @@ def resolve_redirects(
             (~F.coalesce(F.col("_still"), F.lit(False))).alias("resolved"),
         )
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    min_jaccard_ppm: int = 500000,
+    max_fanout: int = 200,
+) -> DataFrame:
+    """Co-citation similarity between link targets (Small 1973, applied to
+    the web graph by Dean & Henzinger, WWW 1999): two hosts are related —
+    or, in curation, two SPAM hosts belong to one farm — when the same
+    sources link to both.  Jaccard over DISTINCT in-linking host sets,
+    exact integer ppm.  Content-blind by design: a farm that rewrites its
+    text past every content dedup still shares its backlink ring, so this
+    catches what T122 mirrors / T119 URL farms cannot.
+
+    Scale shape (the T3/T122 discipline): distinct (src, dst) edges → per-
+    SOURCE out-link lists capped at ``max_fanout`` (a directory page
+    linking thousands of hosts asserts no pairwise affinity and would
+    fan out quadratically) → unordered target pairs IN-ARRAY → one
+    pair-count agg; in-degree sizes join back as broadcast dims.
+
+    Returns (host_a, host_b, n_cociting, n_in_a, n_in_b, jaccard_ppm).
+    """
+    e = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    ).distinct()
+    indeg = e.groupBy("_d").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    lists = e.groupBy("_s").agg(F.sort_array(F.collect_set("_d")).alias("ds"))
+    pairs = (
+        lists.filter(F.size("ds").between(2, max_fanout))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ds"),
+                                i + 2,
+                                F.greatest(
+                                    F.size(F.col("ds")) - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("host_a"), y.alias("host_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.host_a", "p.host_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cociting"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                indeg.select(F.col("_d").alias("host_a"), F.col("_n").alias("n_in_a"))
+            ),
+            "host_a",
+        )
+        .join(
+            F.broadcast(
+                indeg.select(F.col("_d").alias("host_b"), F.col("_n").alias("n_in_b"))
+            ),
+            "host_b",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("n_cociting")
+                / (F.col("n_in_a") + F.col("n_in_b") - F.col("n_cociting"))
+            ),
+        )
+        .filter(F.col("jaccard_ppm") >= min_jaccard_ppm)
+    )
+    return out.select(
+        "host_a", "host_b", "n_cociting", "n_in_a", "n_in_b", "jaccard_ppm"
+    )

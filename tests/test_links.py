@@ -337,3 +337,63 @@ class TestResolveRedirects:
         df = spark.createDataFrame([("a", "b")], ["src_url", "dst_url"])
         with pytest.raises(ValueError):
             resolve_redirects(df, max_hops=0)
+
+
+class TestCocitationPairs:
+    """T139 — co-citation link-farm detection (cocitation_pairs)."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+    def test_backlink_ring_detected_content_blind(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            cocitation_pairs,
+        )
+
+        rows = [(f"s{j}", f"farm{f}") for j in range(4) for f in range(3)]
+        rows += [("s0", "legit"), ("x9", "legit")]
+        out = cocitation_pairs(self._edges(spark, rows)).collect()
+        got = {(r["host_a"], r["host_b"]): r for r in out}
+        assert set(got) == {
+            ("farm0", "farm1"), ("farm0", "farm2"), ("farm1", "farm2")
+        }
+        r = got[("farm0", "farm1")]
+        assert r["n_cociting"] == 4 and r["jaccard_ppm"] == 1000000
+
+    def test_partial_overlap_below_threshold(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            cocitation_pairs,
+        )
+
+        # a: {s0,s1,s2}; b: {s2,s3,s4} -> jaccard 1/5 = 200000 ppm
+        rows = [("s0", "a"), ("s1", "a"), ("s2", "a"),
+                ("s2", "b"), ("s3", "b"), ("s4", "b")]
+        df = self._edges(spark, rows)
+        assert cocitation_pairs(df, min_jaccard_ppm=500000).count() == 0
+        weak = cocitation_pairs(df, min_jaccard_ppm=100000).collect()
+        assert len(weak) == 1 and weak[0]["jaccard_ppm"] == 200000
+
+    def test_directory_page_fanout_cap(self, spark):
+        """A hub linking more hosts than the cap asserts no pairwise
+        affinity — the quadratic-fan-out guard."""
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            cocitation_pairs,
+        )
+
+        rows = [("hub", f"t{i}") for i in range(30)]
+        assert cocitation_pairs(
+            self._edges(spark, rows), max_fanout=20
+        ).count() == 0
+        assert cocitation_pairs(
+            self._edges(spark, rows), max_fanout=50, min_jaccard_ppm=1
+        ).count() == 30 * 29 // 2
+
+    def test_duplicate_edges_counted_once(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            cocitation_pairs,
+        )
+
+        rows = [("s0", "a"), ("s0", "a"), ("s0", "b"), ("s0", "b")]
+        out = cocitation_pairs(self._edges(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0]["n_cociting"] == 1 and out[0]["n_in_a"] == 1

@@ -720,6 +720,22 @@ def main() -> int:
         "BroadcastNestedLoopJoin",
     )
 
+    # T139: in-array pair expansion (no edge-table self-join); in-degree
+    # dims broadcast
+    grab(
+        "cocitation_farms",
+        em.q_cocitation_farms(spark, sf),
+        "BroadcastHashJoin",
+    )
+    cc_plan = sections[-1][1]
+    checks.append(
+        (
+            "cocitation_farms",
+            "no sort-merge self-join",
+            "SortMergeJoin" not in cc_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
