@@ -1002,6 +1002,66 @@ def q_registered_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T140 fixed merge list (inference is what's under test — training is
+# oracled by bpe_pair_counts and pinned by the kernel-identity pytest).
+# Both the Spark query and the DuckDB replay are built from THIS constant.
+BPE_ENCODE_MERGES = [
+    ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
+    ("w", "</w>"), ("n", "e"), ("ne", "w"), ("new", "est</w>"),
+    ("w", "i"), ("wi", "d"), ("e", "r"), ("er", "</w>"),
+]
+BPE_ENCODE_WORDS = ["lowest", "newest", "widest", "lower", "low", "wilder"]
+
+
+def _bpe_encode_sql_expr(merges=None) -> str:
+    """DuckDB replay of kernel.bpe.encode_word for a fixed merge list, one
+    replace() per merge in training order.  Symbols are joined by a DOUBLE
+    separator ('~~'); each pattern '~a~~b~' consumes ONE '~' from each
+    side and the replacement '~ab~' restores them — so the double-
+    separator invariant holds after every merge AND consecutive pattern
+    occurrences (runs like 'aaaa'+(a,a), alternations like 'abab'+(a,b))
+    chain exactly like apply_merge's leftmost-nonoverlapping symbol scan,
+    where a single-separator scheme desynchronizes because left-to-right
+    replace() cannot reuse a consumed boundary.  Single separators would
+    also be boundary-unsafe for multi-char symbols; the double form keeps
+    every match anchored to true symbol edges."""
+    expr = "'~~' || regexp_replace(word, '(.)', '\\1~~', 'g') || '</w>~~'"
+    for a, b in merges if merges is not None else BPE_ENCODE_MERGES:
+        expr = f"replace({expr}, '~{a}~~{b}~', '~{a}{b}~')"
+    return expr
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T140: BPE tokenizer INFERENCE (operators/bpe.py:encode_words) —
+    closes the T90 loop: T90 trains the merge list, this applies one.
+    Words encode once on the distinct word dim (one Arrow batch of the
+    same kernel function the pure twin uses), never per occurrence;
+    corpus counts join back as a broadcast.  The oracle replays
+    encode_word's training-order, leftmost-nonoverlapping merge scans as
+    a chain of separator-guarded replace() calls built from the SAME
+    constant — so merge order, non-overlap semantics, and the terminal
+    </w> handling all hash-match, not just token counts."""
+    from pdf_drawing_ocr_recognition_spark.operators.bpe import encode_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % len(BPE_ENCODE_WORDS)
+    word = F.when(m == 0, BPE_ENCODE_WORDS[0])
+    for i, w in enumerate(BPE_ENCODE_WORDS[1:-1], start=1):
+        word = word.when(m == i, w)
+    word = word.otherwise(BPE_ENCODE_WORDS[-1])
+    words = docs.select(word.alias("word"))
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    enc = encode_words(words, BPE_ENCODE_MERGES)
+    return enc.join(F.broadcast(counts), "word").select(
+        "word",
+        F.concat_ws("|", "tokens").alias("token_str"),
+        "n_pieces",
+        "n_docs",
+    )
+
+
 def q_cocitation_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T139: co-citation link-farm detection (operators/links.py:
     cocitation_pairs) — hosts sharing their in-linking sources belong to
@@ -4420,6 +4480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "kn_continuation": q_kn_continuation,
         "cocitation_farms": q_cocitation_farms,
+        "bpe_encode": q_bpe_encode,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5453,6 +5514,30 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "bpe_encode": f"""
+            WITH w AS (
+                SELECT CASE doc_id % 6
+                            WHEN 0 THEN 'lowest'
+                            WHEN 1 THEN 'newest'
+                            WHEN 2 THEN 'widest'
+                            WHEN 3 THEN 'lower'
+                            WHEN 4 THEN 'low'
+                            ELSE 'wilder' END AS word
+                FROM documents
+            ), c AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS n_docs
+                FROM w GROUP BY 1
+            ), e AS (
+                SELECT word, {_bpe_encode_sql_expr()} AS s
+                FROM (SELECT DISTINCT word FROM w)
+            )
+            SELECT e.word,
+                   replace(trim(s, '~'), '~~', '|') AS token_str,
+                   CAST((length(s) - length(replace(s, '~', ''))) // 2 - 1
+                        AS BIGINT) AS n_pieces,
+                   c.n_docs
+            FROM e JOIN c USING (word)
         """,
         "cocitation_farms": """
             WITH e AS (

@@ -88,3 +88,79 @@ def test_spark_trainer_validation(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with pytest.raises(ValueError):
         train_bpe_distributed(word_frequencies(docs), -2)
+
+
+class TestBpeEncodeOracleTwin:
+    """T140 — the separator-guarded chained-replace replay used by the
+    bpe_encode oracle is semantically identical to kernel encode_word."""
+
+    def _duck_encode(self, word, merges):
+        import duckdb
+        import sys
+
+        sys.path.insert(0, ".")
+        from __spark_entry__ import _bpe_encode_sql_expr
+
+        expr = _bpe_encode_sql_expr(merges)
+        [(s,)] = duckdb.sql(
+            f"SELECT {expr} FROM (SELECT '{word}' AS word)"
+        ).fetchall()
+        return s.strip("~").split("~~")
+
+    def test_leftmost_nonoverlapping_runs(self):
+        """'aaaa'+(a,a): symbol-aware scan pairs (aa)(aa); the replace
+        replay must not re-match across a fresh boundary."""
+        from pdf_drawing_ocr_recognition_spark.kernel.bpe import encode_word
+
+        for word in ["aaa", "aaaa", "aaaaa", "ababa", "aabaa"]:
+            for merges in [
+                [("a", "a")],
+                [("a", "a"), ("aa", "aa")],
+                [("a", "b"), ("ab", "a")],
+            ]:
+                assert self._duck_encode(word, merges) == encode_word(
+                    word, merges
+                ), (word, merges)
+
+    def test_boundary_cannot_match_across_symbols(self):
+        """After (w,i)->wi, a later (i,d) must NOT fire inside 'wid'-adjacent
+        sequences: 'wid' = [wi, d] has no (i, d) pair."""
+        from pdf_drawing_ocr_recognition_spark.kernel.bpe import encode_word
+
+        merges = [("w", "i"), ("i", "d")]
+        assert encode_word("wid", merges) == ["wi", "d", "</w>"]
+        assert self._duck_encode("wid", merges) == ["wi", "d", "</w>"]
+
+    def test_driver_fixture_words(self):
+        import sys
+
+        sys.path.insert(0, ".")
+        from __spark_entry__ import BPE_ENCODE_MERGES, BPE_ENCODE_WORDS
+        from pdf_drawing_ocr_recognition_spark.kernel.bpe import encode_word
+
+        for w in BPE_ENCODE_WORDS:
+            assert self._duck_encode(w, BPE_ENCODE_MERGES) == encode_word(
+                w, BPE_ENCODE_MERGES
+            )
+
+    def test_fuzz_replay_equals_kernel(self):
+        """Property pin: random words × random merge lists — the SQL replay
+        and the kernel tokenizer agree everywhere, not just on fixtures."""
+        import itertools
+        import random
+
+        from pdf_drawing_ocr_recognition_spark.kernel.bpe import encode_word
+
+        rng = random.Random(42)
+        alpha = "abc"
+        sym_pool = ["a", "b", "c", "ab", "bc", "aa", "abc", "</w>"]
+        for trial in range(60):
+            word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+            merges = []
+            for _ in range(rng.randint(1, 5)):
+                a = rng.choice(sym_pool[:-1])
+                b = rng.choice(sym_pool)
+                merges.append((a, b))
+            assert self._duck_encode(word, merges) == encode_word(
+                word, merges
+            ), (word, merges)

@@ -736,6 +736,15 @@ def main() -> int:
         )
     )
 
+    # T140: encoding runs once on the distinct word DIM (MapInPandas after
+    # a distinct), counts join back as a broadcast — never per-occurrence
+    grab(
+        "bpe_encode",
+        em.q_bpe_encode(spark, sf),
+        "MapInPandas",
+        "BroadcastHashJoin",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
