@@ -1062,6 +1062,131 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T143: host language-mixture Gini (operators/filtering.py:
+    language_mixture) — the MT-farm signal: a host serving one template in
+    14 languages is machine translation, not 14 communities.  Gini
+    impurity of the per-host language histogram as exact floor-ppm (pure
+    integer arithmetic inside one double expression — engine-identical).
+    Half the synthetic hosts are single-language by construction (gini
+    exactly 0), half pool the corpus's real lang column (gini > 0), so
+    the cut separates BY DESIGN.  Two stacked map-combinable aggs; the
+    shuffle carries (host, lang) rows, never documents."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        language_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.when(
+        did % 2 == 0, F.concat(F.lit("pure-"), F.col("lang"))
+    ).otherwise(F.concat(F.lit("mixed-"), (did % 7).cast("string")))
+    rows = docs.select(host.alias("host"), "lang")
+    return language_mixture(rows, "host")
+
+
+def q_pii_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T142: PII-density compliance rollup by registered domain — the
+    per-registrant exposure report a release audit (GDPR/DSA takedown
+    routing) actually files: which DOMAINS contribute the PII, not which
+    rows.  Composition contract: T32's codegen regex counters over
+    deterministically salted text (one email per doc_id%3==0, one long
+    number per doc_id%4==0 — so densities VARY by doc and the rollup
+    arithmetic is load-bearing) × T133's PSL extraction, rolled up per pld
+    with an exact floor-ppm density per kchar.  Broadcast PSL joins, one
+    map-side-combined agg; the suffix-only NULL-pld bucket is reported,
+    not dropped (unattributable PII is a finding, not noise)."""
+    from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+        registered_domains,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m5 = did % 5
+    host = (
+        F.when(m5 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".co.uk")))
+        .when(m5 == 1, F.concat(F.col("source"), F.lit(".com")))
+        .when(m5 == 2, F.concat(F.lit("a.b."), F.col("source"), F.lit(".org")))
+        .when(m5 == 3, F.concat(F.lit("cdn."), F.col("source"), F.lit(".github.io")))
+        .otherwise(F.lit("co.uk"))
+    )
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" ref "), (did % 10000 + 1000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    num_re = r"[0-9]{7,}"
+    rows = docs.select(host.alias("host"), salted.alias("t"))
+    psl = spark.createDataFrame([(s,) for s in PSL_SUBSET], ["suffix"])
+    with_pld = registered_domains(rows, "host", psl)
+    return (
+        with_pld.select(
+            "pld",
+            F.length("t").alias("_n"),
+            F.regexp_count(F.col("t"), F.lit(email_re)).cast("long").alias("_e"),
+            F.regexp_count(F.col("t"), F.lit(num_re)).cast("long").alias("_d"),
+        )
+        .groupBy("pld")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_e").cast("bigint").alias("n_emails"),
+            F.sum("_d").cast("bigint").alias("n_numbers"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.sum("_e") + F.sum("_d"))
+                / F.sum("_n")
+            ).alias("pii_density_ppm"),
+        )
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T141: tokenizer fertility audit — pieces-per-word and chars-per-piece
+    by language for a FIXED merge list over the REAL corpus text; the
+    pre-training sanity check that a tokenizer isn't shattering some
+    language into characters (fertility spikes are how vocab gaps show
+    up).  Composition contract (the T93 discipline): T140's encode dim —
+    built ONCE over the distinct corpus vocabulary, joined back broadcast
+    — feeds a per-language rollup; the oracle replays the whole chain
+    (tokenization → chained-replace encode → join → rollup), so the stage
+    boundary arithmetic is what hash-matches.  Exchanges: token counts are
+    map-side combined; the encode dim is vocabulary-bounded."""
+    from pdf_drawing_ocr_recognition_spark.operators.bpe import encode_words
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dim = encode_words(toks.select("word"), BPE_ENCODE_MERGES)
+    return (
+        toks.join(F.broadcast(dim.select("word", "n_pieces")), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces_total"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces_total",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_pieces_total") / F.col("n_words")
+            ).alias("fertility_ppm"),
+        )
+    )
+
+
 def q_cocitation_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T139: co-citation link-farm detection (operators/links.py:
     cocitation_pairs) — hosts sharing their in-linking sources belong to
@@ -4481,6 +4606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_continuation": q_kn_continuation,
         "cocitation_farms": q_cocitation_farms,
         "bpe_encode": q_bpe_encode,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "pii_by_domain": q_pii_by_domain,
+        "host_lang_mixture": q_host_lang_mixture,
         "redirect_chains": q_redirect_chains,
         "charset_sniff": q_charset_sniff,
         "simhash_wide": q_simhash_wide,
@@ -5514,6 +5642,83 @@ def oracle_sql() -> dict[str, str]:
                        AS n_paras_dropped
             FROM flagged
             GROUP BY doc_id
+        """,
+        "host_lang_mixture": """
+            WITH h AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'pure-' || lang
+                            ELSE 'mixed-' || CAST(doc_id % 7 AS VARCHAR)
+                       END AS host,
+                       lang
+                FROM documents
+            ), pl AS (
+                SELECT host, lang, CAST(count(*) AS BIGINT) AS c
+                FROM h GROUP BY 1, 2
+            )
+            SELECT host,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(floor(1000000.0
+                              * (sum(c) * sum(c) - sum(c * c))
+                              / (sum(c) * sum(c))) AS BIGINT)
+                       AS lang_gini_ppm
+            FROM pl GROUP BY 1
+        """,
+        "pii_by_domain": """
+            WITH s AS (
+                SELECT CASE doc_id % 5
+                            WHEN 0 THEN source || '.co.uk'
+                            WHEN 1 THEN source || '.com'
+                            WHEN 2 THEN source || '.org'
+                            WHEN 3 THEN source || '.github.io'
+                            ELSE NULL END AS pld,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' ref '
+                                    || CAST(doc_id % 10000 + 1000000 AS VARCHAR)
+                               ELSE '' END AS t
+                FROM documents
+            ), c AS (
+                SELECT pld, length(t) AS n,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS e,
+                       len(regexp_extract_all(t, '[0-9]{7,}')) AS d
+                FROM s
+            )
+            SELECT pld,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(e) AS BIGINT) AS n_emails,
+                   CAST(sum(d) AS BIGINT) AS n_numbers,
+                   CAST(floor(1000000.0 * (sum(e) + sum(d)) / sum(n))
+                        AS BIGINT) AS pii_density_ppm
+            FROM c GROUP BY 1
+        """,
+        "tokenizer_fertility": f"""
+            WITH toks AS (
+                SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), dim AS (
+                SELECT word, s FROM (
+                    SELECT word, {_bpe_encode_sql_expr()} AS s
+                    FROM (SELECT DISTINCT word FROM toks)
+                )
+            ), np AS (
+                SELECT word,
+                       (length(s) - length(replace(s, '~', ''))) // 2 - 1
+                           AS n_pieces
+                FROM dim
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_pieces) AS BIGINT) AS n_pieces_total,
+                   CAST(floor(1000000.0 * sum(n_pieces) / count(*))
+                        AS BIGINT) AS fertility_ppm
+            FROM toks JOIN np USING (word)
+            GROUP BY 1
         """,
         "bpe_encode": f"""
             WITH w AS (

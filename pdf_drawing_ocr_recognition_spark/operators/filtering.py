@@ -214,3 +214,34 @@ def registered_domains(
     out = cur.withColumn(pld_col, pld)
     drop = ["__host_lc", "__n_labels", "__psl_m"] + [h for _, h in depth_hits]
     return out.drop(*drop)
+
+
+def language_mixture(
+    df: DataFrame,
+    host_col: str,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host language-mixture audit: Gini impurity of the host's
+    language distribution as exact floor-ppm — the machine-translation-
+    farm signal (a site serving the same templates in 14 languages is MT
+    boilerplate, not 14 communities; CCNet/FineWeb curation downweights
+    such hosts).  Gini = 1 − Σ(n_l/n)² computed as integer arithmetic
+    inside one double expression — n ≤ 10⁸ per host keeps n²·10⁶ < 2⁵³,
+    so the ppm is exact and engine-identical.
+
+    Two stacked map-side-combinable aggregates: (host, lang) counts, then
+    the host rollup — exchanges carry language rows per host (≤ |langs|),
+    never documents.  Returns (host, n_docs, n_langs, lang_gini_ppm).
+    """
+    per_lang = df.groupBy(
+        F.col(host_col).alias("host"), F.col(lang_col).alias("_l")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    return per_lang.groupBy("host").agg(
+        F.sum("_c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.sum("_c") * F.sum("_c") - F.sum(F.col("_c") * F.col("_c")))
+            / (F.sum("_c") * F.sum("_c"))
+        ).alias("lang_gini_ppm"),
+    )

@@ -164,3 +164,33 @@ class TestBpeEncodeOracleTwin:
             assert self._duck_encode(word, merges) == encode_word(
                 word, merges
             ), (word, merges)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    """T141 — per-language fertility rollup over the encode dim: exact
+    piece counts on a corpus small enough to verify by hand."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from __spark_entry__ import BPE_ENCODE_MERGES
+    from pdf_drawing_ocr_recognition_spark.operators.bpe import encode_words
+
+    rows = [("en", "low lowest"), ("en", "low"), ("de", "wilder")]
+    docs = spark.createDataFrame(rows, "lang string, text string")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    dim = encode_words(toks.select("word"), BPE_ENCODE_MERGES)
+    out = {
+        r["lang"]: r
+        for r in toks.join(dim.select("word", "n_pieces"), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces_total"),
+        )
+        .collect()
+    }
+    # low -> [low, </w>] = 2; lowest -> [low, est</w>] = 2; wilder -> 4
+    assert out["en"]["n_words"] == 3 and out["en"]["n_pieces_total"] == 6
+    assert out["de"]["n_words"] == 1 and out["de"]["n_pieces_total"] == 4

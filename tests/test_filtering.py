@@ -231,3 +231,47 @@ class TestRegisteredDomains:
         # own distinct)
         assert plan.count("BroadcastHashJoin") >= 6
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestLanguageMixture:
+    """T143 — per-host language-mixture Gini (language_mixture)."""
+
+    def test_pure_host_gini_zero_and_mt_farm_high(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            language_mixture,
+        )
+
+        rows = [("pure", "en")] * 6
+        rows += [("farm", l) for l in ["en", "de", "fr", "it", "nl", "pt"]]
+        df = spark.createDataFrame(rows, "host string, lang string")
+        out = {r["host"]: r for r in language_mixture(df, "host").collect()}
+        assert out["pure"]["lang_gini_ppm"] == 0
+        assert out["pure"]["n_langs"] == 1
+        # 6 langs x 1 doc: gini = 1 - 6*(1/36) = 5/6
+        assert out["farm"]["lang_gini_ppm"] == 833333
+        assert out["farm"]["n_langs"] == 6
+
+    def test_hand_computed_skewed_mixture(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            language_mixture,
+        )
+
+        # 3 en + 1 de: gini = 1 - (9+1)/16 = 6/16 = 0.375
+        rows = [("h", "en")] * 3 + [("h", "de")]
+        df = spark.createDataFrame(rows, "host string, lang string")
+        [r] = language_mixture(df, "host").collect()
+        assert r["n_docs"] == 4 and r["n_langs"] == 2
+        assert r["lang_gini_ppm"] == 375000
+
+    def test_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.filtering import (
+            language_mixture,
+        )
+
+        rows = [(f"h{i % 5}", f"l{(i * 3) % 4}") for i in range(60)]
+        df = spark.createDataFrame(rows, "host string, lang string")
+        a = sorted(map(tuple, language_mixture(df, "host").collect()))
+        b = sorted(
+            map(tuple, language_mixture(df.repartition(11), "host").collect())
+        )
+        assert a == b

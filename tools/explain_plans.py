@@ -745,6 +745,37 @@ def main() -> int:
         "BroadcastHashJoin",
     )
 
+    # T141: encode dim is MapInPandas over a distinct; corpus join broadcast
+    grab(
+        "tokenizer_fertility",
+        em.q_tokenizer_fertility(spark, sf),
+        "MapInPandas",
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    # T142: regex counters stay codegen; PSL joins broadcast; one rollup
+    grab(
+        "pii_by_domain",
+        em.q_pii_by_domain(spark, sf),
+        "BroadcastHashJoin",
+        "partial_count",
+    )
+    # T143: two stacked map-combinable aggs, shuffle carries (host,lang)
+    grab(
+        "host_lang_mixture",
+        em.q_host_lang_mixture(spark, sf),
+        "partial_count",
+        "partial_sum",
+    )
+    hl_plan = sections[-1][1]
+    checks.append(
+        (
+            "host_lang_mixture",
+            "no per-row Python",
+            "ArrowEvalPython" not in hl_plan and "BatchEvalPython" not in hl_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
