@@ -71,6 +71,15 @@ BENCH_QUERIES = [
     "host_mirrors",
     "recrawl_tiers",
     "sitemap_harvest",
+    # round 4 (cont. 5): unicode / split / containment / tokenizer audits
+    "unicode_nfc_dedup",
+    "domain_split",
+    "containment_pairs",
+    "shard_manifest",
+    "kn_continuation",
+    "cocitation_farms",
+    "tokenizer_fertility",
+    "host_lang_mixture",
 ]
 
 
