@@ -1187,6 +1187,71 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_first_seen_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T146: first-published provenance (operators/dedup.py:
+    first_seen_attribution) — per duplicated content digest, WHO published
+    first (earliest fetch ts, doc_id tiebreak) and how widely it spread:
+    the scraper-demotion signal (CC's WARC-Date makes this real at 10^12
+    pages).  One min_by/count hash agg keyed by digest, no window.  The
+    synthetic fetch log dedups on each document's 3-word LEDE (scrapers
+    copy ledes; the tiny vocabulary guarantees cross-host collisions at
+    every scale), hosts and timestamps derived
+    from doc_id with only 16 distinct ts values (DELIBERATE collisions) so
+    the deterministic doc_id tiebreak — not just the min — is load-bearing in the
+    hash match."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        first_seen_attribution,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lede = F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 3))
+    fetches = docs.select(
+        "doc_id",
+        lede.alias("text"),
+        F.concat(F.lit("h"), (did % 13).cast("string")).alias("host"),
+        (F.lit(1700000000) + (did * 37) % 16).cast("bigint").alias("fetch_ts"),
+    )
+    return first_seen_attribution(fetches)
+
+
+DEDUP_SWEEP_THRESHOLDS = [200000, 400000, 600000, 800000, 950000]
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T145: near-dedup operating curve — for each candidate threshold,
+    how many LSH-confirmed pairs pass and how many documents get flagged:
+    the table you read BEFORE committing the single most consequential
+    knob in corpus dedup (too low: deletes legitimate reposts; too high:
+    ships near-duplicates into training).  Reuses T112's candidate-scored
+    pairs (true shingle-set Jaccard as exact ppm over T3's banded
+    candidates — never all-pairs), theta-joined against a 5-row broadcast
+    thresholds dim; both rollups map-side-combined.  The oracle composes
+    the T112 oracle as a CTE — the sweep and its input share one source
+    of truth."""
+    scored = q_minhash_calibration(spark, sf_dir).select(
+        "doc_a", "doc_b", "true_ppm"
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_THRESHOLDS], "threshold_ppm long"
+    )
+    passing = scored.join(
+        F.broadcast(thr), F.col("true_ppm") >= F.col("threshold_ppm")
+    )
+    n_pairs = passing.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    flagged = (
+        passing.select(
+            "threshold_ppm",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_flagged"))
+    )
+    return n_pairs.join(flagged, "threshold_ppm")
+
+
 def q_cocitation_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T139: co-citation link-farm detection (operators/links.py:
     cocitation_pairs) — hosts sharing their in-linking sources belong to
@@ -4605,6 +4670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "kn_continuation": q_kn_continuation,
         "cocitation_farms": q_cocitation_farms,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "first_seen_attribution": q_first_seen_attribution,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5743,6 +5810,35 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "first_seen_attribution": """
+            WITH f AS (
+                SELECT md5(array_to_string(
+                           string_split(lower(text), ' ')[1:3], ' '))
+                           AS digest,
+                       'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+                       CAST(1700000000 + (doc_id * 37) % 16 AS BIGINT) AS ts,
+                       doc_id
+                FROM documents
+            ), ranked AS (
+                SELECT digest, host, ts,
+                       row_number() OVER (PARTITION BY digest
+                                          ORDER BY ts, doc_id) AS rn
+                FROM f
+            ), firsts AS (
+                SELECT digest, host AS first_host, ts AS first_ts
+                FROM ranked WHERE rn = 1
+            ), sizes AS (
+                SELECT digest,
+                       CAST(count(*) AS BIGINT) AS n_copies,
+                       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                       CAST(min(ts) AS BIGINT) AS mn
+                FROM f GROUP BY 1
+            )
+            SELECT s.digest, fi.first_host, s.mn AS first_ts,
+                   s.n_copies, s.n_hosts
+            FROM sizes s JOIN firsts fi USING (digest)
+            WHERE s.n_copies >= 2
         """,
         "cocitation_farms": """
             WITH e AS (
@@ -8473,6 +8569,29 @@ def oracle_sql() -> dict[str, str]:
     """.replace("{{shingle5}}", shingle5).replace(
         "{{window_mins}}", window_mins
     ).replace("{{band_keys}}", band_keys)
+    # T145: dedup operating curve — composed from the T112 oracle so the
+    # sweep and its scored-pair input share one source of truth.
+    d["dedup_threshold_sweep"] = f"""
+        WITH scored_all AS ({d["minhash_calibration"]}),
+        thr AS (
+            SELECT CAST(unnest([{", ".join(map(str, DEDUP_SWEEP_THRESHOLDS))}])
+                        AS BIGINT) AS threshold_ppm
+        ), passing AS (
+            SELECT t.threshold_ppm, s.doc_a, s.doc_b
+            FROM scored_all s JOIN thr t ON s.true_ppm >= t.threshold_ppm
+        ), np AS (
+            SELECT threshold_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM passing GROUP BY 1
+        ), nd AS (
+            SELECT threshold_ppm,
+                   CAST(count(DISTINCT d) AS BIGINT) AS n_docs_flagged
+            FROM (SELECT threshold_ppm, unnest([doc_a, doc_b]) AS d
+                  FROM passing)
+            GROUP BY 1
+        )
+        SELECT np.threshold_ppm, np.n_pairs, nd.n_docs_flagged
+        FROM np JOIN nd USING (threshold_ppm)
+    """
     # T111: recall@10 of the IVF ANN against the brute-force ground truth —
     # composed from the two oracles above so the evaluation and its inputs
     # share one source of truth.

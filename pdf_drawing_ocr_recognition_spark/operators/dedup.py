@@ -1188,3 +1188,46 @@ def containment_pairs(
         "doc_a", "doc_b", "n_common", "n_a", "n_b",
         "cont_ab_ppm", "cont_ba_ppm",
     )
+
+
+def first_seen_attribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    key_col: str = "doc_id",
+    min_copies: int = 2,
+) -> DataFrame:
+    """Copy-direction attribution for exact duplicates: per duplicated
+    content digest, WHO published first (earliest fetch timestamp, key as
+    the deterministic tiebreak) and how widely it spread.  The provenance
+    signal behind scraper-site demotion: a host that is systematically
+    NOT-first for content it serves is an aggregator/scraper, and corpus
+    curation wants the originator's copy (stable boilerplate, canonical
+    URL), not the scraper's.  Complements T45's quality-based exemplar
+    rule with a time-based one — use this where timestamps exist (CC
+    provides WARC-Date), T45 where they don't.
+
+    One hash aggregation keyed by content digest — min_by/count/distinct
+    partials are all map-side-combinable; no window, no self-join.  Only
+    digests with ≥ ``min_copies`` occurrences survive (unique content
+    carries no provenance information).
+
+    Returns (digest, first_host, first_ts, n_copies, n_hosts).
+    """
+    d = docs.select(
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("digest"),
+        F.col(host_col).alias("_h"),
+        F.col(ts_col).alias("_t"),
+        F.col(key_col).alias("_k"),
+    )
+    return (
+        d.groupBy("digest")
+        .agg(
+            F.min_by("_h", F.struct("_t", "_k")).alias("first_host"),
+            F.min("_t").alias("first_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("_h").cast("bigint").alias("n_hosts"),
+        )
+        .filter(F.col("n_copies") >= min_copies)
+    )

@@ -1364,3 +1364,82 @@ class TestContainmentPairs:
         assert containment_pairs(df, min_containment_ppm=500000).count() == 0
         weak = containment_pairs(df, min_containment_ppm=100000).collect()
         assert len(weak) == 1 and weak[0]["cont_ab_ppm"] == 200000
+
+
+class TestFirstSeenAttribution:
+    """T146 — first-published provenance (first_seen_attribution)."""
+
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, host string, fetch_ts long"
+        )
+
+    def test_earliest_host_wins_and_spread_counted(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            first_seen_attribution,
+        )
+
+        rows = [
+            (1, "the article", "origin.com", 100),
+            (2, "the article", "scraper-a.com", 200),
+            (3, "the article", "scraper-b.com", 300),
+            (4, "unique piece", "solo.com", 50),
+        ]
+        out = first_seen_attribution(self._mk(spark, rows)).collect()
+        assert len(out) == 1  # unique content carries no provenance
+        r = out[0]
+        assert r["first_host"] == "origin.com" and r["first_ts"] == 100
+        assert r["n_copies"] == 3 and r["n_hosts"] == 3
+
+    def test_ts_tie_breaks_on_key_deterministically(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            first_seen_attribution,
+        )
+
+        rows = [
+            (7, "same", "late-key.com", 100),
+            (3, "same", "early-key.com", 100),
+        ]
+        [r] = first_seen_attribution(self._mk(spark, rows)).collect()
+        assert r["first_host"] == "early-key.com"
+
+    def test_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+            first_seen_attribution,
+        )
+
+        rows = [
+            (i, f"t{i % 6}", f"h{i % 4}", 1000 + (i * 13) % 8)
+            for i in range(48)
+        ]
+        df = self._mk(spark, rows)
+        a = sorted(map(tuple, first_seen_attribution(df).collect()))
+        b = sorted(
+            map(tuple, first_seen_attribution(df.repartition(7)).collect())
+        )
+        assert a == b
+
+
+def test_dedup_threshold_sweep_is_monotone(spark):
+    """T145 — the operating curve must be non-increasing in the threshold
+    (structural property of a sweep over one scored pair set)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as em
+
+    rows = {
+        r["threshold_ppm"]: r
+        for r in em.q_dedup_threshold_sweep(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    ts = sorted(rows)
+    assert ts, "sweep empty at sf0.001"
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+        assert rows[lo]["n_docs_flagged"] >= rows[hi]["n_docs_flagged"]
+    for t in ts:
+        # flagged docs can never exceed 2 per pair nor be fewer than
+        # the docs of one pair
+        assert 2 <= rows[t]["n_docs_flagged"] <= 2 * rows[t]["n_pairs"]

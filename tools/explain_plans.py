@@ -776,6 +776,29 @@ def main() -> int:
         )
     )
 
+    # T145: thresholds dim joins as a broadcast nested loop (theta join on
+    # a 5-row dim), rollups map-side combined
+    grab(
+        "dedup_threshold_sweep",
+        em.q_dedup_threshold_sweep(spark, sf),
+        "BroadcastNestedLoopJoin",
+        "partial_count",
+    )
+    # T146: one digest-keyed agg with min_by partials, no window/self-join
+    grab(
+        "first_seen_attribution",
+        em.q_first_seen_attribution(spark, sf),
+        "partial_min_by",
+    )
+    fs_plan = sections[-1][1]
+    checks.append(
+        (
+            "first_seen_attribution",
+            "no window",
+            "WindowExec" not in fs_plan and "RunningWindow" not in fs_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
