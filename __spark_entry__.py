@@ -1187,6 +1187,76 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T148: HITS hub/authority (operators/links.py:hits_scores) — the
+    mutual-reinforcement pair PageRank doesn't give: aggregators score as
+    hubs, canonical sources as authorities (originality prior vs
+    boilerplate-aggregator prior for curation).  Exact-integer variant:
+    every half-step L∞-normalizes by floor(x·10⁶ DIV max) — integer sums,
+    fixed division order, so the oracle's chained-CTE replay of two full
+    iterations hash-matches BIT-FOR-BIT (no float tolerance anywhere).
+    The synthetic graph wires two hubs onto disjoint authority sets plus
+    a noise chain, so hub/authority separation is structural."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import hits_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 10
+    src = (
+        F.when(m < 5, F.concat(F.lit("hub"), (did % 2).cast("string")))
+        .when(m.isin(5, 6, 7), F.concat(F.lit("n"), (did % 11).cast("string")))
+        .otherwise(F.concat(F.lit("hub"), (did % 2).cast("string")))
+    )
+    dst = (
+        F.when(m < 5, F.concat(F.lit("auth"), (did % 5).cast("string")))
+        .when(
+            m.isin(5, 6, 7),
+            F.concat(F.lit("n"), (did % 11 + 1).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("n"), (did % 11).cast("string")))
+    )
+    edges = docs.select(src.alias("src_host"), dst.alias("dst_host"))
+    return hits_scores(edges, n_iters=2)
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T147: link-exchange detection (operators/links.py:link_reciprocity)
+    — fraction of a host's out-neighbors that link back, exact ppm; the
+    direct-trade twin of T139's shared-backlink signal.  One left-semi
+    join of the distinct edge set against its own reversal (composite-key
+    equi-join, co-partitioned, no fan-out) + two map-combined counts.
+    The synthetic graph builds a 4-host exchange ring (reciprocity exactly
+    10⁶ ppm via ±1 alternating edges), a 7-host one-way chain (exactly 0),
+    and a partial hub (exactly 500000) — all three regimes load-bearing
+    in the hash match."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        link_reciprocity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 10
+    k4 = did % 4
+    step = F.when(did % 2 == 0, F.lit(1)).otherwise(F.lit(3))
+    src = (
+        F.when(m < 4, F.concat(F.lit("x"), k4.cast("string")))
+        .when(m.isin(4, 5, 6), F.concat(F.lit("c"), (did % 6).cast("string")))
+        .when(m.isin(7, 8), F.lit("p0"))
+        .otherwise(F.lit("p1"))
+    )
+    dst = (
+        F.when(m < 4, F.concat(F.lit("x"), ((k4 + step) % 4).cast("string")))
+        .when(
+            m.isin(4, 5, 6),
+            F.concat(F.lit("c"), (did % 6 + 1).cast("string")),
+        )
+        .when(m.isin(7, 8), F.concat(F.lit("p"), (did % 2 + 1).cast("string")))
+        .otherwise(F.lit("p0"))
+    )
+    edges = docs.select(src.alias("src_host"), dst.alias("dst_host"))
+    return link_reciprocity(edges)
+
+
 def q_first_seen_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T146: first-published provenance (operators/dedup.py:
     first_seen_attribution) — per duplicated content digest, WHO published
@@ -4672,6 +4742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_farms": q_cocitation_farms,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "first_seen_attribution": q_first_seen_attribution,
+        "link_reciprocity": q_link_reciprocity,
+        "hits_scores": q_hits_scores,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5810,6 +5882,108 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "hits_scores": """
+            WITH raw AS (
+                SELECT CASE WHEN doc_id % 10 < 5 OR doc_id % 10 >= 8
+                            THEN 'hub' || CAST(doc_id % 2 AS VARCHAR)
+                            ELSE 'n' || CAST(doc_id % 11 AS VARCHAR)
+                       END AS s,
+                       CASE WHEN doc_id % 10 < 5
+                            THEN 'auth' || CAST(doc_id % 5 AS VARCHAR)
+                            WHEN doc_id % 10 IN (5, 6, 7)
+                            THEN 'n' || CAST(doc_id % 11 + 1 AS VARCHAR)
+                            ELSE 'n' || CAST(doc_id % 11 AS VARCHAR)
+                       END AS d
+                FROM documents
+            ), e AS (
+                SELECT DISTINCT s, d FROM raw WHERE s <> d
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+            ), h0 AS (
+                SELECT node, CAST(1000000 AS BIGINT) AS x FROM nodes
+            ), a1r AS (
+                SELECT n.node, coalesce(sum(h.x), 0) AS x
+                FROM nodes n
+                LEFT JOIN e ON e.d = n.node
+                LEFT JOIN h0 h ON h.node = e.s
+                GROUP BY 1
+            ), a1 AS (
+                SELECT node, CASE WHEN (SELECT max(x) FROM a1r) > 0
+                    THEN (x * 1000000) // (SELECT max(x) FROM a1r)
+                    ELSE 0 END AS x FROM a1r
+            ), h1r AS (
+                SELECT n.node, coalesce(sum(a.x), 0) AS x
+                FROM nodes n
+                LEFT JOIN e ON e.s = n.node
+                LEFT JOIN a1 a ON a.node = e.d
+                GROUP BY 1
+            ), h1 AS (
+                SELECT node, CASE WHEN (SELECT max(x) FROM h1r) > 0
+                    THEN (x * 1000000) // (SELECT max(x) FROM h1r)
+                    ELSE 0 END AS x FROM h1r
+            ), a2r AS (
+                SELECT n.node, coalesce(sum(h.x), 0) AS x
+                FROM nodes n
+                LEFT JOIN e ON e.d = n.node
+                LEFT JOIN h1 h ON h.node = e.s
+                GROUP BY 1
+            ), a2 AS (
+                SELECT node, CASE WHEN (SELECT max(x) FROM a2r) > 0
+                    THEN (x * 1000000) // (SELECT max(x) FROM a2r)
+                    ELSE 0 END AS x FROM a2r
+            ), h2r AS (
+                SELECT n.node, coalesce(sum(a.x), 0) AS x
+                FROM nodes n
+                LEFT JOIN e ON e.s = n.node
+                LEFT JOIN a2 a ON a.node = e.d
+                GROUP BY 1
+            ), h2 AS (
+                SELECT node, CASE WHEN (SELECT max(x) FROM h2r) > 0
+                    THEN (x * 1000000) // (SELECT max(x) FROM h2r)
+                    ELSE 0 END AS x FROM h2r
+            )
+            SELECT a2.node AS host,
+                   CAST(a2.x AS BIGINT) AS authority_ppm,
+                   CAST(h2.x AS BIGINT) AS hub_ppm
+            FROM a2 JOIN h2 USING (node)
+        """,
+        "link_reciprocity": """
+            WITH raw AS (
+                SELECT CASE
+                         WHEN doc_id % 10 < 4
+                         THEN 'x' || CAST(doc_id % 4 AS VARCHAR)
+                         WHEN doc_id % 10 IN (4, 5, 6)
+                         THEN 'c' || CAST(doc_id % 6 AS VARCHAR)
+                         WHEN doc_id % 10 IN (7, 8) THEN 'p0'
+                         ELSE 'p1' END AS s,
+                       CASE
+                         WHEN doc_id % 10 < 4
+                         THEN 'x' || CAST((doc_id % 4
+                              + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)
+                              % 4 AS VARCHAR)
+                         WHEN doc_id % 10 IN (4, 5, 6)
+                         THEN 'c' || CAST(doc_id % 6 + 1 AS VARCHAR)
+                         WHEN doc_id % 10 IN (7, 8)
+                         THEN 'p' || CAST(doc_id % 2 + 1 AS VARCHAR)
+                         ELSE 'p0' END AS d
+                FROM documents
+            ), e AS (
+                SELECT DISTINCT s, d FROM raw WHERE s <> d
+            ), o AS (
+                SELECT s AS host, CAST(count(*) AS BIGINT) AS n_out
+                FROM e GROUP BY 1
+            ), r AS (
+                SELECT a.s AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+                FROM e a JOIN e b ON a.s = b.d AND a.d = b.s
+                GROUP BY 1
+            )
+            SELECT o.host, o.n_out,
+                   coalesce(r.n_reciprocal, 0) AS n_reciprocal,
+                   CAST(floor(1000000.0 * coalesce(r.n_reciprocal, 0)
+                              / o.n_out) AS BIGINT) AS reciprocity_ppm
+            FROM o LEFT JOIN r USING (host)
         """,
         "first_seen_attribution": """
             WITH f AS (

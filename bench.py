@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "cocitation_farms",
     "tokenizer_fertility",
     "host_lang_mixture",
+    "dedup_threshold_sweep",
+    "first_seen_attribution",
 ]
 
 

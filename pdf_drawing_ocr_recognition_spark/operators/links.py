@@ -399,3 +399,135 @@ def cocitation_pairs(
     return out.select(
         "host_a", "host_b", "n_cociting", "n_in_a", "n_in_b", "jaccard_ppm"
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity: of a host's distinct out-neighbors, what
+    fraction link BACK — the link-exchange-scheme signal (reciprocal-link
+    rings are the oldest ranking manipulation; organic web reciprocity is
+    low, so hosts near 10⁶ ppm with non-trivial out-degree are trading
+    links).  Complements T139 co-citation (shared backlinks) with the
+    direct-trade pattern, and feeds T114 TrustRank seed selection
+    (high-reciprocity hosts make bad seeds).
+
+    Scale shape: distinct edges (self-loops dropped), ONE left-semi
+    equi-join of the edge set against its own reversal on the composite
+    (src, dst) key — a co-partitioned shuffle join, no fan-out — then two
+    map-side-combinable counts.  Exact integer ppm.
+
+    Returns (host, n_out, n_reciprocal, reciprocity_ppm).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi")
+    out_deg = e.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out")
+    )
+    rec_deg = recip.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocal")
+    )
+    return (
+        out_deg.join(rec_deg, "host", "left")
+        .select(
+            "host",
+            "n_out",
+            F.coalesce("n_reciprocal", F.lit(0)).cast("bigint").alias(
+                "n_reciprocal"
+            ),
+            F.floor(
+                F.lit(1000000.0)
+                * F.coalesce("n_reciprocal", F.lit(0))
+                / F.col("n_out")
+            ).alias("reciprocity_ppm"),
+        )
+    )
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    n_iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg, JACM 1999) in EXACT integer
+    arithmetic: the mutual-reinforcement pair PageRank doesn't give you —
+    directories/aggregators score as hubs, canonical sources as
+    authorities; corpus curation reads authority as an originality prior
+    and hubness as a boilerplate-aggregator prior (complements T50/T114).
+
+    Engine-exact quantization: instead of float L2 normalization, every
+    half-step renormalizes by the maximum via ``floor(x·scale / max(x))``
+    (L∞ at ppm resolution) — sums are integer, division order is fixed,
+    so two engines and any partition order produce identical bits; the
+    ranking HITS converges on is preserved (normalization choice never
+    reorders scores within an iteration).  Values stay ≤ scale·max_degree
+    per half-step — no overflow below degree 9·10¹² at ppm scale.
+
+    Scale shape: distinct edges, one shuffle join + hash agg per
+    half-step, the max as a 1-row broadcast; n_iters is small and fixed
+    (2–3 rounds give the head of the ranking; HITS at web scale is always
+    run few-step).  Returns (host, authority_ppm, hub_ppm).
+    """
+    if n_iters < 1:
+        raise ValueError(f"hits_scores requires n_iters >= 1, got {n_iters}")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(scale).cast("bigint").alias("x"))
+
+    def _norm(df: DataFrame) -> DataFrame:
+        # integer DIV, never float division — bit-identical across engines
+        mx = df.agg(F.max("x").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.when(
+                F.col("mx") > 0,
+                F.expr(f"CAST((x * {scale}) DIV mx AS BIGINT)"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("x"),
+        )
+
+    a = None
+    for _ in range(n_iters):
+        a = _norm(
+            nodes.join(
+                e.join(h, e["s"] == h["node"])
+                .groupBy("d")
+                .agg(F.sum("x").alias("inx")),
+                nodes["node"] == F.col("d"),
+                "left",
+            ).select("node", F.coalesce("inx", F.lit(0)).alias("x"))
+        )
+        h = _norm(
+            nodes.join(
+                e.join(a, e["d"] == a["node"])
+                .groupBy("s")
+                .agg(F.sum("x").alias("outx")),
+                nodes["node"] == F.col("s"),
+                "left",
+            ).select("node", F.coalesce("outx", F.lit(0)).alias("x"))
+        )
+    return (
+        a.withColumnRenamed("x", "authority_ppm")
+        .join(h.withColumnRenamed("x", "hub_ppm"), "node")
+        .withColumnRenamed("node", "host")
+    )

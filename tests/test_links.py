@@ -397,3 +397,115 @@ class TestCocitationPairs:
         out = cocitation_pairs(self._edges(spark, rows)).collect()
         assert len(out) == 1
         assert out[0]["n_cociting"] == 1 and out[0]["n_in_a"] == 1
+
+
+class TestLinkReciprocity:
+    """T147 — link-exchange detection (link_reciprocity)."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+    def test_exchange_ring_vs_chain_vs_partial(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            link_reciprocity,
+        )
+
+        rows = [("a", "b"), ("b", "a"),          # pure exchange
+                ("c1", "c2"), ("c2", "c3"),      # one-way chain
+                ("hub", "a"), ("hub", "b"), ("a", "hub")]  # partial
+        out = {r["host"]: r for r in link_reciprocity(
+            self._edges(spark, rows)).collect()}
+        assert out["b"]["reciprocity_ppm"] == 1000000
+        assert out["c1"]["reciprocity_ppm"] == 0
+        assert out["c2"]["reciprocity_ppm"] == 0
+        # hub: out={a,b}, only a links back -> 1/2
+        assert out["hub"]["n_out"] == 2
+        assert out["hub"]["n_reciprocal"] == 1
+        assert out["hub"]["reciprocity_ppm"] == 500000
+
+    def test_self_loops_and_duplicate_edges_ignored(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            link_reciprocity,
+        )
+
+        rows = [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a"), ("b", "a")]
+        out = {r["host"]: r for r in link_reciprocity(
+            self._edges(spark, rows)).collect()}
+        assert out["a"]["n_out"] == 1 and out["a"]["reciprocity_ppm"] == 1000000
+        assert out["b"]["n_out"] == 1
+
+    def test_partition_invariance(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            link_reciprocity,
+        )
+
+        rows = [(f"h{i % 9}", f"h{(i * 5 + 1) % 9}") for i in range(90)]
+        df = self._edges(spark, rows)
+        a = sorted(map(tuple, link_reciprocity(df).collect()))
+        b = sorted(map(tuple, link_reciprocity(df.repartition(7)).collect()))
+        assert a == b
+
+
+class TestHitsScores:
+    """T148 — exact-integer HITS (hits_scores)."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+    @staticmethod
+    def _twin(edges, n_iters=2, scale=1_000_000):
+        """Pure-Python replay of the quantized algorithm."""
+        e = sorted({(s, d) for s, d in edges if s != d})
+        nodes = sorted({n for p in e for n in p})
+        h = {n: scale for n in nodes}
+
+        def norm(x):
+            mx = max(x.values()) if x else 0
+            return {n: (v * scale) // mx if mx > 0 else 0 for n, v in x.items()}
+
+        a = {}
+        for _ in range(n_iters):
+            a = norm({n: sum(h[s] for s, d in e if d == n) for n in nodes})
+            h = norm({n: sum(a[d] for s, d in e if s == n) for n in nodes})
+        return {n: (a[n], h[n]) for n in nodes}
+
+    def test_matches_pure_twin_bitwise(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            hits_scores,
+        )
+
+        rows = [(f"h{i % 3}", f"a{(i * 2) % 5}") for i in range(15)]
+        rows += [("a0", "h1"), ("a1", "a2"), ("solo", "a4")]
+        want = self._twin(rows)
+        got = {
+            r["host"]: (r["authority_ppm"], r["hub_ppm"])
+            for r in hits_scores(self._edges(spark, rows)).collect()
+        }
+        assert got == want
+
+    def test_hub_authority_separation(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            hits_scores,
+        )
+
+        # classic bipartite: hubs point at authorities
+        rows = [(f"hub{i}", f"auth{j}") for i in range(2) for j in range(3)]
+        out = {r["host"]: r for r in hits_scores(
+            self._edges(spark, rows)).collect()}
+        for i in range(2):
+            assert out[f"hub{i}"]["hub_ppm"] == 1000000
+            assert out[f"hub{i}"]["authority_ppm"] == 0
+        for j in range(3):
+            assert out[f"auth{j}"]["authority_ppm"] == 1000000
+            assert out[f"auth{j}"]["hub_ppm"] == 0
+
+    def test_partition_invariance_bitwise(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.links import (
+            hits_scores,
+        )
+
+        rows = [(f"h{i % 7}", f"h{(i * 3 + 1) % 7}") for i in range(70)]
+        df = self._edges(spark, rows)
+        a = sorted(map(tuple, hits_scores(df).collect()))
+        b = sorted(map(tuple, hits_scores(df.repartition(9)).collect()))
+        assert a == b

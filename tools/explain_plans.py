@@ -799,6 +799,22 @@ def main() -> int:
         )
     )
 
+    # T147: reciprocity check is a composite-key LEFT-SEMI equi-join of
+    # the edge set against its reversal — never a fan-out
+    grab(
+        "link_reciprocity",
+        em.q_link_reciprocity(spark, sf),
+        "LeftSemi",
+        "partial_count",
+    )
+    # T148: each HITS half-step max is a 1-row broadcast (nested loop)
+    grab(
+        "hits_scores",
+        em.q_hits_scores(spark, sf),
+        "BroadcastNestedLoopJoin",
+        "partial_max",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
