@@ -1187,6 +1187,57 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T150: sitemap-vs-crawl coverage audit (operators/politeness.py:
+    sitemap_coverage) — per host: declared URLs fetched (raise budget when
+    low) vs fetched URLs never declared (crawl-trap budget leak; cross-
+    check T119).  One full-outer join of two distinct URL sets, one
+    rollup.  Declared paths {0..19} vs crawled paths {5..24} per host make
+    coverage exactly 750000 ppm and the undeclared share exactly 250000
+    ppm BY CONSTRUCTION — both gap directions load-bearing."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        sitemap_coverage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    declared = docs.select(
+        F.format_string(
+            "http://h%d.example.com/p/%d", did % 6, did % 20
+        ).alias("url")
+    )
+    crawled = docs.select(
+        F.format_string(
+            "http://h%d.example.com/p/%d", did % 6, did % 20 + 5
+        ).alias("url")
+    )
+    return sitemap_coverage(declared, crawled)
+
+
+def q_link_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T149: between-crawl link churn (operators/cdc.py:link_churn) — the
+    graph-side CDC signal: T55 diffs content, this diffs STRUCTURE (high
+    churn + stable content = link rotation / sold links; near-zero churn
+    feeds the T120 refresh dial).  One composite-key full-outer join over
+    two distinct edge sets, one map-combined rollup.  Each synthetic host
+    keeps 5 out-links, drops 4 ('old*') and gains 4 ('new*') between the
+    crawls, so every status branch and the exact churn ppm
+    floor(10⁶·8/13) are load-bearing in the match."""
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import link_churn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 8).cast("string"))
+
+    def tgt(prefix, mod):
+        return F.concat(F.lit(prefix), (did % mod).cast("string"))
+
+    stable = docs.select(host.alias("src_host"), tgt("kept", 5).alias("dst_host"))
+    removed = docs.select(host.alias("src_host"), tgt("old", 4).alias("dst_host"))
+    added = docs.select(host.alias("src_host"), tgt("new", 4).alias("dst_host"))
+    return link_churn(stable.union(removed), stable.union(added))
+
+
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T148: HITS hub/authority (operators/links.py:hits_scores) — the
     mutual-reinforcement pair PageRank doesn't give: aggregators score as
@@ -4744,6 +4795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_seen_attribution": q_first_seen_attribution,
         "link_reciprocity": q_link_reciprocity,
         "hits_scores": q_hits_scores,
+        "link_churn": q_link_churn,
+        "sitemap_coverage": q_sitemap_coverage,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5882,6 +5935,90 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "sitemap_coverage": """
+            WITH d AS (
+                SELECT DISTINCT
+                       'http://h' || CAST(doc_id % 6 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id % 20 AS VARCHAR)
+                           AS u
+                FROM documents
+            ), c AS (
+                SELECT DISTINCT
+                       'http://h' || CAST(doc_id % 6 AS VARCHAR)
+                       || '.example.com/p/'
+                       || CAST(doc_id % 20 + 5 AS VARCHAR) AS u
+                FROM documents
+            ), j AS (
+                SELECT coalesce(d.u, c.u) AS u,
+                       d.u IS NOT NULL AS ind,
+                       c.u IS NOT NULL AS inc
+                FROM d FULL OUTER JOIN c ON d.u = c.u
+            ), per AS (
+                SELECT 'h' || regexp_extract(u,
+                           'http://h([0-9]+)\\.example\\.com', 1)
+                       || '.example.com' AS host,
+                       CAST(sum(CASE WHEN ind THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_sitemap,
+                       CAST(sum(CASE WHEN inc THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_crawled,
+                       CAST(sum(CASE WHEN ind AND inc THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_both
+                FROM j GROUP BY 1
+            )
+            SELECT host, n_sitemap, n_crawled, n_both,
+                   CASE WHEN n_sitemap > 0
+                        THEN CAST(floor(1000000.0 * n_both / n_sitemap)
+                                  AS BIGINT) END AS coverage_ppm,
+                   CASE WHEN n_crawled > 0
+                        THEN CAST(floor(1000000.0 * (n_crawled - n_both)
+                                        / n_crawled) AS BIGINT)
+                        END AS undeclared_ppm
+            FROM per
+        """,
+        "link_churn": """
+            WITH stable AS (
+                SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR) AS s,
+                       'kept' || CAST(doc_id % 5 AS VARCHAR) AS d
+                FROM documents
+            ), p AS (
+                SELECT * FROM stable
+                UNION
+                SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR),
+                       'old' || CAST(doc_id % 4 AS VARCHAR)
+                FROM documents
+            ), c AS (
+                SELECT * FROM stable
+                UNION
+                SELECT DISTINCT 'h' || CAST(doc_id % 8 AS VARCHAR),
+                       'new' || CAST(doc_id % 4 AS VARCHAR)
+                FROM documents
+            ), a AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS n FROM
+                    (SELECT * FROM c EXCEPT SELECT * FROM p) GROUP BY 1
+            ), r AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS n FROM
+                    (SELECT * FROM p EXCEPT SELECT * FROM c) GROUP BY 1
+            ), st AS (
+                SELECT s, CAST(count(*) AS BIGINT) AS n FROM
+                    (SELECT * FROM p INTERSECT SELECT * FROM c) GROUP BY 1
+            ), hosts AS (
+                SELECT DISTINCT s FROM
+                    (SELECT s FROM p UNION ALL SELECT s FROM c)
+            )
+            SELECT h.s AS host,
+                   coalesce(a.n, 0) AS n_added,
+                   coalesce(r.n, 0) AS n_removed,
+                   coalesce(st.n, 0) AS n_stable,
+                   CAST(floor(1000000.0
+                              * (coalesce(a.n, 0) + coalesce(r.n, 0))
+                              / (coalesce(a.n, 0) + coalesce(r.n, 0)
+                                 + coalesce(st.n, 0))) AS BIGINT)
+                       AS churn_ppm
+            FROM hosts h
+            LEFT JOIN a ON a.s = h.s
+            LEFT JOIN r ON r.s = h.s
+            LEFT JOIN st ON st.s = h.s
         """,
         "hits_scores": """
             WITH raw AS (

@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "host_lang_mixture",
     "dedup_threshold_sweep",
     "first_seen_attribution",
+    "link_reciprocity",
+    "hits_scores",
+    "link_churn",
+    "sitemap_coverage",
 ]
 
 

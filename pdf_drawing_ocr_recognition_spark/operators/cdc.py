@@ -229,3 +229,63 @@ def recrawl_tiers(
         .otherwise(F.lit("quarterly"))
     )
     return agg.withColumn("change_ppm", change_ppm).withColumn("tier", tier)
+
+
+def link_churn(
+    prev_edges: DataFrame,
+    cur_edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Between-crawl link churn per source host: how much of a host's
+    out-link set turned over — the graph-side CDC signal (T55 diffs
+    content; this diffs STRUCTURE).  High churn with stable content is a
+    link-rotation scheme (sold links, rotating "sponsors"); high churn
+    with changed content is a site redesign; near-zero churn feeds the
+    same refresh-policy dial as T120 recrawl tiers.
+
+    One full-outer equi-join on the composite (src, dst) key over the two
+    DISTINCT edge sets — co-partitioned, no fan-out — then one
+    map-side-combinable rollup per host.  churn_ppm =
+    floor(10⁶·(added+removed)/union) — exact integers.
+
+    Returns (host, n_added, n_removed, n_stable, churn_ppm).
+    """
+    def prep(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            df.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+            .filter(F.col(src_col) != F.col(dst_col))
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    joined = prep(prev_edges, "_p").join(
+        prep(cur_edges, "_c"), ["s", "d"], "full_outer"
+    )
+    status = (
+        F.when(F.col("_p").isNull(), F.lit("added"))
+        .when(F.col("_c").isNull(), F.lit("removed"))
+        .otherwise(F.lit("stable"))
+    )
+    per = joined.select("s", status.alias("st")).groupBy("s").agg(
+        F.sum(F.when(F.col("st") == "added", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("st") == "removed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("st") == "stable", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stable"),
+    )
+    return per.select(
+        F.col("s").alias("host"),
+        "n_added",
+        "n_removed",
+        "n_stable",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_added") + F.col("n_removed"))
+            / (F.col("n_added") + F.col("n_removed") + F.col("n_stable"))
+        ).alias("churn_ppm"),
+    )

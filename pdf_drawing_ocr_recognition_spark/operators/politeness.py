@@ -222,3 +222,66 @@ def crawl_budget_waterfill(
             ).otherwise(F.lit(0))
         ).cast("long").alias(alloc_col),
     )
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit per host: of the URLs a publisher
+    DECLARED (T127 sitemap harvest), how many did the crawl actually
+    fetch — and how much of the fetch log the publisher never declared.
+    The two gaps drive opposite actions: low crawl coverage → raise the
+    host's budget (T70); a large undeclared remainder → the crawler is
+    burning budget on URLs the publisher doesn't vouch for (calendar
+    traps, session URLs — cross-check T119 templates).
+
+    One full-outer equi-join of the two DISTINCT url sets (co-partitioned
+    on the url key, no fan-out), host derived from the url in the same
+    projection, one map-side-combinable rollup.  Exact integer ppm;
+    a host with no declared URLs reports NULL coverage (0/0 is a fact to
+    surface, not a zero).
+
+    Returns (host, n_sitemap, n_crawled, n_both, coverage_ppm,
+    undeclared_ppm).
+    """
+    from ..functions.urls import url_host
+
+    d = declared.select(F.col(url_col).alias("u")).distinct().withColumn(
+        "_d", F.lit(1)
+    )
+    c = crawled.select(F.col(url_col).alias("u")).distinct().withColumn(
+        "_c", F.lit(1)
+    )
+    j = d.join(c, "u", "full_outer").select(
+        url_host(F.col("u")).alias("host"), "_d", "_c"
+    )
+    per = j.groupBy("host").agg(
+        F.sum(F.coalesce("_d", F.lit(0))).cast("bigint").alias("n_sitemap"),
+        F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_crawled"),
+        F.sum(
+            F.when(F.col("_d").isNotNull() & F.col("_c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return per.select(
+        "host",
+        "n_sitemap",
+        "n_crawled",
+        "n_both",
+        F.when(
+            F.col("n_sitemap") > 0,
+            F.floor(F.lit(1000000.0) * F.col("n_both") / F.col("n_sitemap")),
+        ).alias("coverage_ppm"),
+        F.when(
+            F.col("n_crawled") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n_crawled") - F.col("n_both"))
+                / F.col("n_crawled")
+            ),
+        ).alias("undeclared_ppm"),
+    )

@@ -214,3 +214,80 @@ class TestRecrawlTiers:
                for i in range(100)]
         got = self._run(spark, old, new)
         assert got["slow.com"] == (100, 1, 0, 0, 10000, "monthly")
+
+
+class TestLinkChurn:
+    """T149 — between-crawl link churn (link_churn)."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+    def test_added_removed_stable_counted(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import link_churn
+
+        prev = [("h", "a"), ("h", "b"), ("h", "gone")]
+        cur = [("h", "a"), ("h", "b"), ("h", "fresh1"), ("h", "fresh2")]
+        [r] = link_churn(
+            self._edges(spark, prev), self._edges(spark, cur)
+        ).collect()
+        assert (r["n_added"], r["n_removed"], r["n_stable"]) == (2, 1, 2)
+        assert r["churn_ppm"] == 600000  # (2+1)/5
+
+    def test_self_loops_and_dups_ignored(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import link_churn
+
+        prev = [("h", "h"), ("h", "a"), ("h", "a")]
+        cur = [("h", "a")]
+        [r] = link_churn(
+            self._edges(spark, prev), self._edges(spark, cur)
+        ).collect()
+        assert (r["n_added"], r["n_removed"], r["n_stable"]) == (0, 0, 1)
+        assert r["churn_ppm"] == 0
+
+    def test_fully_rotated_host(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import link_churn
+
+        prev = [("rot", "s1"), ("rot", "s2")]
+        cur = [("rot", "s3"), ("rot", "s4")]
+        [r] = link_churn(
+            self._edges(spark, prev), self._edges(spark, cur)
+        ).collect()
+        assert r["churn_ppm"] == 1000000 and r["n_stable"] == 0
+
+
+class TestSitemapCoverage:
+    """T150 — sitemap-vs-crawl coverage (sitemap_coverage)."""
+
+    def _urls(self, spark, urls):
+        return spark.createDataFrame([(u,) for u in urls], "url string")
+
+    def test_both_gap_directions(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+            sitemap_coverage,
+        )
+
+        declared = [f"http://a.com/p/{i}" for i in range(4)]
+        crawled = [f"http://a.com/p/{i}" for i in range(2, 7)]
+        [r] = sitemap_coverage(
+            self._urls(spark, declared), self._urls(spark, crawled)
+        ).collect()
+        assert (r["n_sitemap"], r["n_crawled"], r["n_both"]) == (4, 5, 2)
+        assert r["coverage_ppm"] == 500000    # 2/4 declared got crawled
+        assert r["undeclared_ppm"] == 600000  # 3/5 fetched undeclared
+
+    def test_no_sitemap_host_reports_null_coverage(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+            sitemap_coverage,
+        )
+
+        out = {
+            r["host"]: r
+            for r in sitemap_coverage(
+                self._urls(spark, ["http://a.com/1"]),
+                self._urls(spark, ["http://b.com/1"]),
+            ).collect()
+        }
+        assert out["b.com"]["coverage_ppm"] is None
+        assert out["b.com"]["undeclared_ppm"] == 1000000
+        assert out["a.com"]["coverage_ppm"] == 0
+        assert out["a.com"]["undeclared_ppm"] is None
