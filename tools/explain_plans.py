@@ -815,6 +815,16 @@ def main() -> int:
         "partial_max",
     )
 
+    # T149/T150: composite-key full-outer joins over distinct sets, then
+    # map-combined rollups — no fan-out joins, no per-row Python
+    grab("link_churn", em.q_link_churn(spark, sf), "FullOuter", "partial_sum")
+    grab(
+        "sitemap_coverage",
+        em.q_sitemap_coverage(spark, sf),
+        "FullOuter",
+        "partial_sum",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
