@@ -1187,6 +1187,36 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T151: SCD Type-2 dimension history (operators/cdc.py:scd2_merge) —
+    fold three daily host-policy snapshots into validity intervals; the
+    structure point-in-time joins (T18) read to answer "what was the
+    robots policy when this page was fetched".  Even hosts change policy
+    every day (3 intervals), odd hosts never (1 open row) — both branches
+    and the close/insert timestamps are load-bearing.  THE ORACLE USES A
+    DIFFERENT ALGORITHM: gaps-and-islands (lag + change-point running
+    sum) over the unioned snapshots — two independent constructions of
+    the same history hash-matching is much stronger evidence than a
+    replay of the merge.  Per merge: one equi-join of OPEN rows vs batch
+    (the closed majority never shuffles again at 10^12 rows)."""
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 10
+    hist = None
+    for d in (1, 2, 3):
+        policy = F.when(
+            k % 2 == 0, F.concat(F.lit("pol"), ((k + d) % 4).cast("string"))
+        ).otherwise(F.concat(F.lit("pol"), (k % 4).cast("string")))
+        batch = docs.select(
+            F.concat(F.lit("h"), k.cast("string")).alias("host"),
+            policy.alias("policy"),
+            F.lit(d).cast("bigint").alias("as_of"),
+        ).distinct()
+        hist = scd2_merge(hist, batch, "host", ["policy"])
+    return hist
+
+
 def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T150: sitemap-vs-crawl coverage audit (operators/politeness.py:
     sitemap_coverage) — per host: declared URLs fetched (raise budget when
@@ -4797,6 +4827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "link_churn": q_link_churn,
         "sitemap_coverage": q_sitemap_coverage,
+        "scd2_history": q_scd2_history,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5935,6 +5966,41 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "scd2_history": """
+            WITH snaps AS (
+                SELECT DISTINCT
+                       'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+                       CASE WHEN doc_id % 10 % 2 = 0
+                            THEN 'pol' || CAST((doc_id % 10 + d.d) % 4
+                                               AS VARCHAR)
+                            ELSE 'pol' || CAST(doc_id % 10 % 4 AS VARCHAR)
+                       END AS policy,
+                       CAST(d.d AS BIGINT) AS as_of
+                FROM documents, (VALUES (1), (2), (3)) d(d)
+            ), flagged AS (
+                SELECT host, policy, as_of,
+                       CASE WHEN lag(policy) OVER w IS DISTINCT FROM policy
+                            THEN 1 ELSE 0 END AS chg
+                FROM snaps
+                WINDOW w AS (PARTITION BY host ORDER BY as_of)
+            ), grp AS (
+                SELECT host, policy, as_of,
+                       sum(chg) OVER (PARTITION BY host ORDER BY as_of
+                                      ROWS UNBOUNDED PRECEDING) AS g
+                FROM flagged
+            ), isl AS (
+                SELECT host, policy, g,
+                       min(as_of) AS valid_from, max(as_of) AS mx
+                FROM grp GROUP BY 1, 2, 3
+            ), mxg AS (
+                SELECT host, max(g) AS maxg FROM isl GROUP BY 1
+            )
+            SELECT i.host, i.policy,
+                   CAST(i.valid_from AS BIGINT) AS valid_from,
+                   CASE WHEN i.g = m.maxg THEN NULL
+                        ELSE CAST(i.mx + 1 AS BIGINT) END AS valid_to
+            FROM isl i JOIN mxg m USING (host)
         """,
         "sitemap_coverage": """
             WITH d AS (

@@ -289,3 +289,80 @@ def link_churn(
             / (F.col("n_added") + F.col("n_removed") + F.col("n_stable"))
         ).alias("churn_ppm"),
     )
+
+
+def scd2_merge(
+    history: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "as_of",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge (Kimball): fold one snapshot
+    batch (key, attrs, as_of) into a validity-interval history table —
+    the structure that answers "what was this host's robots policy when
+    this page was fetched?" (point-in-time joins via T18 as-of).  T55
+    diffs two snapshots; THIS maintains the full change history.
+
+    Per key: unchanged attrs → open row untouched; changed attrs → open
+    row closed at the batch timestamp and a new open row inserted; unseen
+    key → new open row.  Keys absent from the batch keep their open row
+    (a snapshot asserts values for the keys it contains, nothing else).
+
+    Scale shape: ONE equi-join of the open rows against the batch on the
+    key (closed history rows pass through untouched — at 10^12 rows the
+    closed majority is never shuffled), unions of projections, no window.
+    ``history=None`` starts a fresh dimension.
+
+    Returns the new history: (key, attrs..., valid_from, valid_to) with
+    NULL valid_to marking the open row.
+    """
+    b = batch.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
+        F.col(ts_col).alias("_ts"),
+    ).dropDuplicates(["_k"])
+    if history is None:
+        return b.select(
+            F.col("_k").alias(key_col),
+            *[F.col(f"_b_{c}").alias(c) for c in attr_cols],
+            F.col("_ts").alias(valid_from),
+            F.lit(None).cast(b.schema["_ts"].dataType).alias(valid_to),
+        )
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_rows = history.filter(F.col(valid_to).isNull())
+    j = open_rows.join(b, open_rows[key_col] == b["_k"], "full_outer")
+    same = F.lit(True)
+    for c in attr_cols:
+        same = same & (F.col(c).eqNullSafe(F.col(f"_b_{c}")))
+    # open row with no batch info, or batch agrees -> keep open row
+    keep_open = j.filter(
+        F.col("_k").isNull() | (F.col(key_col).isNotNull() & same)
+    ).select(*history.columns)
+    # batch disagrees -> close the old row at the batch ts
+    closes = (
+        j.filter(F.col(key_col).isNotNull() & F.col("_k").isNotNull() & ~same)
+        .select(
+            key_col,
+            *attr_cols,
+            valid_from,
+            F.col("_ts").alias(valid_to),
+        )
+    )
+    # new key, or changed attrs -> insert a fresh open row
+    inserts = (
+        j.filter(
+            F.col("_k").isNotNull() & (F.col(key_col).isNull() | ~same)
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            *[F.col(f"_b_{c}").alias(c) for c in attr_cols],
+            F.col("_ts").alias(valid_from),
+            F.lit(None).cast(b.schema["_ts"].dataType).alias(valid_to),
+        )
+    )
+    return closed.unionByName(keep_open).unionByName(closes).unionByName(
+        inserts
+    )

@@ -291,3 +291,72 @@ class TestSitemapCoverage:
         assert out["b.com"]["undeclared_ppm"] == 1000000
         assert out["a.com"]["coverage_ppm"] == 0
         assert out["a.com"]["undeclared_ppm"] is None
+
+
+class TestScd2Merge:
+    """T151 — SCD Type-2 history maintenance (scd2_merge)."""
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "host string, policy string, as_of long"
+        )
+
+    def _fold(self, spark, batches):
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+
+        hist = None
+        for b in batches:
+            hist = scd2_merge(hist, self._batch(spark, b), "host", ["policy"])
+        return {
+            (r["host"], r["valid_from"]): (r["policy"], r["valid_to"])
+            for r in hist.collect()
+        }
+
+    def test_change_closes_and_inserts(self, spark):
+        h = self._fold(
+            spark,
+            [
+                [("a", "allow", 1), ("b", "deny", 1)],
+                [("a", "deny", 2), ("b", "deny", 2)],
+            ],
+        )
+        assert h[("a", 1)] == ("allow", 2)   # closed at the change
+        assert h[("a", 2)] == ("deny", None)  # new open row
+        assert h[("b", 1)] == ("deny", None)  # unchanged stays open
+        assert len(h) == 3
+
+    def test_absent_key_keeps_open_row(self, spark):
+        h = self._fold(
+            spark,
+            [[("a", "allow", 1)], [("b", "deny", 2)]],
+        )
+        assert h[("a", 1)] == ("allow", None)
+        assert h[("b", 2)] == ("deny", None)
+
+    def test_reappearing_value_gets_new_interval(self, spark):
+        h = self._fold(
+            spark,
+            [
+                [("a", "x", 1)],
+                [("a", "y", 2)],
+                [("a", "x", 3)],
+            ],
+        )
+        assert h[("a", 1)] == ("x", 2)
+        assert h[("a", 2)] == ("y", 3)
+        assert h[("a", 3)] == ("x", None)
+
+    def test_null_attr_transitions(self, spark):
+        """NULL-safe comparison: NULL->value and value->NULL are changes,
+        NULL->NULL is not."""
+        h = self._fold(
+            spark,
+            [
+                [("a", None, 1)],
+                [("a", None, 2)],
+                [("a", "set", 3)],
+            ],
+        )
+        assert h[("a", 1)] == (None, 3)
+        assert h[("a", 3)] == ("set", None)
+        assert len(h) == 2

@@ -825,6 +825,18 @@ def main() -> int:
         "partial_sum",
     )
 
+    # T151: each merge joins OPEN rows only (closed history passes through
+    # union-side, never re-shuffled); no window anywhere in the merge
+    grab("scd2_history", em.q_scd2_history(spark, sf), "FullOuter", "Union")
+    scd_plan = sections[-1][1]
+    checks.append(
+        (
+            "scd2_history",
+            "merge is window-free",
+            "WindowExec" not in scd_plan and "RunningWindow" not in scd_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
