@@ -1187,6 +1187,55 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = [16, 32]
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T152: Matryoshka truncation recall (Kusupati et al. 2022) — top-10
+    cosine overlap between the full 64-dim embedding and its first-16/32
+    prefix: the audit run BEFORE committing to truncated embeddings for
+    the ANN store (an 8× memory cut is free only if prefix recall holds).
+    Both rankings come from the SAME oracled exact scorer (T8's Arrow
+    kernel, round-to-4 rank discipline); overlap via one (query, neighbor)
+    equi-join per truncation dim, recall as exact floor-ppm.  The oracle
+    replays both rankings with DuckDB list slices and the identical
+    tie-break, so the overlap COUNTS — not just score values — must
+    agree."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    full = brute_force_topk_arrow(emb, queries, k=10, round_to=4).select(
+        "query_id", "neighbor_id"
+    )
+    outs = []
+    for d in MATRYOSHKA_DIMS:
+        trunc = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tq = trunc.filter(F.col("vec_id") < 8)
+        t = brute_force_topk_arrow(trunc, tq, k=10, round_to=4).select(
+            "query_id", "neighbor_id"
+        )
+        ov = (
+            full.join(t, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+            .select(
+                "query_id",
+                F.lit(d).cast("int").alias("trunc_dim"),
+                "n_overlap",
+                F.floor(F.lit(1000000.0) * F.col("n_overlap") / 10).alias(
+                    "recall_ppm"
+                ),
+            )
+        )
+        outs.append(ov)
+    return outs[0].unionByName(outs[1])
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T151: SCD Type-2 dimension history (operators/cdc.py:scd2_merge) —
     fold three daily host-policy snapshots into validity intervals; the
@@ -4828,6 +4877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_churn": q_link_churn,
         "sitemap_coverage": q_sitemap_coverage,
         "scd2_history": q_scd2_history,
+        "matryoshka_recall": q_matryoshka_recall,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5966,6 +6016,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "matryoshka_recall": """
+            WITH ranked AS (
+                SELECT dim, query_id, neighbor_id FROM (
+                    SELECT dim, query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY dim, query_id
+                                              ORDER BY cos DESC,
+                                                       neighbor_id ASC) AS rank
+                    FROM (
+                        SELECT d.dim, q.vec_id AS query_id,
+                               e.vec_id AS neighbor_id,
+                               round(CASE WHEN
+                                   sqrt(list_dot_product(
+                                       (q.embedding::DOUBLE[])[1:d.dim],
+                                       (q.embedding::DOUBLE[])[1:d.dim]))
+                                 * sqrt(list_dot_product(
+                                       (e.embedding::DOUBLE[])[1:d.dim],
+                                       (e.embedding::DOUBLE[])[1:d.dim])) = 0
+                                 THEN 0.0
+                                 ELSE list_dot_product(
+                                       (q.embedding::DOUBLE[])[1:d.dim],
+                                       (e.embedding::DOUBLE[])[1:d.dim])
+                                   / (sqrt(list_dot_product(
+                                        (q.embedding::DOUBLE[])[1:d.dim],
+                                        (q.embedding::DOUBLE[])[1:d.dim]))
+                                    * sqrt(list_dot_product(
+                                        (e.embedding::DOUBLE[])[1:d.dim],
+                                        (e.embedding::DOUBLE[])[1:d.dim])))
+                               END, 4) AS cos
+                        FROM embeddings e
+                        CROSS JOIN (SELECT * FROM embeddings
+                                    WHERE vec_id < 8) q
+                        CROSS JOIN (SELECT unnest([16, 32, 64]) AS dim) d
+                        WHERE e.vec_id != q.vec_id
+                    )
+                ) WHERE rank <= 10
+            ), fullk AS (
+                SELECT query_id, neighbor_id FROM ranked WHERE dim = 64
+            )
+            SELECT f.query_id, CAST(t.dim AS INT) AS trunc_dim,
+                   CAST(count(*) AS BIGINT) AS n_overlap,
+                   CAST(floor(1000000.0 * count(*) / 10) AS BIGINT)
+                       AS recall_ppm
+            FROM fullk f
+            JOIN ranked t ON t.dim != 64 AND t.query_id = f.query_id
+                         AND t.neighbor_id = f.neighbor_id
+            GROUP BY 1, 2
         """,
         "scd2_history": """
             WITH snaps AS (

@@ -156,3 +156,52 @@ class TestContrastivePairs:
                 .collect()[0][0]
             )
             assert row["pos_cos"] == best
+
+
+class TestMatryoshkaRecall:
+    """T152 — prefix-truncation recall audit shape."""
+
+    def _recall(self, spark, rows, d, k=3):
+        from pyspark.sql import functions as F
+
+        from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+            brute_force_topk_arrow,
+        )
+
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        q = emb.filter(F.col("vec_id") == 0)
+        full = brute_force_topk_arrow(emb, q, k=k, round_to=4).select(
+            "query_id", "neighbor_id"
+        )
+        tr = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        t = brute_force_topk_arrow(
+            tr, tr.filter(F.col("vec_id") == 0), k=k, round_to=4
+        ).select("query_id", "neighbor_id")
+        return full.join(t, ["query_id", "neighbor_id"]).count()
+
+    def test_information_in_prefix_gives_full_recall(self, spark):
+        # all signal in dims 1-2; tail is constant -> truncation loses nothing
+        rows = [
+            (0, [1.0, 0.0] + [0.5] * 4),
+            (1, [0.9, 0.1] + [0.5] * 4),
+            (2, [0.1, 0.9] + [0.5] * 4),
+            (3, [-1.0, 0.0] + [0.5] * 4),
+            (4, [0.8, 0.2] + [0.5] * 4),
+        ]
+        assert self._recall(spark, rows, d=2) == 3
+
+    def test_information_in_tail_breaks_prefix_recall(self, spark):
+        # prefix identical for all: truncated ranking is pure tiebreak order,
+        # while full ranking is driven by the tail
+        rows = [
+            (0, [1.0, 1.0, 0.9, -0.3, 0.2, 0.0]),
+            (1, [1.0, 1.0, 0.9, -0.3, 0.19, 0.0]),
+            (2, [1.0, 1.0, -0.9, 0.3, -0.2, 0.0]),
+            (3, [1.0, 1.0, -0.9, 0.3, -0.19, 0.0]),
+            (4, [1.0, 1.0, 0.89, -0.3, 0.2, 0.0]),
+        ]
+        # full top-3 of 0: {1, 4, ...} similar tails; truncated: ids {1,2,3}
+        # by tiebreak — overlap strictly below k
+        assert self._recall(spark, rows, d=2) < 3
