@@ -1187,6 +1187,35 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_policy_at_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T153: point-in-time dimension lookup — join every fetch against the
+    T151 SCD2 history to recover "what was the host's policy WHEN this
+    page was fetched" (the question the history exists to answer; naive
+    joins against current policy silently rewrite the past).  Equi-join on
+    host + half-open interval predicate [valid_from, valid_to); fetches on
+    day 4 (after the last snapshot) hit the OPEN row, day-1 fetches the
+    first interval — both edges load-bearing.  Scale: the join
+    co-partitions on host; intervals per host are few (dim-sized).  The
+    oracle composes the T151 gaps-and-islands oracle as a CTE and
+    replays the interval lookup."""
+    hist = q_scd2_history(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    fetches = docs.select(
+        F.concat(F.lit("h"), (did % 10).cast("string")).alias("fhost"),
+        (F.lit(1) + did % 4).cast("bigint").alias("fetch_day"),
+    )
+    j = fetches.join(
+        hist,
+        (F.col("fhost") == F.col("host"))
+        & (F.col("valid_from") <= F.col("fetch_day"))
+        & (F.col("valid_to").isNull() | (F.col("fetch_day") < F.col("valid_to"))),
+    )
+    return j.groupBy("fetch_day", "policy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches")
+    )
+
+
 MATRYOSHKA_DIMS = [16, 32]
 
 
@@ -4878,6 +4907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_coverage": q_sitemap_coverage,
         "scd2_history": q_scd2_history,
         "matryoshka_recall": q_matryoshka_recall,
+        "policy_at_fetch": q_policy_at_fetch,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -9065,6 +9095,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT np.threshold_ppm, np.n_pairs, nd.n_docs_flagged
         FROM np JOIN nd USING (threshold_ppm)
+    """
+    # T153: point-in-time lookup composed from the T151 oracle — the
+    # history and the lookup share one source of truth.
+    d["policy_at_fetch"] = f"""
+        WITH hist AS ({d["scd2_history"]}),
+        fetches AS (
+            SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS fhost,
+                   CAST(1 + doc_id % 4 AS BIGINT) AS fetch_day
+            FROM documents
+        )
+        SELECT f.fetch_day, h.policy,
+               CAST(count(*) AS BIGINT) AS n_fetches
+        FROM fetches f
+        JOIN hist h ON h.host = f.fhost
+                   AND h.valid_from <= f.fetch_day
+                   AND (h.valid_to IS NULL OR f.fetch_day < h.valid_to)
+        GROUP BY 1, 2
     """
     # T111: recall@10 of the IVF ANN against the brute-force ground truth —
     # composed from the two oracles above so the evaluation and its inputs

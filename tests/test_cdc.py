@@ -360,3 +360,31 @@ class TestScd2Merge:
         assert h[("a", 1)] == (None, 3)
         assert h[("a", 3)] == ("set", None)
         assert len(h) == 2
+
+
+def test_policy_at_fetch_edges(spark):
+    """T153 — point-in-time lookup: a fetch during a closed interval gets
+    the HISTORICAL policy; a fetch after the last change gets the open row
+    (querying current policy would rewrite the past)."""
+    from pyspark.sql import functions as F
+
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+
+    hist = None
+    for day, pol in [(1, "allow"), (5, "deny")]:
+        b = spark.createDataFrame(
+            [("h", pol, day)], "host string, policy string, as_of long"
+        )
+        hist = scd2_merge(hist, b, "host", ["policy"])
+    fetches = spark.createDataFrame(
+        [(1, "h"), (3, "h"), (5, "h"), (9, "h")], "fetch_day long, fhost string"
+    )
+    j = fetches.join(
+        hist,
+        (F.col("fhost") == F.col("host"))
+        & (F.col("valid_from") <= F.col("fetch_day"))
+        & (F.col("valid_to").isNull() | (F.col("fetch_day") < F.col("valid_to"))),
+    )
+    got = {r["fetch_day"]: r["policy"] for r in j.collect()}
+    assert got == {1: "allow", 3: "allow", 5: "deny", 9: "deny"}
+    assert j.count() == 4  # exactly one interval matches each fetch
