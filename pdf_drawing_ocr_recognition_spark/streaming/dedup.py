@@ -265,3 +265,69 @@ def streaming_qhist_fold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_scd2_fold(
+    snapshots: DataFrame,
+    history_path: str,
+    checkpoint_path: str,
+    key_col: str = "host",
+    attr_cols: list[str] | None = None,
+    ts_col: str = "as_of",
+):
+    """Continuous SCD Type-2 maintenance: every micro-batch of dimension
+    snapshots folds into the persisted validity-interval history with
+    ``operators/cdc.scd2_merge`` — the streaming form of T151.  Stream
+    STATE stays empty (the history lives in storage, the T44/T86 index
+    discipline): dimension history is durable data, not state-store
+    payload, so a checkpoint wipe can never lose intervals.
+
+    Write discipline: the merged history lands at a temp suffix and is
+    swapped in by rename, so a crash mid-fold leaves the previous history
+    readable (the landing idempotence the daily-ingest journal proved
+    matters).  After any number of micro-batches the stored history equals
+    the batch fold over the same snapshots in order (tested multi-batch) —
+    scd2_merge is associative over ordered snapshot batches by
+    construction.  Per-batch cost: one open-rows-vs-batch join; the closed
+    majority is rewritten as data but never shuffled.
+    """
+    import os
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+
+    attrs = attr_cols if attr_cols is not None else ["policy"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        try:
+            prev = spark.read.parquet(history_path)
+        except Exception:
+            prev = None
+        # a micro-batch may span several snapshot days: fold in ts order
+        days = [
+            r[0]
+            for r in batch_df.select(ts_col).distinct().orderBy(ts_col).collect()
+        ]
+        hist = prev
+        for d in days:
+            hist = scd2_merge(
+                hist, batch_df.filter(F.col(ts_col) == d), key_col, attrs,
+                ts_col=ts_col,
+            )
+        tmp = history_path + "_tmp"
+        hist.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.count()  # materialize before the swap
+        if os.path.exists(history_path):
+            shutil.rmtree(history_path)
+        os.rename(tmp, history_path)
+
+    return (
+        snapshots.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -522,3 +522,74 @@ class TestStreamingQhistFold:
         assert stored.count() <= 2 * 64 * 8
         assert stored.exceptAll(whole).count() == 0
         assert whole.exceptAll(stored).count() == 0
+
+
+class TestStreamingScd2Fold:
+    def test_multibatch_history_equals_batch_fold(self, spark, tmp_path):
+        """T154: after 3 snapshot micro-batches the persisted SCD2 history
+        equals the direct batch fold over the same snapshots in order, and
+        stream state stays empty (history is storage, not state)."""
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            streaming_scd2_fold,
+        )
+
+        def snap(day):
+            rows = []
+            for k in range(6):
+                pol = f"pol{(k + day) % 3}" if k % 2 == 0 else f"pol{k % 3}"
+                rows.append((f"h{k}", pol, day))
+            return rows
+
+        stream_dir = str(tmp_path / "snaps")
+        for d in (1, 2, 3):
+            spark.createDataFrame(
+                snap(d), "host string, policy string, as_of long"
+            ).coalesce(1).write.parquet(f"{stream_dir}/f{d}")
+
+        snaps = (
+            spark.readStream.schema("host string, policy string, as_of long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{stream_dir}/f*")
+        )
+        hist_path = str(tmp_path / "hist")
+        q = streaming_scd2_fold(
+            snaps, hist_path, str(tmp_path / "ckpt"), "host", ["policy"]
+        )
+        q.awaitTermination()
+
+        stored = sorted(map(tuple, spark.read.parquet(hist_path).collect()))
+        direct = None
+        for d in (1, 2, 3):
+            b = spark.createDataFrame(
+                snap(d), "host string, policy string, as_of long"
+            )
+            direct = scd2_merge(direct, b, "host", ["policy"])
+        want = sorted(map(tuple, direct.collect()))
+        assert stored == want
+        # even hosts changed each day (3 intervals), odd hosts never (1)
+        assert len(stored) == 3 * 3 + 3 * 1
+
+    def test_crash_safe_swap_leaves_previous_history(self, spark, tmp_path):
+        """The temp-write + rename discipline: a fold that dies before the
+        swap leaves the previous history intact and readable."""
+        import os
+
+        from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
+
+        hist_path = str(tmp_path / "hist")
+        b1 = spark.createDataFrame(
+            [("h", "allow", 1)], "host string, policy string, as_of long"
+        )
+        scd2_merge(None, b1, "host", ["policy"]).write.parquet(hist_path)
+        # simulate a crash mid-fold: tmp written, swap never happened
+        b2 = spark.createDataFrame(
+            [("h", "deny", 2)], "host string, policy string, as_of long"
+        )
+        prev = spark.read.parquet(hist_path)
+        scd2_merge(prev, b2, "host", ["policy"]).write.mode(
+            "overwrite"
+        ).parquet(hist_path + "_tmp")
+        assert os.path.exists(hist_path + "_tmp")
+        rows = spark.read.parquet(hist_path).collect()  # old history readable
+        assert len(rows) == 1 and rows[0]["valid_to"] is None
