@@ -1187,6 +1187,94 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_RECALL_THRESHOLDS = [600000, 750000, 850000, 950000]
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T155: empirical LSH recall — the measured S-curve: on a
+    deterministic 1/25 sample (the T6 all-pairs discipline: O(sample²) BY
+    CONSTRUCTION, never run unsampled), compute every pair's TRUE
+    shingle-set Jaccard, mark which pairs the T3 banding actually
+    surfaces, and report recall per threshold.  The number the sweep
+    (T145) can't see: T145 counts what the candidates contain, THIS
+    counts what banding MISSES (near-dups that never meet in a bucket).
+    The sample has no organic near-dups (max pair jaccard 3%), so
+    positives are PLANTED: each sampled doc gets a twin with 1+doc_id%12
+    unique words prepended — true jaccard spans ~0.77–0.99 around the
+    banding S-curve by construction.  One theta join against the
+    thresholds dim; the oracle replays the signature banding AND the
+    all-pairs truth from the same fragments as the T3/T112 oracles."""
+    from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        near_dupe_pairs,
+    )
+
+    orig = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    did = F.col("doc_id")
+    prefix = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), (did % 12) + 1),
+            lambda j: F.concat(
+                F.lit("zz"), did.cast("string"), F.lit("x"), j.cast("string")
+            ),
+        ),
+    )
+    # two-step select: Spark's lateral-column-alias rule would otherwise
+    # resolve `prefix`'s doc_id against the shifted alias, not the input
+    twins = orig.select(
+        "doc_id", F.concat(prefix, F.lit(" "), F.col("text")).alias("text")
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    docs = orig.select("doc_id", "text").unionByName(twins)
+    cands = (
+        near_dupe_pairs(docs)
+        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+        .withColumn("_c", F.lit(1))
+    )
+    grams = docs.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                F.size(F.array_union("ga", "gb")) == 0, F.lit(0).cast("bigint")
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((1000000 * CAST(size(array_intersect(ga, gb)) AS"
+                    " BIGINT)) DIV size(array_union(ga, gb)) AS BIGINT)"
+                )
+            )
+            .alias("true_ppm"),
+        )
+        .join(cands, ["doc_a", "doc_b"], "left")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in LSH_RECALL_THRESHOLDS], "threshold_ppm long"
+    )
+    return (
+        truth.join(F.broadcast(thr), F.col("true_ppm") >= F.col("threshold_ppm"))
+        .groupBy("threshold_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.coalesce("_c", F.lit(0))).cast("bigint").alias("n_found"),
+        )
+        .select(
+            "threshold_ppm",
+            "n_true",
+            "n_found",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_found") / F.col("n_true")
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def q_policy_at_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T153: point-in-time dimension lookup — join every fetch against the
     T151 SCD2 history to recover "what was the host's policy WHEN this
@@ -4908,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "matryoshka_recall": q_matryoshka_recall,
         "policy_at_fetch": q_policy_at_fetch,
+        "lsh_recall_eval": q_lsh_recall_eval,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -9096,6 +9185,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT np.threshold_ppm, np.n_pairs, nd.n_docs_flagged
         FROM np JOIN nd USING (threshold_ppm)
     """
+    # T155: empirical LSH recall — banding + all-pairs truth from the same
+    # fragments as the T3/T112 oracles, over the deterministic 1/25 sample.
+    d["lsh_recall_eval"] = """
+        WITH hashed AS (
+            SELECT doc_id, list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                   list_transform(wsh, x -> md5('1|' || x)) AS h1,
+                   list_distinct(wsh) AS g
+            FROM (
+                SELECT doc_id, {{shingle5}} AS wsh FROM (
+                    SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+                    UNION ALL
+                    SELECT doc_id + 10000000,
+                           array_to_string(list_transform(
+                               generate_series(1, doc_id % 12 + 1),
+                               j -> 'zz' || CAST(doc_id AS VARCHAR) || 'x'
+                                    || CAST(j AS VARCHAR)), ' ')
+                           || ' ' || text
+                    FROM documents WHERE doc_id % 25 = 0
+                )
+            )
+        ), sigs AS (
+            SELECT doc_id, [{{window_mins}}] AS sig FROM hashed
+        ), banded AS (
+            SELECT doc_id, unnest([{{band_keys}}]) AS band_key FROM sigs
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band_key)
+            WHERE a.doc_id < b.doc_id
+        ), truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CASE WHEN len(list_distinct(list_concat(a.g, b.g))) = 0
+                        THEN 0
+                        ELSE (1000000 * len(list_intersect(a.g, b.g)))
+                             // len(list_distinct(list_concat(a.g, b.g)))
+                   END AS true_ppm
+            FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+        ), thr AS (
+            SELECT CAST(unnest([{{thresholds}}]) AS BIGINT) AS threshold_ppm
+        )
+        SELECT t.threshold_ppm,
+               CAST(count(*) AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_found,
+               CAST(floor(1000000.0
+                          * sum(CASE WHEN c.doc_a IS NOT NULL
+                                     THEN 1 ELSE 0 END)
+                          / count(*)) AS BIGINT) AS recall_ppm
+        FROM truth tr
+        JOIN thr t ON tr.true_ppm >= t.threshold_ppm
+        LEFT JOIN cand c ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b
+        GROUP BY 1
+    """.replace("{{shingle5}}", shingle5).replace(
+        "{{window_mins}}", window_mins
+    ).replace("{{band_keys}}", band_keys).replace(
+        "{{thresholds}}", ", ".join(map(str, LSH_RECALL_THRESHOLDS))
+    )
     # T153: point-in-time lookup composed from the T151 oracle — the
     # history and the lookup share one source of truth.
     d["policy_at_fetch"] = f"""

@@ -1443,3 +1443,25 @@ def test_dedup_threshold_sweep_is_monotone(spark):
         # flagged docs can never exceed 2 per pair nor be fewer than
         # the docs of one pair
         assert 2 <= rows[t]["n_docs_flagged"] <= 2 * rows[t]["n_pairs"]
+
+
+def test_lsh_recall_eval_structure(spark):
+    """T155 — planted-twin recall eval: every threshold row has positives,
+    recall is a valid ppm, monotone non-increasing in found-fraction terms
+    is NOT asserted (the S-curve isn't monotone in threshold), but the
+    planted pairs guarantee n_true >= twins at the lowest threshold."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as em
+
+    rows = {r["threshold_ppm"]: r
+            for r in em.q_lsh_recall_eval(spark, "/root/testdata/sf0.001").collect()}
+    assert rows, "no thresholds produced positives"
+    for t, r in rows.items():
+        assert 1 <= r["n_found"] <= r["n_true"]
+        assert 0 <= r["recall_ppm"] <= 1000000
+    # n_true shrinks as the threshold rises
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_true"] >= rows[hi]["n_true"]
