@@ -1187,6 +1187,26 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T156: metronome (bot) detection (operators/politeness.py:
+    bot_regularity) — squared CV of inter-event gaps as exact integer ppm
+    over the REAL events table: automated clients fire at near-constant
+    intervals (cv²≈0), organic traffic is bursty.  The timing-side bot
+    signal next to T63/T64's declared politeness.  One bounded per-actor
+    lag() window + one map-combined aggregate; gaps quantized to minutes
+    so every product stays in int64; actors with <4 gaps dropped by
+    documented contract.  The oracle replays the lag, the minute
+    quantization, and both integer divisions."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        bot_regularity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _us(F.col("ts")).alias("ts_us")
+    )
+    return bot_regularity(ev)
+
+
 LSH_RECALL_THRESHOLDS = [600000, 750000, 850000, 950000]
 
 
@@ -4997,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "policy_at_fetch": q_policy_at_fetch,
         "lsh_recall_eval": q_lsh_recall_eval,
+        "bot_regularity": q_bot_regularity,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6135,6 +6156,28 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "bot_regularity": """
+            WITH g AS (
+                SELECT user_id AS actor,
+                       (epoch_us(ts)
+                        - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                  ORDER BY epoch_us(ts),
+                                                           event_id))
+                       // 60000000 AS gap
+                FROM events
+            ), a AS (
+                SELECT actor,
+                       CAST(count(*) AS BIGINT) AS n_gaps,
+                       CAST(sum(gap) AS BIGINT) AS s,
+                       CAST(sum(gap * gap) AS BIGINT) AS sq
+                FROM g WHERE gap IS NOT NULL GROUP BY 1
+            )
+            SELECT actor, n_gaps,
+                   CAST(s // n_gaps AS BIGINT) AS mean_gap_units,
+                   CAST((1000000 * (n_gaps * sq - s * s)) // (s * s)
+                        AS BIGINT) AS cv2_ppm
+            FROM a WHERE n_gaps >= 4 AND s > 0
         """,
         "matryoshka_recall": """
             WITH ranked AS (

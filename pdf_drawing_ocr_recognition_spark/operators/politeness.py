@@ -285,3 +285,64 @@ def sitemap_coverage(
             ),
         ).alias("undeclared_ppm"),
     )
+
+
+def bot_regularity(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    id_col: str = "event_id",
+    min_gaps: int = 4,
+    gap_unit_us: int = 60_000_000,
+) -> DataFrame:
+    """Metronome detection: per actor, the squared coefficient of variation
+    of inter-event gaps as exact integer ppm — automated clients (cron
+    crawlers, scrapers hitting a calendar trap) fire at near-constant
+    intervals (cv² ≈ 0) while organic traffic is bursty (cv² ≳ 1).  The
+    timing-side bot signal next to T63/T64's declared politeness: robots
+    compliance tells you who ASKED, this tells you who is a MACHINE.
+
+    Exact arithmetic end-to-end: timestamps quantized to integer gap units
+    (``gap_unit_us``, default minutes — keeps every intermediate product
+    within int64 for 10⁶ events/actor at month spans), then
+    cv²·10⁶ = (10⁶·(n·Σg² − S²)) DIV S² — integer DIV, no float anywhere.
+    One lag() window per actor (bounded by actor history, the T71 window
+    discipline) + one map-side-combinable aggregate.
+
+    Returns (actor, n_gaps, mean_gap_units, cv2_ppm); actors with fewer
+    than ``min_gaps`` gaps or zero total gap are dropped (no stable
+    regularity estimate exists for them — documented).
+    """
+    gaps = (
+        events.select(
+            F.col(actor_col).alias("actor"),
+            F.col(ts_us_col).alias("_us"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_prev", F.lag("_us").over(
+            Window.partitionBy("actor").orderBy("_us", "_id")))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "actor",
+            F.expr(f"CAST((_us - _prev) DIV {gap_unit_us} AS BIGINT)").alias(
+                "_g"
+            ),
+        )
+    )
+    agg = gaps.groupBy("actor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("_g").cast("bigint").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).cast("bigint").alias("_sq"),
+    )
+    return (
+        agg.filter((F.col("n_gaps") >= min_gaps) & (F.col("_s") > 0))
+        .select(
+            "actor",
+            "n_gaps",
+            F.expr("CAST(_s DIV n_gaps AS BIGINT)").alias("mean_gap_units"),
+            F.expr(
+                "CAST((1000000 * (n_gaps * _sq - _s * _s)) DIV (_s * _s)"
+                " AS BIGINT)"
+            ).alias("cv2_ppm"),
+        )
+    )

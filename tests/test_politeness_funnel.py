@@ -320,3 +320,52 @@ def test_waterfill_negative_budget_rejected(spark):
     df = spark.createDataFrame([("a", 1)], "host string, demand long")
     with _pytest.raises(ValueError):
         crawl_budget_waterfill(df, -1)
+
+
+class TestBotRegularity:
+    """T156 — metronome detection (bot_regularity)."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        )
+
+    def test_metronome_vs_bursty(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+            bot_regularity,
+        )
+
+        M = 60_000_000
+        rows = [(1, i, i * 10 * M) for i in range(8)]          # exact 10-min beat
+        rows += [(2, i, [0, 1, 2, 30, 31, 200, 201, 500][i] * M)
+                 for i in range(8)]                            # bursty human
+        out = {r["actor"]: r for r in bot_regularity(
+            self._ev(spark, rows)).collect()}
+        assert out[1]["cv2_ppm"] == 0
+        assert out[1]["mean_gap_units"] == 10
+        assert out[2]["cv2_ppm"] > 500000
+
+    def test_min_gaps_and_zero_total_dropped(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+            bot_regularity,
+        )
+
+        M = 60_000_000
+        rows = [(1, i, i * M) for i in range(3)]       # only 2 gaps
+        rows += [(3, i, i * 1000 + 5_000_000) for i in range(6)]  # sub-minute
+        out = {r["actor"] for r in bot_regularity(
+            self._ev(spark, rows)).collect()}
+        assert out == set()  # user1: too few gaps; user3: all-zero gaps
+
+    def test_hand_computed_cv2(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+            bot_regularity,
+        )
+
+        M = 60_000_000
+        # gaps 1,1,1,5 minutes: n=4, s=8, sq=28 -> cv2 = (4*28-64)/64 = 0.75
+        ts = [0, 1, 2, 3, 8]
+        rows = [(9, i, t * M) for i, t in enumerate(ts)]
+        [r] = bot_regularity(self._ev(spark, rows)).collect()
+        assert r["n_gaps"] == 4 and r["mean_gap_units"] == 2
+        assert r["cv2_ppm"] == 750000
