@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "hits_scores",
     "link_churn",
     "sitemap_coverage",
+    "scd2_history",
+    "matryoshka_recall",
+    "policy_at_fetch",
+    "lsh_recall_eval",
+    "bot_regularity",
 ]
 
 

@@ -837,6 +837,36 @@ def main() -> int:
         )
     )
 
+    # T152: both rankings ride the Arrow scorer (MapInPandas), overlap is
+    # an equi-join
+    grab(
+        "matryoshka_recall",
+        em.q_matryoshka_recall(spark, sf),
+        "MapInPandas",
+        "partial_count",
+    )
+    # T153: interval lookup joins on the host equi-key (range as filter)
+    grab("policy_at_fetch", em.q_policy_at_fetch(spark, sf), "partial_count")
+    # T155: planted-twin truth is an all-pairs join ON THE SAMPLE ONLY
+    # (O(sample^2) by construction); thresholds ride a broadcast
+    grab(
+        "lsh_recall_eval",
+        em.q_lsh_recall_eval(spark, sf),
+        "BroadcastNestedLoopJoin",
+        "partial_count",
+    )
+    # T156: one bounded per-actor window + map-combined agg, no Python
+    grab("bot_regularity", em.q_bot_regularity(spark, sf), "partial_sum")
+    br_plan = sections[-1][1]
+    checks.append(
+        (
+            "bot_regularity",
+            "no per-row Python",
+            "ArrowEvalPython" not in br_plan
+            and "BatchEvalPython" not in br_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
