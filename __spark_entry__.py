@@ -4940,6 +4940,121 @@ ROBOTS_RULES = [
 ]
 
 
+def _table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page corpus with <table> markup: doc i renders one
+    header row plus R = 2 + i%3 body rows of C = 2 + i%2 columns, where
+    every 5th doc's first body cell spans two COLUMNS (colspan shifts the
+    rest of its row right), every 7th doc's last row-1 cell spans two
+    ROWS (the hangover steals a slot from row 2, which emits one fewer
+    cell), every 11th doc nests a 1x1 inner table inside its LAST row's
+    first cell (own table index, text isolated), and ODD docs emit tag
+    soup — no </td>/</tr> closers at all — so HTML5 auto-closing is
+    load-bearing for half the corpus.  Cell text carries an &amp; entity.
+    The DuckDB twin recomputes every grid coordinate from doc_id
+    arithmetic, so a hash match proves the WHATWG placement algorithm
+    (not just the happy path) end to end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    url = F.format_string("http://t%d.example.com/t/%d", did % 17, did)
+    r_max = (did % 3) + 2  # body rows 1..r_max
+    n_cols = (did % 2) + 2
+    s = did % 5 == 0
+    v = did % 7 == 0
+    nst = did % 11 == 0
+    soup = did % 2 == 1
+    close_td = F.when(soup, F.lit("")).otherwise(F.lit("</td>"))
+    close_tr = F.when(soup, F.lit("")).otherwise(F.lit("</tr>"))
+    inner = F.concat(
+        F.lit("<table><tr><td>inner d"),
+        did.cast("string"),
+        F.lit("</td></tr></table>"),
+    )
+    parts = [F.lit("<table>"), F.lit("<tr>")]
+    for j in range(3):  # header row
+        seg = F.concat(
+            F.lit(f"<th>Hdr {j} d"), did.cast("string"), F.lit("</th>")
+        )
+        parts.append(F.when(F.lit(j) < n_cols, seg).otherwise(F.lit("")))
+    parts.append(F.lit("</tr>"))
+    for r in range(1, 5):  # body rows (row r emitted iff r <= r_max)
+        row_parts = [F.lit("<tr>")]
+        for j in range(3):
+            attrs = F.when(
+                (F.lit(r) == 1) & s & (F.lit(j) == 0), F.lit(" colspan=\"2\"")
+            ).otherwise(
+                F.when(
+                    (F.lit(r) == 1) & v & (F.lit(j) == n_cols - 1),
+                    F.lit(" rowspan=2"),
+                ).otherwise(F.lit(""))
+            )
+            body = F.concat(
+                F.lit(f"r{r}c{j} d"),
+                did.cast("string"),
+                F.lit(" &amp; "),
+                F.col("source"),
+            )
+            tail = F.when(
+                (F.lit(r) == r_max) & (F.lit(j) == 0) & nst, inner
+            ).otherwise(F.lit(""))
+            seg = F.concat(F.lit("<td"), attrs, F.lit(">"), body, tail, close_td)
+            in_row = F.when(
+                (F.lit(r) == 2) & v, F.lit(j) < n_cols - 1
+            ).otherwise(F.lit(j) < n_cols)
+            row_parts.append(F.when(in_row, seg).otherwise(F.lit("")))
+        row_parts.append(close_tr)
+        parts.append(
+            F.when(F.lit(r) <= r_max, F.concat(*row_parts)).otherwise(F.lit(""))
+        )
+    parts.append(F.lit("</table>"))
+    html = F.concat(
+        F.lit("<html><body><p>pre</p>"), *parts, F.lit("<p>post</p></body></html>")
+    )
+    return docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_html_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T157: HTML <table> extraction (kernel/html_tables.py via the shared
+    linear tokenizer; operators/tables.py:extract_html_tables) — the
+    web-native twin of the reference's cell-grid reconstruction
+    (pdor/pdor_unit.py grid detection + ordered cell assembly, SURVEY.md
+    A11/M2-M3): every cell grid-placed by the WHATWG placement algorithm
+    with rowspan/colspan occupancy, HTML5 auto-closing (half the fixture
+    is closer-free tag soup), nested-table isolation, entity unescape.
+    ONE narrow Arrow stage; the oracle recomputes every grid coordinate
+    — including the colspan right-shift and the rowspan slot steal — from
+    doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    cells = extract_html_tables(_table_pages(spark, sf_dir))
+    return cells.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        "rowspan",
+        "colspan",
+        F.col("is_header").cast("int").alias("header_flag"),
+        "cell_text",
+    )
+
+
+def q_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T157 rollup: per-table shape stats (operators/tables.py:
+    table_shape_stats) — the north star's "cell-count histogram" metric
+    family: rows, cells, header cells, and rightmost occupied slot
+    (col+colspan reach) per extracted table, ONE map-side-combinable hash
+    agg over the cell stream.  Oracle composes the same arithmetic CTE
+    as the cells query and aggregates it independently."""
+    from pdf_drawing_ocr_recognition_spark.operators.tables import (
+        extract_html_tables,
+        table_shape_stats,
+    )
+
+    return table_shape_stats(extract_html_tables(_table_pages(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5018,6 +5133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_at_fetch": q_policy_at_fetch,
         "lsh_recall_eval": q_lsh_recall_eval,
         "bot_regularity": q_bot_regularity,
+        "html_table_cells": q_html_table_cells,
+        "table_shapes": q_table_shapes,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6156,6 +6273,82 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "html_table_cells": """
+            WITH d AS (
+                SELECT doc_id AS did, source AS src,
+                       2 + doc_id % 3 AS r_max,
+                       2 + doc_id % 2 AS c,
+                       (doc_id % 5 = 0) AS s,
+                       (doc_id % 7 = 0) AS v,
+                       (doc_id % 11 = 0) AS nst
+                FROM documents
+            ), outer_cells AS (
+                SELECT did, src, r.r, j.j, c,
+                       CASE WHEN r.r = 1 AND s AND j.j > 0 THEN j.j + 1
+                            ELSE j.j END AS col,
+                       CASE WHEN r.r = 1 AND s AND j.j = 0 THEN 2
+                            ELSE 1 END AS cs,
+                       CASE WHEN r.r = 1 AND v AND j.j = c - 1 THEN 2
+                            ELSE 1 END AS rs
+                FROM d
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS r) r
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE r.r <= r_max
+                  AND (CASE WHEN r.r = 2 AND v THEN j.j < c - 1
+                       ELSE j.j < c END)
+            )
+            SELECT 'http://t' || (did % 17) || '.example.com/t/' || did AS url,
+                   CAST(0 AS INT) AS table_idx,
+                   CAST(r AS INT) AS row_idx,
+                   CAST(col AS INT) AS col_idx,
+                   CAST(rs AS INT) AS rowspan,
+                   CAST(cs AS INT) AS colspan,
+                   CAST(CASE WHEN r = 0 THEN 1 ELSE 0 END AS INT)
+                       AS header_flag,
+                   CASE WHEN r = 0 THEN 'Hdr ' || j || ' d' || did
+                        ELSE 'r' || r || 'c' || j || ' d' || did
+                             || ' & ' || src END AS cell_text
+            FROM outer_cells
+            UNION ALL
+            SELECT 'http://t' || (did % 17) || '.example.com/t/' || did,
+                   CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+                   CAST(1 AS INT), CAST(1 AS INT), CAST(0 AS INT),
+                   'inner d' || did
+            FROM d WHERE nst
+        """,
+        "table_shapes": """
+            WITH d AS (
+                SELECT doc_id AS did,
+                       2 + doc_id % 3 AS r_max,
+                       2 + doc_id % 2 AS c,
+                       (doc_id % 5 = 0) AS s,
+                       (doc_id % 7 = 0) AS v,
+                       (doc_id % 11 = 0) AS nst
+                FROM documents
+            ), cells AS (
+                SELECT did, 0 AS tbl, r.r AS row_idx,
+                       CASE WHEN r.r = 1 AND s AND j.j > 0 THEN j.j + 1
+                            ELSE j.j END
+                       + CASE WHEN r.r = 1 AND s AND j.j = 0 THEN 2
+                              ELSE 1 END AS reach,
+                       CASE WHEN r.r = 0 THEN 1 ELSE 0 END AS hdr
+                FROM d
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS r) r
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE r.r <= r_max
+                  AND (CASE WHEN r.r = 2 AND v THEN j.j < c - 1
+                       ELSE j.j < c END)
+                UNION ALL
+                SELECT did, 1, 0, 1, 0 FROM d WHERE nst
+            )
+            SELECT 'http://t' || (did % 17) || '.example.com/t/' || did AS url,
+                   CAST(tbl AS INT) AS table_idx,
+                   CAST(max(row_idx) + 1 AS INT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(sum(hdr) AS BIGINT) AS n_header_cells,
+                   CAST(max(reach) AS INT) AS n_col_slots
+            FROM cells GROUP BY did, tbl
         """,
         "bot_regularity": """
             WITH g AS (

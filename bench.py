@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "policy_at_fetch",
     "lsh_recall_eval",
     "bot_regularity",
+    "html_table_cells",
+    "table_shapes",
 ]
 
 

@@ -867,6 +867,15 @@ def main() -> int:
         )
     )
 
+    # T157: cell extraction is ONE narrow Arrow stage — no shuffle at all;
+    # the shape rollup map-side-combines
+    grab("html_table_cells", em.q_html_table_cells(spark, sf), "MapInPandas")
+    tc_plan = sections[-1][1]
+    checks.append(
+        ("html_table_cells", "no Exchange", "Exchange" not in tc_plan)
+    )
+    grab("table_shapes", em.q_table_shapes(spark, sf), "partial_count")
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
