@@ -5055,6 +5055,44 @@ def q_table_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_shape_stats(extract_html_tables(_table_pages(spark, sf_dir)))
 
 
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T158: exact set-similarity join via prefix filtering
+    (operators/setjoin.py:ppjoin_pairs — Chaudhuri'06 SSJoin / Bayardo'07
+    AllPairs / Xiao'08 PPJoin) — EVERY pair with token-set Jaccard ≥ 0.6,
+    found without LSH's false negatives and without an all-pairs join:
+    tokens globally ordered by rarity, only the (n − ceil(t·n) + 1)-token
+    prefixes are indexed (pigeonhole makes that lossless), candidates
+    form in-array per posting list with the length filter applied inside
+    the expansion, then exact verification.  Corpus: the deterministic
+    1/25 sample plus planted PARTIAL twins (first ⌊n·m/10⌋ words,
+    m = 1 + doc_id%10) whose true Jaccard spans both sides of the
+    threshold.  The oracle is the strongest kind: a brute-force ALL-PAIRS
+    Jaccard in DuckDB — a hash match proves the pruning loses nothing."""
+    from pdf_drawing_ocr_recognition_spark.operators.setjoin import (
+        ppjoin_pairs,
+    )
+
+    orig = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", "text")
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    w = F.greatest(
+        F.lit(1),
+        F.floor(
+            F.size(words) * ((F.col("doc_id") % 10) + 1) / F.lit(10.0)
+        ).cast("int"),
+    )
+    twins = orig.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, w), " ").alias("text"),
+    )
+    return ppjoin_pairs(
+        orig.unionByName(twins), threshold_ppm=600_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5135,6 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_regularity": q_bot_regularity,
         "html_table_cells": q_html_table_cells,
         "table_shapes": q_table_shapes,
+        "ppjoin_pairs": q_ppjoin_pairs,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6273,6 +6312,44 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "ppjoin_pairs": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+            ), corpus AS (
+                SELECT doc_id, text FROM base
+                UNION ALL
+                SELECT doc_id + 10000000,
+                       array_to_string(
+                           w[1:greatest(1, CAST(floor(
+                               len(w) * ((doc_id % 10) + 1) / 10.0
+                           ) AS INT))], ' ')
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x <> '') AS w
+                      FROM base)
+            ), sets AS (
+                SELECT doc_id AS key,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS toks
+                FROM corpus
+            )
+            SELECT a.key AS key_a, b.key AS key_b,
+                   CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                       AS n_inter,
+                   CAST(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+                       AS n_union,
+                   CAST(floor(1000000.0 * len(list_intersect(a.toks, b.toks))
+                        / (len(a.toks) + len(b.toks)
+                           - len(list_intersect(a.toks, b.toks))))
+                        AS BIGINT) AS jaccard_ppm
+            FROM sets a JOIN sets b ON a.key < b.key
+            WHERE len(a.toks) > 0 AND len(b.toks) > 0
+              AND 1000000 * len(list_intersect(a.toks, b.toks))
+                  >= 600000 * (len(a.toks) + len(b.toks)
+                               - len(list_intersect(a.toks, b.toks)))
         """,
         "html_table_cells": """
             WITH d AS (

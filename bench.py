@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "bot_regularity",
     "html_table_cells",
     "table_shapes",
+    "ppjoin_pairs",
 ]
 
 

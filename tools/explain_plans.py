@@ -876,6 +876,19 @@ def main() -> int:
     )
     grab("table_shapes", em.q_table_shapes(spark, sf), "partial_count")
 
+    # T158: exact similarity join must NEVER be an all-pairs product —
+    # candidates come from the in-array posting-list expansion
+    grab("ppjoin_pairs", em.q_ppjoin_pairs(spark, sf), "partial_count")
+    pp_plan = sections[-1][1]
+    checks.append(
+        (
+            "ppjoin_pairs",
+            "no cartesian / nested-loop join",
+            "CartesianProduct" not in pp_plan
+            and "BroadcastNestedLoopJoin" not in pp_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
