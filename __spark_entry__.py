@@ -5093,6 +5093,37 @@ def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T159: semi-supervised label propagation over the harvested host
+    graph (operators/links.py:label_propagation — Zhu & Ghahramani 2002,
+    hard-clamped synchronous variant): 6 seed hosts (h%4==1, label
+    cat{h%3}) spread topic labels along REAL extracted links for two
+    rounds; per round one frontier join + one hash agg, argmax by the
+    deterministic min-struct discipline (greatest incoming mass, ties to
+    the smallest label — ties occur and are load-bearing).  The oracle
+    replays both rounds as chained CTEs with row_number tie-breaking over
+    the same doc_id-arithmetic edge set."""
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+        host_link_graph,
+        label_propagation,
+    )
+
+    pages, _ = _link_pages(spark, sf_dir)
+    edges = host_link_graph(extract_page_links(pages))
+    seeds = (
+        spark.range(_LINK_HOSTS)
+        .filter(F.col("id") % 4 == 1)
+        .select(
+            F.format_string("h%d.example.com", F.col("id")).alias("node"),
+            F.concat(F.lit("cat"), (F.col("id") % 3).cast("string")).alias(
+                "label"
+            ),
+        )
+    )
+    return label_propagation(edges, seeds, n_rounds=2)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5174,6 +5205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_cells": q_html_table_cells,
         "table_shapes": q_table_shapes,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "label_propagation": q_label_propagation,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6312,6 +6344,58 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pieces,
                    c.n_docs
             FROM e JOIN c USING (word)
+        """,
+        "label_propagation": """
+            WITH n AS (SELECT count(*) AS nn FROM documents),
+            links AS (
+                SELECT d.doc_id % 23 AS src_h,
+                       CASE WHEN j.j = 0 THEN d.doc_id % 23
+                            ELSE ((d.doc_id * 7 + j.j * 13 + 1) % n.nn) % 23
+                       END AS dst_h
+                FROM documents d CROSS JOIN n
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+                WHERE j.j < d.doc_id % 4
+            ), e AS (
+                SELECT src_h, dst_h, CAST(count(*) AS BIGINT) AS w
+                FROM links WHERE src_h <> dst_h GROUP BY 1, 2
+            ), seeds AS (
+                SELECT h, 'cat' || (h % 3) AS label
+                FROM (SELECT unnest(range(23)) AS h) WHERE h % 4 = 1
+            ), s1 AS (
+                SELECT e.dst_h AS h, l.label, sum(e.w) AS mass
+                FROM e JOIN seeds l ON e.src_h = l.h GROUP BY 1, 2
+            ), p1 AS (
+                SELECT h, label FROM (
+                    SELECT h, label,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY mass DESC, label ASC)
+                               AS rn
+                    FROM s1) WHERE rn = 1
+            ), l1 AS (
+                SELECT h, label FROM seeds
+                UNION ALL
+                SELECT h, label FROM p1
+                WHERE h NOT IN (SELECT h FROM seeds)
+            ), s2 AS (
+                SELECT e.dst_h AS h, l.label, sum(e.w) AS mass
+                FROM e JOIN l1 l ON e.src_h = l.h GROUP BY 1, 2
+            ), p2 AS (
+                SELECT h, label FROM (
+                    SELECT h, label,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY mass DESC, label ASC)
+                               AS rn
+                    FROM s2) WHERE rn = 1
+            ), l2 AS (
+                SELECT h, label FROM seeds
+                UNION ALL
+                SELECT h, label FROM p2
+                WHERE h NOT IN (SELECT h FROM seeds)
+            )
+            SELECT 'h' || h || '.example.com' AS host, label,
+                   CAST(CASE WHEN h IN (SELECT h FROM seeds)
+                        THEN 1 ELSE 0 END AS INT) AS is_seed
+            FROM l2
         """,
         "ppjoin_pairs": """
             WITH base AS (

@@ -531,3 +531,67 @@ def hits_scores(
         .join(h.withColumnRenamed("x", "hub_ppm"), "node")
         .withColumnRenamed("node", "host")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "weight",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation over the host graph (Zhu &
+    Ghahramani 2002 / Raghavan et al. 2007, hard-clamped synchronous
+    variant): a handful of curated host labels (topic, spam/ham,
+    language community) spread along real extracted links — the
+    cheap-supervision complement to T50 PageRank (importance) and T114
+    TrustRank (trust), labeling hosts no classifier ever saw text from.
+
+    Per round, every node adopts the label with the LARGEST incoming
+    edge-weight mass among its in-neighbors' current labels; seed nodes
+    are clamped and never change; unreached nodes carry no row.  The
+    argmax is the repo's deterministic min-struct discipline —
+    ``min(struct(-mass, label))`` = greatest mass, ties to the
+    lexicographically smallest label — so every engine replays the same
+    winner (ties are load-bearing in the oracle).  All arithmetic is
+    integer (edge weights are link counts).
+
+    Scale shape: per round ONE equi-join of the edge list against the
+    current label frontier plus ONE map-side-combinable hash agg —
+    work scales with |labeled frontier|'s out-edges, never |graph|; the
+    rounds are a fixed small constant (label propagation converges in a
+    few hops or not at all).  ``seeds`` stays dimension-sized and is
+    broadcast-eligible.
+
+    Returns (host, label, is_seed) — one row per host labeled after
+    *n_rounds*.
+    """
+    w = F.col(weight).cast("bigint") if weight else F.lit(1).cast("bigint")
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+    ).filter(F.col("_s") != F.col("_d"))
+    seed_rows = seeds.select(
+        F.col("node").alias("host"), F.col("label").alias("label")
+    )
+    labels = seed_rows
+    for _ in range(n_rounds):
+        picked = (
+            e.join(labels.withColumnRenamed("host", "_s"), "_s")
+            .groupBy(F.col("_d").alias("host"), "label")
+            .agg(F.sum("_w").alias("_mass"))
+            .groupBy("host")
+            .agg(
+                F.min(F.struct((-F.col("_mass")).alias("_neg"), F.col("label")))
+                .alias("_win")
+            )
+            .select("host", F.col("_win.label").alias("label"))
+        )
+        labels = seed_rows.unionByName(
+            picked.join(seed_rows.select("host"), "host", "left_anti")
+        )
+    return labels.join(
+        seed_rows.select("host", F.lit(1).alias("is_seed")), "host", "left"
+    ).select(
+        "host", "label", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed")
+    )
