@@ -5124,6 +5124,25 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, seeds, n_rounds=2)
 
 
+def q_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T160: edit-distance confirmation of the T3 LSH candidates
+    (operators/dedup.py:edit_verified_pairs) — the classic two-stage
+    near-dup cascade: banding proposes (recall), bounded Levenshtein
+    confirms (precision).  max_distance=7 is load-bearing at both gate
+    scales: the d=8 and d=12 candidates are REJECTED (short-circuit to
+    -1 via Spark's O(len·threshold) bounded variant), the d∈{0,4} bulk
+    passes.  edit_sim_ppm is exact integer arithmetic; Spark's JVM and
+    DuckDB's independent Levenshtein implementations pin each other."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        edit_verified_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_verified_pairs(
+        docs, q_minhash_lsh_pairs(spark, sf_dir), max_distance=7
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5206,6 +5225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_shapes": q_table_shapes,
         "ppjoin_pairs": q_ppjoin_pairs,
         "label_propagation": q_label_propagation,
+        "edit_verified_pairs": q_edit_verified_pairs,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5689,6 +5709,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b USING (band_key)
             WHERE a.doc_id < b.doc_id
+        """,
+        "edit_verified_pairs": f"""
+            WITH hashed AS (
+                SELECT doc_id,
+                       list_transform(wsh, x -> md5('0|' || x)) AS h0,
+                       list_transform(wsh, x -> md5('1|' || x)) AS h1
+                FROM (SELECT doc_id, {shingle5} AS wsh FROM documents)
+            ), sigs AS (
+                SELECT doc_id, [{window_mins}] AS sig FROM hashed
+            ), banded AS (
+                SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b USING (band_key)
+                WHERE a.doc_id < b.doc_id
+            ), scored AS (
+                SELECT p.doc_a, p.doc_b,
+                       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance,
+                       CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS ml
+                FROM pairs p
+                JOIN documents a ON p.doc_a = a.doc_id
+                JOIN documents b ON p.doc_b = b.doc_id
+            )
+            SELECT doc_a, doc_b, edit_distance,
+                   CAST(CASE WHEN ml = 0 THEN 1000000
+                        ELSE (ml - edit_distance) * 1000000 // ml
+                        END AS BIGINT) AS edit_sim_ppm
+            FROM scored WHERE edit_distance <= 7
         """,
         "simhash": """
             WITH toks AS (

@@ -1231,3 +1231,64 @@ def first_seen_attribution(
         )
         .filter(F.col("n_copies") >= min_copies)
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_distance: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Edit-distance confirmation stage for a dedup cascade: LSH/banding
+    proposes candidate pairs (set-similarity recall), Levenshtein CONFIRMS
+    character-level closeness — the classic two-stage near-dup pipeline
+    (candidates are cheap and over-complete; the O(len·max_distance)
+    verify runs only on candidates, never all pairs).  Catches what
+    shingle Jaccard alone cannot distinguish: transposition-heavy edits
+    and small in-place rewrites that preserve most shingles.
+
+    Uses Spark's bounded ``levenshtein(l, r, threshold)`` — cost per pair
+    is O(len·max_distance), not O(len²), and pairs beyond the bound
+    short-circuit to -1 and are dropped.  The similarity is exact integer
+    arithmetic: ``edit_sim_ppm = (maxlen − d) · 10⁶ div maxlen`` (both
+    empty ⇒ 10⁶).  Cross-engine pin: Spark (JVM) and DuckDB implement
+    Levenshtein independently — matching distances pin both against the
+    mathematical definition.
+
+    Scale shape: two equi-joins hang the texts on the (already banded,
+    never all-pairs) candidate list — work scales with |candidates|; the
+    verify itself is a narrow codegen projection.  At 100 TB the joins
+    shuffle only candidate keys + the candidate docs' texts.
+
+    Returns (pair_a, pair_b, edit_distance, edit_sim_ppm) for confirmed
+    pairs (distance ≤ max_distance).
+    """
+    t = docs.select(F.col(key_col), F.col(text_col))
+    joined = pairs.select(pair_a, pair_b).join(
+        t.select(
+            F.col(key_col).alias(pair_a), F.col(text_col).alias("_ta")
+        ),
+        pair_a,
+    ).join(
+        t.select(
+            F.col(key_col).alias(pair_b), F.col(text_col).alias("_tb")
+        ),
+        pair_b,
+    )
+    d = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    ml = F.greatest(F.length("_ta"), F.length("_tb")).cast("bigint")
+    scored = joined.select(
+        pair_a,
+        pair_b,
+        d.cast("bigint").alias("edit_distance"),
+        ml.alias("_ml"),
+    ).filter(F.col("edit_distance") >= 0)
+    sim = F.when(F.col("_ml") == 0, F.lit(1000000).cast("bigint")).otherwise(
+        F.expr("(_ml - edit_distance) * 1000000 div _ml")
+    )
+    return scored.select(
+        pair_a, pair_b, "edit_distance", sim.alias("edit_sim_ppm")
+    )
