@@ -5143,6 +5143,28 @@ def q_edit_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T161: cross-source vocabulary overlap via one-permutation MinHash
+    sketches (operators/sketches.py:opmh_sketch/opmh_overlap — Li, Owen
+    & Zhang 2012): each source's word SET compresses to a 64-bucket
+    bucket-min sketch in one map-side-combinable aggregate (exchange ≤ k
+    rows/source/task, never vocabulary-sized), then the 20×64-row sketch
+    dim self-joins into the pairwise Jaccard matrix — the "how much does
+    CommonCrawl overlap C4" corpus-audit question at sketch cost.  All
+    integer arithmetic on two disjoint hex windows of one md5; DuckDB
+    replays the sketch and the matrix bit-identically."""
+    from pdf_drawing_ocr_recognition_spark.operators.sketches import (
+        opmh_overlap,
+        opmh_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    return opmh_overlap(opmh_sketch(words, "source", "word", k=64), "source")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5226,6 +5248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "label_propagation": q_label_propagation,
         "edit_verified_pairs": q_edit_verified_pairs,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5737,6 +5760,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (ml - edit_distance) * 1000000 // ml
                         END AS BIGINT) AS edit_sim_ppm
             FROM scored WHERE edit_distance <= 7
+        """,
+        "source_vocab_overlap": """
+            WITH words AS (
+                SELECT source, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), hashed AS (
+                SELECT source,
+                       CAST('0x' || substr(md5('om|' || word), 1, 15)
+                            AS BIGINT) AS h,
+                       CAST(CAST('0x' || substr(md5('om|' || word), 16, 4)
+                                 AS BIGINT) % 64 AS INT) AS bucket
+                FROM words
+            ), sk AS (
+                SELECT source, bucket, min(h) AS mh
+                FROM hashed GROUP BY source, bucket
+            )
+            SELECT a.source AS group_a, b.source AS group_b,
+                   CAST(count(*) AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_match,
+                   CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS jaccard_est_ppm
+            FROM sk a JOIN sk b USING (bucket)
+            WHERE a.source < b.source
+            GROUP BY a.source, b.source
         """,
         "simhash": """
             WITH toks AS (

@@ -48,6 +48,9 @@ __all__ = [
     "qhist_build",
     "qhist_merge",
     "qhist_quantiles",
+    "opmh_sketch",
+    "opmh_merge",
+    "opmh_overlap",
 ]
 
 
@@ -455,4 +458,112 @@ def qhist_quantiles(
     lo, hi = qhist_bounds("bin_id", sub_bits)
     return best.select(
         *gc, "q_ppm", "n_total", "bin_id", lo.alias("est_lo"), hi.alias("est_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-permutation MinHash source sketches (set-overlap between corpus slices)
+# ---------------------------------------------------------------------------
+
+
+def opmh_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "om",
+) -> DataFrame:
+    """One-permutation MinHash sketch per group (Li, Owen & Zhang 2012):
+    a fixed k-row summary of each group's VALUE SET, built with one
+    map-side-combinable min aggregate — the mergeable answer to "how much
+    does source A's vocabulary/shingle set overlap source B's", which an
+    exact ``groupBy(source, value)`` would answer with a vocabulary-sized
+    shuffle per source.
+
+    One md5 per value, two disjoint hex windows (the MinHash one-digest
+    discipline): chars 1-15 are the 60-bit comparable hash, chars 16-19
+    pick the bucket (16 bits; k must divide 65536 so the residue is
+    unbiased).  Each group keeps min(hash) per bucket — the post-shuffle
+    exchange is ≤ k rows per group per task regardless of corpus size,
+    and two sketches of the same group merge by bucket-wise min (union
+    of streams ≡ min of sketches; see ``opmh_merge``).
+
+    Returns (group_col, bucket, min_hash) — ≤ k rows per group.
+    """
+    if k <= 0 or 65536 % k != 0:
+        raise ValueError(f"k must be a positive divisor of 65536, got {k}")
+    m = F.md5(
+        F.encode(
+            F.concat_ws("|", F.lit(salt), F.col(value_col).cast("string")),
+            "utf-8",
+        )
+    )
+    h = F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint")
+    bucket = (
+        F.conv(F.substring(m, 16, 4), 16, 10).cast("bigint") % F.lit(k)
+    ).cast("int")
+    return (
+        df.select(
+            F.col(group_col), bucket.alias("bucket"), h.alias("_h")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.min("_h").alias("min_hash"))
+    )
+
+
+def opmh_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Merge two one-permutation MinHash sketches of the same universe:
+    bucket-wise min — sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)), so
+    daily partial sketches fold without re-reading the corpus."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "bucket")
+        .agg(F.min("min_hash").alias("min_hash"))
+    )
+
+
+def opmh_overlap(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise set-overlap matrix from one-permutation MinHash sketches:
+    for each unordered group pair, the fraction of co-occupied buckets
+    whose min hashes COLLIDE estimates Jaccard(A, B) — the uniform-min
+    argument: P[min_A = min_B | both buckets occupied] = |A∩B|/|A∪B|
+    within the bucket's residue class.
+
+    The join input is the k-row-per-group sketch dim (never the corpus),
+    so the pair expansion is dimension-sized: |groups|²·k at worst, and
+    the final aggregate is map-side combinable.  Estimator contract:
+    buckets occupied by only one side are EXCLUDED from the denominator
+    (n_both counts co-occupied buckets); with |set| >> k empties are
+    rare and the estimate concentrates at ±O(1/√k).
+
+    Returns (group_a, group_b, n_both, n_match, jaccard_est_ppm) with
+    jaccard_est_ppm = 10⁶·n_match div n_both — exact integer arithmetic.
+    """
+    a = sketch.select(
+        F.col(group_col).alias("group_a"),
+        "bucket",
+        F.col("min_hash").alias("_ha"),
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"),
+        "bucket",
+        F.col("min_hash").alias("_hb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_both"),
+            F.sum(
+                (F.col("_ha") == F.col("_hb")).cast("bigint")
+            ).alias("n_match"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_both",
+            "n_match",
+            F.expr("n_match * 1000000 div n_both").alias("jaccard_est_ppm"),
+        )
     )
