@@ -5165,6 +5165,25 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opmh_overlap(opmh_sketch(words, "source", "word", k=64), "source")
 
 
+def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T162: bag-of-words canonical dedup (operators/dedup.py:bow_dedup)
+    over documents plus PLANTED word-order rewrites: every doc_id%37==0
+    page gains a twin (doc_id+10⁶) whose text is the sorted word list —
+    same multiset, different bytes — so the n_exact_variants>1 farm
+    branch is load-bearing alongside ordinary byte-exact clusters.  One
+    codegen canonicalization + one digest-keyed hash aggregate."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import bow_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.sort_array(F.split(F.lower(F.col("text")), " "))
+        ).alias("text"),
+    )
+    return bow_dedup(docs.unionByName(twins))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5249,6 +5268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "edit_verified_pairs": q_edit_verified_pairs,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "bow_dedup": q_bow_dedup,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5785,6 +5805,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sk a JOIN sk b USING (bucket)
             WHERE a.source < b.source
             GROUP BY a.source, b.source
+        """,
+        "bow_dedup": """
+            WITH twins AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(
+                           list_sort(string_split(lower(text), ' ')), ' '
+                       ) AS text
+                FROM documents WHERE doc_id % 37 = 0
+            ), alld AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM twins
+            )
+            SELECT md5(array_to_string(
+                       list_sort(string_split(lower(text), ' ')), ' '
+                   )) AS bow_digest,
+                   CAST(count(*) AS BIGINT) AS cluster_size,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT)
+                       AS n_exact_variants,
+                   min(doc_id) AS keeper_doc_id
+            FROM alld
+            GROUP BY 1
+            HAVING count(*) >= 2
         """,
         "simhash": """
             WITH toks AS (

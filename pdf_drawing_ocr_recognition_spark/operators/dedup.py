@@ -1292,3 +1292,47 @@ def edit_verified_pairs(
     return scored.select(
         pair_a, pair_b, "edit_distance", sim.alias("edit_sim_ppm")
     )
+
+
+def bow_dedup(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Bag-of-words canonical dedup: cluster documents whose lowercased
+    word MULTISETS are identical regardless of word order — the
+    spam-farm rewrite class (template text with paragraphs/sentences
+    shuffled per page) that byte hashing misses entirely and shingle
+    Jaccard only scores fractionally.  The canonical form is the sorted
+    word list (duplicates kept, so counts matter: "a a b" ≠ "a b"),
+    hashed to one digest; sorting is binary-collation on both engines.
+
+    ``n_exact_variants`` is the farm signal: a bag cluster whose members
+    span >1 distinct BYTE digest contains genuine word-order rewrites,
+    not just byte-exact copies (which T1 already collapses).
+
+    Scale shape: the canonicalization is one codegen projection (per-doc
+    sort bounded by doc length), then ONE hash aggregate keyed by the
+    16-byte digest — count/min partials map-side-combine; the distinct
+    count expands to (bow, exact) pairs, still digest-sized.  Nothing
+    all-pairs; survives 100 TB like T1.
+
+    Returns (bow_digest, cluster_size, n_exact_variants, keeper_doc_id)
+    for clusters of ≥ *min_cluster* members.
+    """
+    words = F.sort_array(F.split(F.lower(F.col(text_col)), " "))
+    d = docs.select(
+        F.col(key_col).alias("_k"),
+        F.md5(F.encode(F.concat_ws(" ", words), "utf-8")).alias("bow_digest"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("_exact"),
+    )
+    return (
+        d.groupBy("bow_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.countDistinct("_exact").cast("bigint").alias("n_exact_variants"),
+            F.min("_k").alias("keeper_doc_id"),
+        )
+        .filter(F.col("cluster_size") >= min_cluster)
+    )
