@@ -5184,6 +5184,28 @@ def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bow_dedup(docs.unionByName(twins))
 
 
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T163: embedding-level benchmark decontamination
+    (operators/similarity.py:semantic_decontaminate): vectors vec_id%41==0
+    play the benchmark (13-row dim at sf0.01), the rest the corpus; any
+    corpus vector with cosine ≥ 0.3 against a benchmark vector is flagged
+    with its best match — the semantic complement to the verbatim
+    decontamination family.  One narrow mapInPandas (benchmark rides in
+    as a driver dim, no shuffle, no pair materialization); every cosine
+    is the cumsum fold so the flag-set threshold and argmax replay
+    bitwise in DuckDB."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 41 != 0),
+        emb.filter(F.col("vec_id") % 41 == 0),
+        min_cosine=0.3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5269,6 +5291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_verified_pairs": q_edit_verified_pairs,
         "source_vocab_overlap": q_source_vocab_overlap,
         "bow_dedup": q_bow_dedup,
+        "semantic_decontamination": q_semantic_decontamination,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5827,6 +5850,33 @@ def oracle_sql() -> dict[str, str]:
             FROM alld
             GROUP BY 1
             HAVING count(*) >= 2
+        """,
+        "semantic_decontamination": """
+            WITH bench AS (
+                SELECT vec_id AS bench_id, embedding::DOUBLE[] AS b
+                FROM embeddings WHERE vec_id % 41 = 0
+            ), corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS c
+                FROM embeddings WHERE vec_id % 41 <> 0
+            ), scored AS (
+                SELECT corpus.vec_id, bench.bench_id,
+                       CASE WHEN sqrt(list_dot_product(c, c)) *
+                                 sqrt(list_dot_product(b, b)) = 0
+                            THEN 0.0
+                            ELSE list_dot_product(c, b) /
+                                 (sqrt(list_dot_product(c, c)) *
+                                  sqrt(list_dot_product(b, b)))
+                       END AS cos
+                FROM corpus CROSS JOIN bench
+            ), best AS (
+                SELECT vec_id, bench_id, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, bench_id ASC)
+                           AS rn
+                FROM scored
+            )
+            SELECT vec_id, bench_id, round(cos, 6) AS cosine
+            FROM best WHERE rn = 1 AND cos >= 0.3
         """,
         "simhash": """
             WITH toks AS (

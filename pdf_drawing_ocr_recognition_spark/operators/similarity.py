@@ -1144,3 +1144,83 @@ def mutual_top1_alignment(
             F.round(F.col("_c1") - F.col("_c2"), round_to).alias("margin"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus vectors whose
+    cosine against ANY benchmark vector reaches *min_cosine* — the
+    semantic complement to the exact/n-gram/phrase decontamination family
+    (T30/T51/T106/T116), catching paraphrased or lightly-reworded eval
+    items that share no verbatim n-grams with the benchmark text.
+
+    Scale shape: the benchmark is dimension-sized (eval suites are
+    thousands of items, the corpus is billions), so it collects to the
+    driver ONCE and rides into a single narrow mapInPandas over the
+    corpus — no pair materialization, no shuffle at all; each Arrow batch
+    scores against the in-memory benchmark matrix and emits only its
+    flagged rows.  Every per-bench dot is the strict cumsum fold
+    (seq_dot_np), so each cosine is bitwise identical to DuckDB's
+    list_dot_product replay; the argmax keeps the smallest benchmark id
+    on exact ties (ascending scan, strict improvement).
+
+    Returns (vec_id, bench_id, cosine) — one row per contaminated corpus
+    vector, cosine rounded to 6 for output (the filter runs on raw bits).
+    """
+    import numpy as np
+
+    bench_rows = sorted(
+        benchmark.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    if not bench_rows:
+        raise ValueError("benchmark set is empty")
+    b_ids = [r[0] for r in bench_rows]
+    b_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in bench_rows])
+    b_norms = seq_norm_np(b_mat)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("bench_id", LongType()),
+            StructField("_cos", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = _stack_f64(pdf[vec_col])
+            nc = seq_norm_np(c)
+            best = np.full(len(pdf), -np.inf)
+            best_id = np.zeros(len(pdf), dtype=np.int64)
+            for j, bid in enumerate(b_ids):
+                d = seq_dot_np(c, np.broadcast_to(b_mat[j], c.shape))
+                denom = nc * b_norms[j]
+                cos = np.where(denom == 0, 0.0, d / np.where(denom == 0, 1.0, denom))
+                better = cos > best
+                best = np.where(better, cos, best)
+                best_id = np.where(better, bid, best_id)
+            keep = best >= min_cosine
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf[id_col].to_numpy()[keep],
+                        "bench_id": best_id[keep],
+                        "_cos": best[keep],
+                    }
+                )
+
+    flagged = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, schema
+    )
+    return flagged.select(
+        "vec_id", "bench_id", F.round(F.col("_cos"), 6).alias("cosine")
+    )
