@@ -5184,6 +5184,92 @@ def q_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bow_dedup(docs.unionByName(twins))
 
 
+def _code_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page corpus with code markup: doc i carries i%3 pre
+    blocks ("def f{i}_{k}(a):\\n    return a &amp; {k}" — newline +
+    indentation + entity all load-bearing), wrapped as
+    <pre><code class="language-python">…</code></pre> for EVEN docs (the
+    markdown-renderer idiom: one block, outer tag pre, hint python) and
+    bare <pre>…</pre> for odd; every 5th doc adds an inline <code>
+    snippet, every 7th ends with an UNCLOSED <pre> that must flush at
+    EOF; a constant <script> payload must vanish.  The DuckDB twin
+    replays every block's verbatim text AND the full html string (for
+    the density ppm) from doc_id arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.format_string("http://c%d.example.com/p/%d", did % 13, did)
+    pieces = [
+        F.lit("<html><body><script>var x=1;</script><p>intro d"),
+        did.cast("string"),
+        F.lit("</p>"),
+    ]
+    for k in range(2):  # pre block k emitted iff k < i%3
+        content = F.concat(
+            F.lit(f"def f"),
+            did.cast("string"),
+            F.lit(f"_{k}(a):\n    return a &amp; {k}"),
+        )
+        wrapped = F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<pre><code class="language-python">'),
+                content,
+                F.lit("</code></pre>"),
+            ),
+        ).otherwise(F.concat(F.lit("<pre>"), content, F.lit("</pre>")))
+        pieces.append(
+            F.when(F.lit(k) < did % 3, wrapped).otherwise(F.lit(""))
+        )
+    pieces.append(
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<p>see <code>x"), did.cast("string"), F.lit("=1</code> here</p>")
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit("<pre>tail d"), did.cast("string")),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(F.lit("</body></html>"))
+    html = F.concat(*pieces)
+    return docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T164: verbatim code-block harvesting (kernel/codeblocks.py via the
+    shared linear tokenizer; operators/codeblocks.py) — <pre>/<code>
+    regions with indentation/newlines preserved (the generic extractor's
+    whitespace-collapse destroys exactly what training code needs),
+    pre>code idiom as ONE block, language-* class hints, script content
+    dropped, unclosed blocks flushed at EOF.  ONE narrow Arrow stage; the
+    oracle replays every verbatim text from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.codeblocks import (
+        extract_page_code_blocks,
+    )
+
+    return extract_page_code_blocks(_code_pages(spark, sf_dir))
+
+
+def q_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T164 rollup: per-page code density (operators/codeblocks.py:
+    code_density) — block count, code chars, and exact-ppm code share of
+    the page's HTML, zero rows kept via the LEFT join (code-free pages
+    are the other stratum).  The oracle rebuilds the ENTIRE html string
+    in SQL to take its length — a hash match pins both the extraction
+    and the fixture bytes."""
+    from pdf_drawing_ocr_recognition_spark.operators.codeblocks import (
+        code_density,
+        extract_page_code_blocks,
+    )
+
+    pages = _code_pages(spark, sf_dir)
+    return code_density(pages, extract_page_code_blocks(pages))
+
+
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T163: embedding-level benchmark decontamination
     (operators/similarity.py:semantic_decontaminate): vectors vec_id%41==0
@@ -5292,6 +5378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "bow_dedup": q_bow_dedup,
         "semantic_decontamination": q_semantic_decontamination,
+        "code_blocks": q_code_blocks,
+        "code_density": q_code_density,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -5877,6 +5965,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, bench_id, round(cos, 6) AS cosine
             FROM best WHERE rn = 1 AND cos >= 0.3
+        """,
+        "code_blocks": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://c' || (doc_id % 13) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), pre_blocks AS (
+                SELECT url, CAST(k.k AS INT) AS block_idx, 'pre' AS tag,
+                       CASE WHEN i % 2 = 0 THEN 'python' ELSE '' END
+                           AS lang_hint,
+                       'def f' || i || '_' || k.k || '(a):' || chr(10)
+                           || '    return a & ' || k.k AS code_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+                WHERE k.k < i % 3
+            ), inline_blocks AS (
+                SELECT url, CAST(i % 3 AS INT) AS block_idx, 'code' AS tag,
+                       '' AS lang_hint, 'x' || i || '=1' AS code_text
+                FROM base WHERE i % 5 = 0
+            ), tail_blocks AS (
+                SELECT url,
+                       CAST(i % 3 + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END
+                            AS INT) AS block_idx,
+                       'pre' AS tag, '' AS lang_hint,
+                       'tail d' || i AS code_text
+                FROM base WHERE i % 7 = 0
+            )
+            SELECT url, block_idx, tag, lang_hint, code_text FROM pre_blocks
+            UNION ALL SELECT url, block_idx, tag, lang_hint, code_text
+            FROM inline_blocks
+            UNION ALL SELECT url, block_idx, tag, lang_hint, code_text
+            FROM tail_blocks
+        """,
+        "code_density": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://c' || (doc_id % 13) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), built AS (
+                SELECT url,
+                       '<html><body><script>var x=1;</script><p>intro d'
+                       || i || '</p>'
+                       || CASE WHEN 0 < i % 3 THEN
+                            CASE WHEN i % 2 = 0
+                                 THEN '<pre><code class="language-python">def f'
+                                      || i || '_0(a):' || chr(10)
+                                      || '    return a &amp; 0</code></pre>'
+                                 ELSE '<pre>def f' || i || '_0(a):' || chr(10)
+                                      || '    return a &amp; 0</pre>'
+                            END ELSE '' END
+                       || CASE WHEN 1 < i % 3 THEN
+                            CASE WHEN i % 2 = 0
+                                 THEN '<pre><code class="language-python">def f'
+                                      || i || '_1(a):' || chr(10)
+                                      || '    return a &amp; 1</code></pre>'
+                                 ELSE '<pre>def f' || i || '_1(a):' || chr(10)
+                                      || '    return a &amp; 1</pre>'
+                            END ELSE '' END
+                       || CASE WHEN i % 5 = 0
+                               THEN '<p>see <code>x' || i || '=1</code> here</p>'
+                               ELSE '' END
+                       || CASE WHEN i % 7 = 0
+                               THEN '<pre>tail d' || i ELSE '' END
+                       || '</body></html>' AS html
+                FROM base
+            ), blocks AS (
+                SELECT url,
+                       'def f' || i || '_' || k.k || '(a):' || chr(10)
+                           || '    return a & ' || k.k AS code_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+                WHERE k.k < i % 3
+                UNION ALL
+                SELECT url, 'x' || i || '=1' FROM base WHERE i % 5 = 0
+                UNION ALL
+                SELECT url, 'tail d' || i FROM base WHERE i % 7 = 0
+            ), roll AS (
+                SELECT url, CAST(count(*) AS BIGINT) AS nb,
+                       CAST(sum(length(code_text)) AS BIGINT) AS cc
+                FROM blocks GROUP BY url
+            )
+            SELECT b.url,
+                   CAST(coalesce(r.nb, 0) AS BIGINT) AS n_code_blocks,
+                   CAST(coalesce(r.cc, 0) AS BIGINT) AS code_chars,
+                   CAST(coalesce(r.cc, 0) * 1000000 // length(b.html)
+                        AS BIGINT) AS code_char_ppm
+            FROM built b LEFT JOIN roll r USING (url)
         """,
         "simhash": """
             WITH toks AS (
