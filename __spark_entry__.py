@@ -5270,6 +5270,23 @@ def q_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_density(pages, extract_page_code_blocks(pages))
 
 
+def q_otsu_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T165: Otsu auto-threshold moments (operators/mixing.py:otsu_moments)
+    over the length signal binned to 64 (bin = min(n_chars div 8, 63)) —
+    the data-driven "where should the keep/drop cut sit" alternative to
+    hand-tuned quality constants.  The corpus collapses to ≤64 histogram
+    rows in one map-side-combinable agg; the 63-threshold class-moment
+    expansion is dim×dim; the argmax itself is driver-side exact
+    rationals (otsu_threshold, pytest-pinned) — this moments table is
+    the oracled corpus-touching surface, the T99 pca_gram contract."""
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import otsu_moments
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.least(F.expr("n_chars div 8"), F.lit(63)).alias("bin")
+    )
+    return otsu_moments(docs, "bin", 64)
+
+
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T163: embedding-level benchmark decontamination
     (operators/similarity.py:semantic_decontaminate): vectors vec_id%41==0
@@ -5380,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontamination": q_semantic_decontamination,
         "code_blocks": q_code_blocks,
         "code_density": q_code_density,
+        "otsu_moments": q_otsu_moments,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6052,6 +6070,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(r.cc, 0) * 1000000 // length(b.html)
                         AS BIGINT) AS code_char_ppm
             FROM built b LEFT JOIN roll r USING (url)
+        """,
+        "otsu_moments": """
+            WITH hist AS (
+                SELECT least(n_chars // 8, 63) AS b, count(*) AS n
+                FROM documents GROUP BY 1
+            ), thr AS (SELECT unnest(range(1, 64)) AS thr_bin)
+            SELECT thr_bin,
+                   CAST(coalesce(sum(CASE WHEN b < thr_bin THEN n END), 0)
+                        AS BIGINT) AS cnt_lo,
+                   CAST(coalesce(sum(CASE WHEN b < thr_bin THEN n * b END), 0)
+                        AS BIGINT) AS sum_lo,
+                   CAST(coalesce(sum(CASE WHEN b >= thr_bin THEN n END), 0)
+                        AS BIGINT) AS cnt_hi,
+                   CAST(coalesce(sum(CASE WHEN b >= thr_bin THEN n * b END), 0)
+                        AS BIGINT) AS sum_hi
+            FROM thr CROSS JOIN hist
+            GROUP BY thr_bin
         """,
         "simhash": """
             WITH toks AS (

@@ -365,3 +365,85 @@ def per_group_percentiles(
         score_col,
         F.round(F.percent_rank().over(w), 6).alias(out_col),
     )
+
+
+def otsu_moments(
+    df: DataFrame,
+    bin_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Per-threshold class moments for Otsu's method (Otsu 1979) over an
+    integer-binned score: for every candidate cut t ∈ [1, n_bins), the
+    exact counts and bin-mass sums of the two classes {bin < t} and
+    {bin ≥ t}.  This is the CORPUS-TOUCHING stage of auto-thresholding a
+    quality signal ("where should the keep/drop cut sit for THIS crawl"
+    instead of a hand-tuned constant), and the oracled surface — the
+    argmax itself runs driver-side on ≤ n_bins scalar rows
+    (``otsu_threshold``), exactly the PCA-eigh/T99 division of labor.
+
+    Scale shape: ONE map-side-combinable hash agg collapses the corpus
+    to ≤ n_bins histogram rows; the threshold expansion is an n_bins²
+    dim-by-dim product (≤ 4096 rows at the default 64) — nothing
+    document-sized crosses the exchange after the histogram.  All
+    arithmetic is exact integers.
+
+    Returns (thr_bin, cnt_lo, sum_lo, cnt_hi, sum_hi), one row per
+    candidate threshold, zeros for empty classes.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    spark = df.sparkSession
+    hist = df.groupBy(F.col(bin_col).cast("bigint").alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    thr = spark.range(1, n_bins).select(F.col("id").alias("thr_bin"))
+    lo = F.col("_b") < F.col("thr_bin")
+    return (
+        thr.crossJoin(F.broadcast(hist))
+        .groupBy("thr_bin")
+        .agg(
+            F.coalesce(F.sum(F.when(lo, F.col("_n"))), F.lit(0))
+            .cast("bigint")
+            .alias("cnt_lo"),
+            F.coalesce(F.sum(F.when(lo, F.col("_n") * F.col("_b"))), F.lit(0))
+            .cast("bigint")
+            .alias("sum_lo"),
+            F.coalesce(F.sum(F.when(~lo, F.col("_n"))), F.lit(0))
+            .cast("bigint")
+            .alias("cnt_hi"),
+            F.coalesce(F.sum(F.when(~lo, F.col("_n") * F.col("_b"))), F.lit(0))
+            .cast("bigint")
+            .alias("sum_hi"),
+        )
+    )
+
+
+def otsu_threshold(moments: DataFrame) -> tuple[int, "object"]:
+    """Pick the Otsu cut from an ``otsu_moments`` frame: the threshold
+    maximizing the between-class variance
+
+        σ²_B(t) = cnt_lo·cnt_hi·(μ_hi − μ_lo)²
+                = (sum_lo·cnt_hi − sum_hi·cnt_lo)² / (cnt_lo·cnt_hi)
+
+    compared EXACTLY in Python bignum rationals (no float ordering —
+    candidate objectives can differ in the last ulp and engines would
+    disagree); thresholds with an empty class are skipped; ties go to
+    the smallest threshold.  Driver transfer is the ≤ n_bins moments
+    rows — scalars, never documents.
+
+    Returns (thr_bin, objective) with objective a ``fractions.Fraction``.
+    """
+    from fractions import Fraction
+
+    best_t, best_obj = None, None
+    for r in sorted(moments.collect(), key=lambda r: r["thr_bin"]):
+        c0, s0, c1, s1 = r["cnt_lo"], r["sum_lo"], r["cnt_hi"], r["sum_hi"]
+        if c0 == 0 or c1 == 0:
+            continue
+        num = s0 * c1 - s1 * c0
+        obj = Fraction(num * num, c0 * c1)
+        if best_obj is None or obj > best_obj:
+            best_t, best_obj = r["thr_bin"], obj
+    if best_t is None:
+        raise ValueError("otsu_threshold needs at least two occupied bins")
+    return int(best_t), best_obj
