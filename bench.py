@@ -94,6 +94,15 @@ BENCH_QUERIES = [
     "html_table_cells",
     "table_shapes",
     "ppjoin_pairs",
+    # round 4 (cont. 7): graph labels / cascade verify / sketches / code
+    "label_propagation",
+    "edit_verified_pairs",
+    "source_vocab_overlap",
+    "bow_dedup",
+    "semantic_decontamination",
+    "code_blocks",
+    "code_density",
+    "otsu_moments",
 ]
 
 

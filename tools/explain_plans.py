@@ -889,6 +889,98 @@ def main() -> int:
         )
     )
 
+    # T159: seeds dim broadcast into the frontier join; min-struct argmax
+    # map-side-combines
+    grab(
+        "label_propagation",
+        em.q_label_propagation(spark, sf),
+        "BroadcastHashJoin",
+        "partial_min",
+    )
+    lp_plan = sections[-1][1]
+    checks.append(
+        ("label_propagation", "no cartesian", "CartesianProduct" not in lp_plan)
+    )
+
+    # T160: the verify is codegen levenshtein on candidate joins, never an
+    # all-pairs product
+    grab(
+        "edit_verified_pairs",
+        em.q_edit_verified_pairs(spark, sf),
+        "levenshtein",
+    )
+    ev_plan = sections[-1][1]
+    checks.append(
+        (
+            "edit_verified_pairs",
+            "no cartesian / nested-loop join",
+            "CartesianProduct" not in ev_plan
+            and "BroadcastNestedLoopJoin" not in ev_plan,
+        )
+    )
+
+    # T161: sketch is ONE map-combinable min agg; matrix joins the dim
+    grab(
+        "source_vocab_overlap",
+        em.q_source_vocab_overlap(spark, sf),
+        "partial_min",
+        "partial_count",
+    )
+
+    # T162: one digest-keyed agg, no Python anywhere
+    grab("bow_dedup", em.q_bow_dedup(spark, sf), "partial_count")
+    bd_plan = sections[-1][1]
+    checks.append(
+        (
+            "bow_dedup",
+            "no per-row Python",
+            "ArrowEvalPython" not in bd_plan and "BatchEvalPython" not in bd_plan,
+        )
+    )
+
+    # T163: benchmark rides as a driver dim — ONE narrow Arrow stage,
+    # NO shuffle and NO pair join at all
+    grab(
+        "semantic_decontamination",
+        em.q_semantic_decontamination(spark, sf),
+        "MapInPandas",
+    )
+    sd_plan = sections[-1][1]
+    checks.append(
+        ("semantic_decontamination", "no Exchange", "Exchange" not in sd_plan)
+    )
+    checks.append(
+        (
+            "semantic_decontamination",
+            "no join at all",
+            "Join" not in sd_plan and "CartesianProduct" not in sd_plan,
+        )
+    )
+
+    # T164: extraction is ONE narrow Arrow stage; density rollup
+    # map-side-combines then broadcast-joins the page frame
+    grab("code_blocks", em.q_code_blocks(spark, sf), "MapInPandas")
+    cb_plan = sections[-1][1]
+    checks.append(("code_blocks", "no Exchange", "Exchange" not in cb_plan))
+    grab(
+        "code_density",
+        em.q_code_density(spark, sf),
+        "partial_sum",
+        "BroadcastHashJoin",
+    )
+
+    # T165: corpus collapses to the histogram BEFORE the threshold
+    # expansion; the nested-loop join is the 63x64 dim-by-dim product
+    grab("otsu_moments", em.q_otsu_moments(spark, sf), "partial_count", "partial_sum")
+    om_plan = sections[-1][1]
+    checks.append(
+        (
+            "otsu_moments",
+            "no per-row Python",
+            "ArrowEvalPython" not in om_plan and "BatchEvalPython" not in om_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
