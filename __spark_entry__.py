@@ -5270,6 +5270,82 @@ def q_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_density(pages, extract_page_code_blocks(pages))
 
 
+def q_stitch_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T167: paginated-article stitching
+    (operators/corpus_prep.py:stitch_continuations): every doc_id%6==0
+    page is split into a planted two-page article — page A ends with a
+    unique 8-token carry-over that page B starts with — and the operator
+    must recover exactly the (A_i, B_i) continuation edges via the
+    digest-shaped tail→head key join (plus any organic collisions the
+    oracle equally replays).  Two codegen projections + ONE equi-join;
+    never all-pairs."""
+    from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+        stitch_continuations,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    overlap = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("seg"), did.cast("string"), F.lit(ch))
+            for ch in "abcdefgh"
+        ],
+    )
+    # two selects per page: the overlap expression references doc_id, so
+    # the re-key must happen in a SEPARATE select (lateral-alias rule)
+    six = docs.filter(did % 6 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), overlap).alias("_a_text"),
+        F.concat(
+            overlap, F.lit(" continued tail of d"), did.cast("string")
+        ).alias("_b_text"),
+    )
+    page_a = six.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.col("_a_text").alias("text"),
+    )
+    page_b = six.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.col("_b_text").alias("text"),
+    )
+    return stitch_continuations(
+        docs.unionByName(page_a).unionByName(page_b), k=8
+    )
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T166: mojibake repair (kernel/mojibake.py via
+    functions/encoding.py:mojibake_repaired) — five planted classes per
+    doc_id%5: clean ASCII (fixed point), single latin-1 mangle (1 round),
+    DOUBLE mangle (2 rounds peeled), cp1252 smart-quote mangle (1 round),
+    and genuine legacy 'Ø' text whose bytes are NOT valid UTF-8 — the
+    false-positive guard, untouched at rounds 0.  One Arrow-batched
+    pandas_udf; the oracle states the expected repaired text per class
+    via chr() codepoints."""
+    from pdf_drawing_ocr_recognition_spark.functions.encoding import (
+        with_mojibake_repair,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    m = did % 5
+    text = (
+        F.when(m == 1, F.concat(F.lit("cafÃ© â\x80\x94 d"), did.cast("string")))
+        .when(
+            m == 2,
+            F.concat(F.lit("cafÃ\x83Â© Ã¢Â\x80Â\x94 d"), did.cast("string")),
+        )
+        .when(m == 3, F.concat(F.lit("itâ€™s d"), did.cast("string")))
+        .when(m == 4, F.concat(F.lit("Øx d"), did.cast("string")))
+        .otherwise(F.concat(F.lit("plain d"), did.cast("string")))
+    )
+    fixture = docs.select("doc_id", text.alias("raw"))
+    return with_mojibake_repair(fixture, text_col="raw").select(
+        "doc_id", "repaired", "rounds"
+    )
+
+
 def q_otsu_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T165: Otsu auto-threshold moments (operators/mixing.py:otsu_moments)
     over the length signal binned to 64 (bin = min(n_chars div 8, 63)) —
@@ -5398,6 +5474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_blocks": q_code_blocks,
         "code_density": q_code_density,
         "otsu_moments": q_otsu_moments,
+        "mojibake_repair": q_mojibake_repair,
+        "stitch_continuations": q_stitch_continuations,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6087,6 +6165,57 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_hi
             FROM thr CROSS JOIN hist
             GROUP BY thr_bin
+        """,
+        "mojibake_repair": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                        WHEN 1 THEN 'caf' || chr(233) || ' ' || chr(8212)
+                                    || ' d' || doc_id
+                        WHEN 2 THEN 'caf' || chr(233) || ' ' || chr(8212)
+                                    || ' d' || doc_id
+                        WHEN 3 THEN 'it' || chr(8217) || 's d' || doc_id
+                        WHEN 4 THEN chr(216) || 'x d' || doc_id
+                        ELSE 'plain d' || doc_id
+                   END AS repaired,
+                   CAST(CASE doc_id % 5
+                        WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 1
+                        ELSE 0 END AS INT) AS rounds
+            FROM documents
+        """,
+        "stitch_continuations": """
+            WITH six AS (
+                SELECT doc_id AS i, text,
+                       'seg' || doc_id || 'a seg' || doc_id || 'b seg'
+                       || doc_id || 'c seg' || doc_id || 'd seg' || doc_id
+                       || 'e seg' || doc_id || 'f seg' || doc_id || 'g seg'
+                       || doc_id || 'h' AS ov
+                FROM documents WHERE doc_id % 6 = 0
+            ), alld AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT i + 20000000, text || ' ' || ov FROM six
+                UNION ALL
+                SELECT i + 30000000, ov || ' continued tail of d' || i
+                FROM six
+            ), keyed AS (
+                SELECT doc_id, ws
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(text, '\\s+'),
+                                         x -> x <> '') AS ws
+                      FROM alld)
+                WHERE len(ws) >= 8
+            ), tails AS (
+                SELECT doc_id AS prev_doc,
+                       array_to_string(ws[-8:], ' ') AS overlap_key
+                FROM keyed
+            ), heads AS (
+                SELECT doc_id AS next_doc,
+                       array_to_string(ws[1:8], ' ') AS overlap_key
+                FROM keyed
+            )
+            SELECT prev_doc, next_doc, overlap_key
+            FROM tails JOIN heads USING (overlap_key)
+            WHERE prev_doc <> next_doc
         """,
         "simhash": """
             WITH toks AS (

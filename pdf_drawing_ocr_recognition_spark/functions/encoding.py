@@ -81,3 +81,42 @@ def mojibake_markers_sql_counts(text_expr: str = "text") -> str:
             f" // {len(m)})"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def with_mojibake_repair(
+    df,
+    text_col: str = "text",
+    out_col: str = "repaired",
+    rounds_col: str = "rounds",
+):
+    """Append ``(repaired, rounds)`` columns applying the
+    kernel/mojibake.py repair (peel UTF-8-as-legacy-codepage layers,
+    fixed cp1252→latin-1 attempt order, ≤3 rounds) in ONE narrow
+    Arrow-batched ``mapInPandas`` stage — the REPAIR companion to this
+    module's detection counters; no shuffle, no per-row Python UDF.
+    NULL text passes through as (NULL, 0)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from ..kernel.mojibake import repair_mojibake
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, StringType()), StructField(rounds_col, IntegerType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_t, out_r = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    out_t.append(None)
+                    out_r.append(0)
+                else:
+                    fixed, n = repair_mojibake(t)
+                    out_t.append(fixed)
+                    out_r.append(n)
+            pdf[out_col] = out_t
+            pdf[rounds_col] = out_r
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -137,3 +137,51 @@ def ngram_novelty(
             f"CAST(({scale} * (n_shingles - n_seen)) DIV n_shingles AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+def stitch_continuations(
+    docs: DataFrame,
+    k: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Paginated-article reassembly edges: page B CONTINUES page A when
+    A's last *k* words equal B's first *k* words — the multi-page
+    article/forum-thread pattern ("page 2 of 5" with a repeated lede or
+    carried-over sentence).  Training pipelines stitch these before
+    chunking so the model sees whole articles, not arbitrary page cuts;
+    the recovered (prev, next) edges chain through T45's component
+    machinery when full reassembly is wanted.
+
+    Scale shape: two codegen projections derive the head/tail k-word
+    keys, then ONE equi-join on the key — the same digest-join shape as
+    exact dedup, never all-pairs; docs shorter than k words carry no
+    key.  Pass *group_col* (e.g. host) to require continuations within
+    a group and cut boilerplate-tail collisions.
+
+    Returns (prev_doc, next_doc, overlap_key) — self-pairs excluded.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    base_cols = [F.col(key_col), words.alias("_w")]
+    if group_col is not None:
+        base_cols.append(F.col(group_col).alias("_g"))
+    base = docs.select(*base_cols).filter(F.size("_w") >= k)
+    tails = base.select(
+        F.col(key_col).alias("prev_doc"),
+        F.array_join(F.slice("_w", -k, k), " ").alias("overlap_key"),
+        *([F.col("_g")] if group_col is not None else []),
+    )
+    heads = base.select(
+        F.col(key_col).alias("next_doc"),
+        F.array_join(F.slice("_w", 1, k), " ").alias("overlap_key"),
+        *([F.col("_g")] if group_col is not None else []),
+    )
+    join_on = ["overlap_key"] + (["_g"] if group_col is not None else [])
+    return (
+        tails.join(heads, join_on)
+        .filter(F.col("prev_doc") != F.col("next_doc"))
+        .select("prev_doc", "next_doc", "overlap_key")
+    )
