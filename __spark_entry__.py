@@ -5270,6 +5270,22 @@ def q_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_density(pages, extract_page_code_blocks(pages))
 
 
+def q_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T168: per-user traffic bursts (operators/politeness.py:rate_bursts)
+    over the REAL events table — an hour flags when its count beats 2×
+    the trailing-3-hour average, cross-multiplied to exact int64; gapped
+    hours contribute zero via the RANGE frame (no dense spine); warm-up
+    hours withheld.  The rate-side abuse signal next to T156."""
+    from pdf_drawing_ocr_recognition_spark.operators.politeness import (
+        rate_bursts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("actor"), _us(F.col("ts")).alias("ts_us")
+    )
+    return rate_bursts(ev)
+
+
 def q_stitch_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T167: paginated-article stitching
     (operators/corpus_prep.py:stitch_continuations): every doc_id%6==0
@@ -5476,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu_moments": q_otsu_moments,
         "mojibake_repair": q_mojibake_repair,
         "stitch_continuations": q_stitch_continuations,
+        "rate_bursts": q_rate_bursts,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6216,6 +6233,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT prev_doc, next_doc, overlap_key
             FROM tails JOIN heads USING (overlap_key)
             WHERE prev_doc <> next_doc
+        """,
+        "rate_bursts": """
+            WITH h AS (
+                SELECT user_id AS actor,
+                       epoch_us(ts) // 3600000000 AS hour_num,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ), wnd AS (
+                SELECT actor, hour_num, n_events,
+                       CAST(coalesce(sum(n_events) OVER (
+                            PARTITION BY actor ORDER BY hour_num
+                            RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS trailing_sum,
+                       min(hour_num) OVER (PARTITION BY actor) AS fh
+                FROM h
+            )
+            SELECT actor, hour_num, n_events, trailing_sum,
+                   CAST(CASE WHEN n_events * 3 > 2 * trailing_sum
+                        THEN 1 ELSE 0 END AS INT) AS is_burst
+            FROM wnd WHERE hour_num >= fh + 3
         """,
         "simhash": """
             WITH toks AS (

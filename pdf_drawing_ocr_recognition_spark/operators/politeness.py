@@ -346,3 +346,66 @@ def bot_regularity(
             ).alias("cv2_ppm"),
         )
     )
+
+
+def rate_bursts(
+    events: DataFrame,
+    actor_col: str = "actor",
+    ts_us_col: str = "ts_us",
+    baseline_hours: int = 3,
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Traffic-burst detection per actor: an hour is a BURST when its
+    event count exceeds (factor_num/factor_den)× the trailing
+    *baseline_hours* average — the complementary rate-side crawl/abuse
+    signal to T156's regularity (metronomes are steady, scrapers spike).
+    The comparison is cross-multiplied so everything stays exact int64:
+
+        n · factor_den · baseline_hours  >  factor_num · trailing_sum
+
+    Missing (zero-event) hours are handled by a RANGE frame over the
+    integer hour number — gaps contribute 0 to the baseline without a
+    dense hour spine; activity after total silence flags (trailing 0).
+    Hours earlier than first_active_hour + baseline_hours are withheld
+    (no full baseline WINDOW in time yet), not reported un-flagged.
+
+    Scale shape: events collapse to (actor, hour) counts in ONE
+    map-side-combinable agg; the trailing window is bounded per actor by
+    its active-hour count, and the frame itself by *baseline_hours*.
+
+    Returns (actor, hour_num, n_events, trailing_sum, is_burst).
+    """
+    us_per_hour = 3_600_000_000
+    h = events.groupBy(
+        F.col(actor_col).alias("actor"),
+        F.expr(f"{ts_us_col} div {us_per_hour}").alias("hour_num"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    w_trail = (
+        Window.partitionBy("actor")
+        .orderBy("hour_num")
+        .rangeBetween(-baseline_hours, -1)
+    )
+    w_all = Window.partitionBy("actor")
+    scored = h.select(
+        "actor",
+        "hour_num",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w_trail), F.lit(0))
+        .cast("bigint")
+        .alias("trailing_sum"),
+        F.min("hour_num").over(w_all).alias("_fh"),
+    )
+    burst = (
+        F.col("n_events") * F.lit(factor_den) * F.lit(baseline_hours)
+        > F.lit(factor_num) * F.col("trailing_sum")
+    )
+    return scored.filter(
+        F.col("hour_num") >= F.col("_fh") + baseline_hours
+    ).select(
+        "actor",
+        "hour_num",
+        "n_events",
+        "trailing_sum",
+        burst.cast("int").alias("is_burst"),
+    )
