@@ -5270,6 +5270,73 @@ def q_code_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_density(pages, extract_page_code_blocks(pages))
 
 
+def _heading_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page corpus with heading structure: doc i carries an
+    h1 title (with an &amp; entity AND an embedded <script> that must
+    vanish), i%4 h2 sections each followed by a paragraph, and every 5th
+    doc ends with an UNCLOSED <h2> auto-closed by the following <h3>
+    (tag-soup headings cannot nest).  Every heading text and the whole
+    outline profile replay from doc_id arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.format_string("http://s%d.example.com/p/%d", did % 11, did)
+    pieces = [
+        F.lit("<html><body><h1>Title d"),
+        did.cast("string"),
+        F.lit(" &amp; co<script>var s;</script></h1>"),
+    ]
+    for k in range(3):  # h2 section k emitted iff k < i%4
+        seg = F.concat(
+            F.lit(f"<h2>Sec {k} d"),
+            did.cast("string"),
+            F.lit(f"</h2><p>para {k}</p>"),
+        )
+        pieces.append(F.when(F.lit(k) < did % 4, seg).otherwise(F.lit("")))
+    pieces.append(
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<h2>Unclosed d"),
+                did.cast("string"),
+                F.lit("<h3>Deep d"),
+                did.cast("string"),
+                F.lit("</h3>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(F.lit("</body></html>"))
+    html = F.concat(*pieces)
+    return docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T169: heading-outline extraction (kernel/headings.py via the shared
+    linear tokenizer; operators/headings.py) — document structure for
+    structure-aware chunking and outline-shape quality features: ordered
+    (idx, level, text) rows with entity unescape + whitespace collapse,
+    script-drop inside headings, and tag-soup auto-close (a new heading
+    closes the previous; any </hN> closes the open one).  ONE narrow
+    Arrow stage; every row replays from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_headings,
+    )
+
+    return extract_page_headings(_heading_pages(spark, sf_dir))
+
+
+def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T169 rollup: per-page outline profile (operators/headings.py:
+    heading_profile) — heading/h1 counts, outline depth, first-h1 title
+    candidate (document-order min-struct, '' when absent); ONE
+    map-side-combinable hash agg over the heading stream."""
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_headings,
+        heading_profile,
+    )
+
+    return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
+
+
 def q_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T168: per-user traffic bursts (operators/politeness.py:rate_bursts)
     over the REAL events table — an hour flags when its count beats 2×
@@ -5493,6 +5560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "stitch_continuations": q_stitch_continuations,
         "rate_bursts": q_rate_bursts,
+        "heading_outline": q_heading_outline,
+        "heading_profile": q_heading_profile,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6253,6 +6322,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN n_events * 3 > 2 * trailing_sum
                         THEN 1 ELSE 0 END AS INT) AS is_burst
             FROM wnd WHERE hour_num >= fh + 3
+        """,
+        "heading_outline": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://s' || (doc_id % 11) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), h1 AS (
+                SELECT url, CAST(0 AS INT) AS heading_idx, CAST(1 AS INT)
+                           AS level,
+                       'Title d' || i || ' & co' AS heading_text
+                FROM base
+            ), secs AS (
+                SELECT url, CAST(1 + k.k AS INT) AS heading_idx,
+                       CAST(2 AS INT) AS level,
+                       'Sec ' || k.k || ' d' || i AS heading_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+                WHERE k.k < i % 4
+            ), soup AS (
+                SELECT url, CAST(1 + (i % 4) AS INT) AS heading_idx,
+                       CAST(2 AS INT) AS level,
+                       'Unclosed d' || i AS heading_text
+                FROM base WHERE i % 5 = 0
+                UNION ALL
+                SELECT url, CAST(2 + (i % 4) AS INT), CAST(3 AS INT),
+                       'Deep d' || i
+                FROM base WHERE i % 5 = 0
+            )
+            SELECT url, heading_idx, level, heading_text FROM h1
+            UNION ALL SELECT url, heading_idx, level, heading_text FROM secs
+            UNION ALL SELECT url, heading_idx, level, heading_text FROM soup
+        """,
+        "heading_profile": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://s' || (doc_id % 11) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            )
+            SELECT url,
+                   CAST(1 + (i % 4)
+                        + CASE WHEN i % 5 = 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_headings,
+                   CAST(1 AS BIGINT) AS n_h1,
+                   CAST(CASE WHEN i % 5 = 0 THEN 3
+                             WHEN i % 4 > 0 THEN 2
+                             ELSE 1 END AS INT) AS max_level,
+                   'Title d' || i || ' & co' AS title_candidate
+            FROM base
         """,
         "simhash": """
             WITH toks AS (

@@ -1,0 +1,75 @@
+"""Heading-outline extraction — <h1>..<h6> structure from HTML.
+
+Document structure is a first-class training-data signal: heading
+hierarchies drive structure-aware chunking (split at sections, not at
+arbitrary token counts — composes with T31), title candidates for
+retrieval display (next to kernel/meta.py's <title>), and outline-shape
+quality features (a page with 40 h1s is a spam signature).  Rides the
+same strictly-linear ``iter_tokens`` scanner as every other HTML kernel.
+
+Semantics (deterministic, tag-soup-tolerant):
+- a heading opens at ``<hN>`` and closes at ANY ``</hN'>`` close, at the
+  NEXT heading open (HTML5 headings cannot nest — soup auto-close), or
+  at EOF;
+- heading text is entity-unescaped and whitespace-COLLAPSED (headings
+  are prose — the opposite contract to kernel/codeblocks.py, both
+  documented);
+- script/style/… content inside a heading is dropped (shared
+  ``_DROP_TAGS`` discipline); self-closing ``<hN/>`` yields an empty
+  heading; never throws, every character visited once.
+
+Reference analogue: none (the reference consumes PDFs); Common-Crawl
+structure-mining generalization, same tier as kernel/meta.py.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+from .html_extract import _DROP_TAGS, iter_tokens
+
+_HEADING_TAGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_headings(html: str) -> list[dict]:
+    """All headings of *html* in document order.
+
+    Returns ``[{"idx", "level", "text"}]`` with ``level`` ∈ 1..6 and
+    ``text`` unescaped + whitespace-collapsed (possibly '').
+    """
+    out: list[dict] = []
+    level: int | None = None
+    parts: list[str] = []
+    drop = 0
+
+    def flush() -> None:
+        nonlocal level
+        if level is not None:
+            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            out.append({"idx": len(out), "level": level, "text": text})
+            level = None
+
+    for kind, a, span in iter_tokens(html):
+        if kind == "d":
+            if level is not None and drop == 0 and a:
+                if "&" in a:
+                    a = _htmllib.unescape(a)
+                parts.append(a)
+        elif kind == "t":
+            if a in _DROP_TAGS:
+                drop += 1
+            elif a in _HEADING_TAGS:
+                flush()  # soup: a new heading auto-closes the previous
+                level = _HEADING_TAGS[a]
+                parts = []
+                if html[span[1] - 2] == "/":  # self-closing: empty heading
+                    flush()
+        else:
+            if a in _DROP_TAGS:
+                drop = max(0, drop - 1)
+            elif a in _HEADING_TAGS:
+                flush()  # any </hN> closes the open heading
+    flush()  # unterminated heading at EOF
+    return out
