@@ -5337,6 +5337,23 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T175: structure-aware section segmentation
+    (kernel/headings.py:extract_sections via operators/headings.py) —
+    heading + body-until-next-heading rows over the T169 fixture, the
+    chunking feed that splits at SECTION boundaries instead of arbitrary
+    token counts: h1 sections carry empty bodies here (next heading
+    follows immediately), each h2 section carries its paragraph, the
+    tag-soup unclosed h2 carries '' (auto-closed by the h3).  ONE narrow
+    Arrow stage; every (idx, level, title, text) replays from doc_id
+    arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_sections,
+    )
+
+    return extract_page_sections(_heading_pages(spark, sf_dir))
+
+
 def q_rate_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T168: per-user traffic bursts (operators/politeness.py:rate_bursts)
     over the REAL events table — an hour flags when its count beats 2×
@@ -5562,6 +5579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_bursts": q_rate_bursts,
         "heading_outline": q_heading_outline,
         "heading_profile": q_heading_profile,
+        "section_chunks": q_section_chunks,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6371,6 +6389,41 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 1 END AS INT) AS max_level,
                    'Title d' || i || ' & co' AS title_candidate
             FROM base
+        """,
+        "section_chunks": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://s' || (doc_id % 11) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), h1s AS (
+                SELECT url, CAST(0 AS INT) AS section_idx,
+                       CAST(1 AS INT) AS level,
+                       'Title d' || i || ' & co' AS title,
+                       '' AS section_text
+                FROM base
+            ), secs AS (
+                SELECT url, CAST(1 + k.k AS INT) AS section_idx,
+                       CAST(2 AS INT) AS level,
+                       'Sec ' || k.k || ' d' || i AS title,
+                       'para ' || k.k AS section_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+                WHERE k.k < i % 4
+            ), soup AS (
+                SELECT url, CAST(1 + (i % 4) AS INT) AS section_idx,
+                       CAST(2 AS INT) AS level,
+                       'Unclosed d' || i AS title, '' AS section_text
+                FROM base WHERE i % 5 = 0
+                UNION ALL
+                SELECT url, CAST(2 + (i % 4) AS INT), CAST(3 AS INT),
+                       'Deep d' || i, ''
+                FROM base WHERE i % 5 = 0
+            )
+            SELECT url, section_idx, level, title, section_text FROM h1s
+            UNION ALL SELECT url, section_idx, level, title, section_text
+            FROM secs
+            UNION ALL SELECT url, section_idx, level, title, section_text
+            FROM soup
         """,
         "simhash": """
             WITH toks AS (

@@ -73,3 +73,77 @@ def extract_headings(html: str) -> list[dict]:
                 flush()  # any </hN> closes the open heading
     flush()  # unterminated heading at EOF
     return out
+
+
+def extract_sections(html: str) -> list[dict]:
+    """Flat outline sections for structure-aware chunking: each heading
+    opens a section holding the whitespace-collapsed body text up to the
+    NEXT heading (any level) or EOF — split documents at section
+    boundaries instead of arbitrary token counts (composes with T31).
+    Text before the first heading becomes a level-0 '' -titled preamble
+    section IFF non-empty; heading sections are emitted even with empty
+    bodies (the outline is the point).  Block-level tags insert a space
+    so adjacent paragraphs never glue; script/style content is dropped;
+    same totality contract as :func:`extract_headings`.
+
+    Returns ``[{"idx", "level", "title", "text"}]`` in document order.
+    """
+    from .html_extract import _BLOCK_TAGS
+
+    out: list[dict] = []
+    level = 0
+    title = ""
+    in_heading = False
+    h_parts: list[str] = []
+    b_parts: list[str] = []
+    drop = 0
+
+    def norm(parts: list[str]) -> str:
+        return _WS_RE.sub(" ", "".join(parts)).strip()
+
+    def close_section() -> None:
+        nonlocal title, b_parts
+        text = norm(b_parts)
+        if level > 0 or text:
+            out.append(
+                {"idx": len(out), "level": level, "title": title, "text": text}
+            )
+        b_parts = []
+
+    def close_heading() -> None:
+        nonlocal in_heading, title
+        if in_heading:
+            title = norm(h_parts)
+            in_heading = False
+
+    for kind, a, span in iter_tokens(html):
+        if kind == "d":
+            if drop == 0 and a:
+                if "&" in a:
+                    a = _htmllib.unescape(a)
+                (h_parts if in_heading else b_parts).append(a)
+        elif kind == "t":
+            if a in _DROP_TAGS:
+                drop += 1
+                continue
+            if a in _HEADING_TAGS:
+                close_heading()
+                close_section()
+                level = _HEADING_TAGS[a]
+                in_heading = True
+                h_parts = []
+                title = ""
+                if html[span[1] - 2] == "/":
+                    close_heading()
+            elif a in _BLOCK_TAGS:
+                (h_parts if in_heading else b_parts).append(" ")
+        else:
+            if a in _DROP_TAGS:
+                drop = max(0, drop - 1)
+            elif a in _HEADING_TAGS:
+                close_heading()
+            elif a in _BLOCK_TAGS:
+                (h_parts if in_heading else b_parts).append(" ")
+    close_heading()  # unterminated heading: its text IS the title
+    close_section()
+    return out

@@ -65,3 +65,33 @@ def heading_profile(headings: DataFrame) -> DataFrame:
             "title_candidate"
         ),
     )
+
+
+SECTION_SCHEMA = (
+    "url STRING, section_idx INT, level INT, title STRING, section_text STRING"
+)
+
+
+def extract_page_sections(pages: DataFrame) -> DataFrame:
+    """(url, html[, …]) → one row per outline section
+    (kernel/headings.py:extract_sections) — heading + body-until-next-
+    heading, the structure-aware chunking feed.  Same ONE-narrow-stage
+    contract as the other extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernel.headings import extract_sections
+
+        cols = ["url", "section_idx", "level", "title", "section_text"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                for s in extract_sections(text):
+                    rows.append((url, s["idx"], s["level"], s["title"], s["text"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, SECTION_SCHEMA)

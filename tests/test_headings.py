@@ -62,3 +62,46 @@ def test_profile_rollup(spark):
     assert prof["u1"] == (4, 1, 3, "T1")
     assert prof["u2"] == (1, 0, 2, "")
     assert prof["u3"] == (2, 2, 1, "first")
+
+
+def test_sections_flat_outline_with_preamble():
+    from pdf_drawing_ocr_recognition_spark.kernel.headings import (
+        extract_sections,
+    )
+
+    got = extract_sections(
+        "<p>intro</p><h1>T&amp;C</h1><p>a</p><p>b</p>"
+        "<h2>Unclosed<h3>D</h3>tail"
+    )
+    assert [(s["level"], s["title"], s["text"]) for s in got] == [
+        (0, "", "intro"),
+        (1, "T&C", "a b"),  # block tags separate paragraphs
+        (2, "Unclosed", ""),  # soup heading auto-closed by h3
+        (3, "D", "tail"),
+    ]
+
+
+def test_sections_empty_preamble_suppressed_and_script_dropped():
+    from pdf_drawing_ocr_recognition_spark.kernel.headings import (
+        extract_sections,
+    )
+
+    got = extract_sections("<script>x</script><h1>T</h1>body only")
+    assert [(s["idx"], s["level"], s["title"], s["text"]) for s in got] == [
+        (0, 1, "T", "body only")
+    ]
+    assert extract_sections("") == []
+
+
+def test_section_operator_rows(spark):
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_sections,
+    )
+
+    pages = spark.createDataFrame(
+        [("u", b"<h1>A</h1>one<h2>B</h2>two")], "url string, html binary"
+    )
+    rows = sorted(
+        map(tuple, extract_page_sections(pages).collect())
+    )
+    assert rows == [("u", 0, 1, "A", "one"), ("u", 1, 2, "B", "two")]
