@@ -5337,6 +5337,53 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T171: Zipf rank-doubling audit over bigram frequencies — the
+    corpus-health signal: natural text's rank-frequency curve is a power
+    law (n(r)/n(2r) ≈ 2^s), template/boilerplate-heavy corpora bend it.
+    Reports count + exact n·10⁶ div n(2r) ratio at every power-of-2 rank
+    (ties broken count DESC, bigram ASC — total order, engine-portable).
+    Scale shape: ONE map-combinable bigram count agg, then
+    TakeOrderedAndProject keeps the top 1025 rows (never a global sort of
+    the vocabulary); the rank window runs on that dimension-sized frame.
+    The tail rank's double exceeds the vocabulary → NULL ratio, kept."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> concat(x, ' ', ws[i + 1]))"
+            )
+        ).alias("bg")
+    )
+    counts = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("bg")).limit(1025)
+    w = Window.orderBy(F.desc("n"), F.asc("bg"))
+    ranked = top.select(
+        "bg", "n", F.row_number().over(w).cast("bigint").alias("rank")
+    )
+    powers = [1 << k for k in range(10)]  # 1..512
+    p = ranked.filter(F.col("rank").isin(powers)).select(
+        "rank", F.col("bg").alias("bigram"), "n"
+    )
+    nxt = ranked.filter(
+        F.col("rank").isin([2 * p for p in powers])
+    ).select(
+        F.expr("rank div 2").alias("rank"), F.col("n").alias("next_n")
+    )
+    return p.join(nxt, "rank", "left").select(
+        "rank",
+        "bigram",
+        "n",
+        "next_n",
+        F.expr("n * 1000000 div next_n").alias("ratio_ppm"),
+    )
+
+
 def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T175: structure-aware section segmentation
     (kernel/headings.py:extract_sections via operators/headings.py) —
@@ -5580,6 +5627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": q_heading_outline,
         "heading_profile": q_heading_profile,
         "section_chunks": q_section_chunks,
+        "zipf_curve": q_zipf_curve,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6424,6 +6472,28 @@ def oracle_sql() -> dict[str, str]:
             FROM secs
             UNION ALL SELECT url, section_idx, level, title, section_text
             FROM soup
+        """,
+        "zipf_curve": """
+            WITH w AS (
+                SELECT string_split(lower(text), ' ') AS ws FROM documents
+            ), b AS (
+                SELECT ws[i] || ' ' || ws[i + 1] AS bg
+                FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+            ), c AS (
+                SELECT bg, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+            ), r AS (
+                SELECT bg, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, bg ASC)
+                            AS BIGINT) AS rank
+                FROM c
+            ), p AS (
+                SELECT rank, bg AS bigram, n FROM r
+                WHERE rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+            )
+            SELECT p.rank, p.bigram, p.n,
+                   r2.n AS next_n,
+                   CAST(p.n * 1000000 // r2.n AS BIGINT) AS ratio_ppm
+            FROM p LEFT JOIN r r2 ON r2.rank = p.rank * 2
         """,
         "simhash": """
             WITH toks AS (
