@@ -5337,6 +5337,49 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_url_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T177: URL-shape spam features (functions/urls.py:url_shape_features
+    — Fetterly'04/Ntoulas'06 frontier heuristics) over a deterministic
+    URL zoo: three host shapes (plain, hyphen-digit promo, deep
+    subdomains), four path shapes (root, keyed, pct-escaped, flat), and
+    alternating query strings — every counter exact length/replace
+    arithmetic replayed component-wise in the oracle.  One codegen
+    projection; the content-blind pre-fetch spam signal."""
+    from pdf_drawing_ocr_recognition_spark.functions.urls import (
+        url_shape_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = (
+        F.when(
+            did % 3 == 0,
+            F.format_string("h%d.example.com", did % 13),
+        )
+        .when(
+            did % 3 == 1,
+            F.format_string("d%d-promo-99.example.com", did),
+        )
+        .otherwise(F.format_string("a.b.h%d.example.com", did % 13))
+    )
+    path = (
+        F.when(did % 4 == 0, F.lit("/"))
+        .when(did % 4 == 1, F.format_string("/p/%d", did))
+        .when(did % 4 == 2, F.lit("/a/b/c%20d"))
+        .otherwise(F.lit("/x"))
+    )
+    query = F.when(
+        did % 2 == 0, F.format_string("?q=1&r=%d", did % 5)
+    ).otherwise(F.lit(""))
+    built = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://"), host, path, query).alias("url"),
+    )
+    return built.select(
+        "doc_id", url_shape_features(F.col("url")).alias("f")
+    ).select("doc_id", "f.*")
+
+
 def q_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T171: Zipf rank-doubling audit over bigram frequencies — the
     corpus-health signal: natural text's rank-frequency curve is a power
@@ -5628,6 +5671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_profile": q_heading_profile,
         "section_chunks": q_section_chunks,
         "zipf_curve": q_zipf_curve,
+        "url_shape": q_url_shape,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6494,6 +6538,43 @@ def oracle_sql() -> dict[str, str]:
                    r2.n AS next_n,
                    CAST(p.n * 1000000 // r2.n AS BIGINT) AS ratio_ppm
             FROM p LEFT JOIN r r2 ON r2.rank = p.rank * 2
+        """,
+        "url_shape": """
+            WITH parts AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                            WHEN 0 THEN 'h' || (doc_id % 13) || '.example.com'
+                            WHEN 1 THEN 'd' || doc_id
+                                        || '-promo-99.example.com'
+                            ELSE 'a.b.h' || (doc_id % 13) || '.example.com'
+                       END AS host,
+                       CASE doc_id % 4
+                            WHEN 0 THEN '/'
+                            WHEN 1 THEN '/p/' || doc_id
+                            WHEN 2 THEN '/a/b/c%20d'
+                            ELSE '/x'
+                       END AS path,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '?q=1&r=' || (doc_id % 5) ELSE '' END
+                           AS query
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(host) - length(replace(host, '.', ''))
+                        AS BIGINT) AS subdomain_depth,
+                   CAST(length(host) - length(regexp_replace(host, '[0-9]',
+                        '', 'g')) AS BIGINT) AS host_digits,
+                   CAST(length(host) - length(replace(host, '-', ''))
+                        AS BIGINT) AS host_hyphens,
+                   CAST(length(path) - length(replace(path, '/', ''))
+                        AS BIGINT) AS path_depth,
+                   CAST(CASE WHEN query = '' THEN 0
+                        ELSE length(query) - length(replace(query, '&', ''))
+                             + 1 END AS BIGINT) AS n_params,
+                   CAST(length(host || path || query)
+                        - length(replace(host || path || query, '%', ''))
+                        AS BIGINT) AS n_pct_escapes
+            FROM parts
         """,
         "simhash": """
             WITH toks AS (

@@ -82,3 +82,42 @@ def url_template(url: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(path_q, r"[0-9a-f]{8,}", "<h>"), r"[0-9]+", "<n>"
     )
+
+
+def _char_count(col: Column, ch: str) -> Column:
+    """Occurrences of literal char *ch* — the length/replace trick (both
+    engines count codepoints, arithmetic identical)."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+    ).cast("bigint")
+
+
+def url_shape_features(url: Column) -> Column:
+    """Struct of integer URL-SHAPE spam features (Fetterly'04 / Ntoulas'06
+    frontier heuristics — spam URLs are structurally weird before a byte
+    of content is fetched): subdomain depth (host dots), digits and
+    hyphens in the host (``cheap-pills-99`` hosts), path depth ('/'
+    count), query-parameter count, and percent-escape count.  One codegen
+    projection, exact integers, every counter the length/replace or
+    global-regexp-strip trick — DuckDB twins carry the 'g' flag.
+
+    Returns struct(subdomain_depth, host_digits, host_hyphens,
+    path_depth, n_params, n_pct_escapes).
+    """
+    host = url_host(url)
+    path = url_path(url)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    digits = (
+        F.length(host) - F.length(F.regexp_replace(host, r"[0-9]", ""))
+    ).cast("bigint")
+    n_params = F.when(F.length(query) == 0, F.lit(0).cast("bigint")).otherwise(
+        _char_count(query, "&") + 1
+    )
+    return F.struct(
+        _char_count(host, ".").alias("subdomain_depth"),
+        digits.alias("host_digits"),
+        _char_count(host, "-").alias("host_hyphens"),
+        _char_count(path, "/").alias("path_depth"),
+        n_params.alias("n_params"),
+        _char_count(url, "%").alias("n_pct_escapes"),
+    )
