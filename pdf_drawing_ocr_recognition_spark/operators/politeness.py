@@ -381,6 +381,25 @@ def rate_bursts(
         F.col(actor_col).alias("actor"),
         F.expr(f"{ts_us_col} div {us_per_hour}").alias("hour_num"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return rate_bursts_from_counts(
+        h,
+        baseline_hours=baseline_hours,
+        factor_num=factor_num,
+        factor_den=factor_den,
+    )
+
+
+def rate_bursts_from_counts(
+    h: DataFrame,
+    baseline_hours: int = 3,
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Burst evaluation over a PRE-AGGREGATED (actor, hour_num, n_events)
+    table — the entry point the streaming fold
+    (streaming/dedup.py:streaming_hour_counts_fold) feeds: counts are the
+    mergeable statistic, so evaluating the folded table equals evaluating
+    the raw events.  Semantics identical to :func:`rate_bursts`."""
     w_trail = (
         Window.partitionBy("actor")
         .orderBy("hour_num")

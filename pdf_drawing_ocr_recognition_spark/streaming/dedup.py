@@ -331,3 +331,66 @@ def streaming_scd2_fold(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hour_counts_fold(
+    events: DataFrame,
+    counts_path: str,
+    checkpoint_path: str,
+    actor_col: str = "actor",
+    ts_us_col: str = "ts_us",
+):
+    """Continuous (actor, hour) event-count maintenance feeding T168's
+    burst detector: every micro-batch aggregates its OWN partial counts
+    (one map-side-combinable agg over the batch) and sums them into the
+    persisted counts table — counts are the canonical mergeable
+    statistic, so the fold equals a batch build over the union no matter
+    how events split across micro-batches (hours spanning batch
+    boundaries included; tested).  Stream state stays empty (the
+    storage-resident fold discipline of T44/T86/T154): the table is
+    (active actors × active hours)-sized DATA, not state-store payload;
+    temp-write + rename swap keeps the previous counts readable through
+    a mid-fold crash.
+
+    Burst evaluation stays a BATCH read of the folded table via
+    ``operators/politeness.rate_bursts_from_counts`` — late events can
+    raise an old hour's count, so baselines must be re-evaluated, not
+    frozen at first emission.
+    """
+    import os
+    import shutil
+
+    us_per_hour = 3_600_000_000
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        part = batch_df.groupBy(
+            F.col(actor_col).alias("actor"),
+            F.expr(f"{ts_us_col} div {us_per_hour}").alias("hour_num"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        try:
+            prev = spark.read.parquet(counts_path)
+        except Exception:
+            prev = None
+        merged = (
+            part
+            if prev is None
+            else prev.unionByName(part)
+            .groupBy("actor", "hour_num")
+            .agg(F.sum("n_events").cast("bigint").alias("n_events"))
+        )
+        tmp = counts_path + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).count()  # materialize before the swap
+        if os.path.exists(counts_path):
+            shutil.rmtree(counts_path)
+        os.rename(tmp, counts_path)
+
+    return (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
