@@ -103,6 +103,15 @@ BENCH_QUERIES = [
     "code_blocks",
     "code_density",
     "otsu_moments",
+    # round 4 (cont. 8): repair / stitching / structure / frontier signals
+    "mojibake_repair",
+    "stitch_continuations",
+    "rate_bursts",
+    "heading_outline",
+    "heading_profile",
+    "section_chunks",
+    "zipf_curve",
+    "url_shape",
 ]
 
 

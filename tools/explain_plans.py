@@ -981,6 +981,54 @@ def main() -> int:
         )
     )
 
+    # T166: repair is ONE narrow Arrow stage — zero shuffle
+    grab("mojibake_repair", em.q_mojibake_repair(spark, sf), "MapInPandas")
+    mr_plan = sections[-1][1]
+    checks.append(("mojibake_repair", "no Exchange", "Exchange" not in mr_plan))
+
+    # T167: tail->head key equi-join, never all-pairs
+    grab("stitch_continuations", em.q_stitch_continuations(spark, sf))
+    st_plan = sections[-1][1]
+    checks.append(
+        (
+            "stitch_continuations",
+            "no cartesian / nested-loop join",
+            "CartesianProduct" not in st_plan
+            and "BroadcastNestedLoopJoin" not in st_plan,
+        )
+    )
+
+    # T168: events collapse to (actor, hour) counts map-side BEFORE the window
+    grab("rate_bursts", em.q_rate_bursts(spark, sf), "partial_count", "Window")
+
+    # T169/T175: extraction is one narrow Arrow stage each; profile rollup
+    # map-side-combines
+    grab("heading_outline", em.q_heading_outline(spark, sf), "MapInPandas")
+    ho_plan = sections[-1][1]
+    checks.append(("heading_outline", "no Exchange", "Exchange" not in ho_plan))
+    grab("heading_profile", em.q_heading_profile(spark, sf), "partial_min", "partial_count")
+    grab("section_chunks", em.q_section_chunks(spark, sf), "MapInPandas")
+    sc_plan = sections[-1][1]
+    checks.append(("section_chunks", "no Exchange", "Exchange" not in sc_plan))
+
+    # T171: the top slice must be TakeOrderedAndProject — never a global
+    # sort of the bigram vocabulary; the rank window runs on <=1025 rows
+    grab("zipf_curve", em.q_zipf_curve(spark, sf), "TakeOrderedAndProject")
+
+    # T177: pure codegen projection — zero shuffle, zero Python
+    grab("url_shape", em.q_url_shape(spark, sf))
+    us_plan = sections[-1][1]
+    checks.append(("url_shape", "no Exchange", "Exchange" not in us_plan))
+    checks.append(
+        (
+            "url_shape",
+            "no Python at all",
+            "MapInPandas" not in us_plan
+            and "ArrowEvalPython" not in us_plan
+            and "BatchEvalPython" not in us_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
