@@ -236,3 +236,47 @@ def test_decode_png_raises_only_valueerror_like(blob):
     except (ValueError, _struct.error, _zlib.error, IndexError):
         return
     assert img.dtype == np.uint8 and img.ndim == 2
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_mojibake_repair_total_and_idempotent(s):
+    from pdf_drawing_ocr_recognition_spark.kernel.mojibake import (
+        repair_mojibake,
+    )
+
+    fixed, n = repair_mojibake(s)
+    assert isinstance(fixed, str) and 0 <= n <= 3
+    # a full repair is a fixed point (unless the cap stopped it early)
+    if n < 3:
+        again, m = repair_mojibake(fixed)
+        assert again == fixed and m == 0
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_heading_kernels_total_and_consistent(s):
+    from pdf_drawing_ocr_recognition_spark.kernel.headings import (
+        extract_headings,
+        extract_sections,
+    )
+
+    hs = extract_headings(s)
+    secs = extract_sections(s)
+    assert all(1 <= h["level"] <= 6 for h in hs)
+    assert [h["idx"] for h in hs] == list(range(len(hs)))
+    # sections with level>0 correspond 1:1 (same order, same levels/titles)
+    headed = [(x["level"], x["title"]) for x in secs if x["level"] > 0]
+    assert headed == [(h["level"], h["text"]) for h in hs]
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_codeblock_kernel_total(s):
+    from pdf_drawing_ocr_recognition_spark.kernel.codeblocks import (
+        extract_code_blocks,
+    )
+
+    bs = extract_code_blocks(s)
+    assert all(b["tag"] in ("pre", "code") for b in bs)
+    assert [b["idx"] for b in bs] == list(range(len(bs)))
