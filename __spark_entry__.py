@@ -5337,6 +5337,47 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T185: day-over-day vocabulary drift per source — the ingestion
+    monitor that catches a source changing under the crawler (new CMS,
+    language flip, spam takeover): today's distinct words unseen in
+    yesterday's SAME-SOURCE vocabulary, as exact ppm of today's distinct
+    words.  Snapshots are deterministic doc_id-block-parity halves (block 20 = one doc per source per block, so EVERY source exists on both days — plain parity would alias the source assignment and degenerate).  Scale
+    shape: two word-dim distincts (map-combinable) + ONE left-anti join
+    on (source, word) + one rollup — everything word-dim-sized, the
+    corpus is touched twice and never joined row-to-row."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        (F.expr("doc_id div 20") % 2 == 1).alias("_today"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    yesterday = (
+        words.filter(~F.col("_today")).select("source", "word").distinct()
+    )
+    today = words.filter(F.col("_today")).select("source", "word").distinct()
+    new_words = today.join(yesterday, ["source", "word"], "left_anti")
+    tot = today.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_today_words")
+    )
+    new = new_words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_words")
+    )
+    joined = tot.join(new, "source", "left").select(
+        "source",
+        "n_today_words",
+        F.coalesce("n_new_words", F.lit(0)).cast("bigint").alias("n_new_words"),
+    )
+    return joined.select(
+        "source",
+        "n_today_words",
+        "n_new_words",
+        F.expr("n_new_words * 1000000 div n_today_words").alias(
+            "new_word_ppm"
+        ),
+    )
+
+
 def q_url_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T177: URL-shape spam features (functions/urls.py:url_shape_features
     — Fetterly'04/Ntoulas'06 frontier heuristics) over a deterministic
@@ -5672,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "zipf_curve": q_zipf_curve,
         "url_shape": q_url_shape,
+        "vocab_drift": q_vocab_drift,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6575,6 +6617,32 @@ def oracle_sql() -> dict[str, str]:
                         - length(replace(host || path || query, '%', ''))
                         AS BIGINT) AS n_pct_escapes
             FROM parts
+        """,
+        "vocab_drift": """
+            WITH words AS (
+                SELECT source, (doc_id // 20) % 2 = 1 AS today,
+                       unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+            ), y AS (
+                SELECT DISTINCT source, word FROM words WHERE NOT today
+            ), t AS (
+                SELECT DISTINCT source, word FROM words WHERE today
+            ), new_w AS (
+                SELECT t.source, t.word FROM t
+                LEFT JOIN y ON t.source = y.source AND t.word = y.word
+                WHERE y.word IS NULL
+            ), tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_today_words
+                FROM t GROUP BY 1
+            ), nw AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_new_words
+                FROM new_w GROUP BY 1
+            )
+            SELECT tot.source, tot.n_today_words,
+                   CAST(coalesce(nw.n_new_words, 0) AS BIGINT) AS n_new_words,
+                   CAST(coalesce(nw.n_new_words, 0) * 1000000
+                        // tot.n_today_words AS BIGINT) AS new_word_ppm
+            FROM tot LEFT JOIN nw ON tot.source = nw.source
         """,
         "simhash": """
             WITH toks AS (
