@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "section_chunks",
     "zipf_curve",
     "url_shape",
+    "vocab_drift",
 ]
 
 

@@ -1029,6 +1029,18 @@ def main() -> int:
         )
     )
 
+    # T185: word-dim distincts + left-anti join; never a row-level join
+    grab("vocab_drift", em.q_vocab_drift(spark, sf), "partial_count")
+    vd_plan = sections[-1][1]
+    checks.append(
+        (
+            "vocab_drift",
+            "no cartesian / nested-loop join",
+            "CartesianProduct" not in vd_plan
+            and "BroadcastNestedLoopJoin" not in vd_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
