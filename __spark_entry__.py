@@ -5337,6 +5337,58 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T194: HTML list extraction (kernel/lists.py via the shared linear
+    tokenizer; operators/htmllists.py) — instructions/step-sequences as
+    typed (list, item) records: doc i carries a top-level ul of
+    1 + i%4 items (ODD docs are closer-free tag soup — HTML5 li
+    auto-close load-bearing for half the corpus), every 3rd doc nests an
+    ordered sub-list inside item 0 whose items are ISOLATED while the
+    outer item continues with a space-separated tail, every 7th doc
+    never closes the list (EOF flush).  ONE narrow Arrow stage; every
+    row replays from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.htmllists import (
+        extract_page_lists,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.format_string("http://l%d.example.com/p/%d", did % 7, did)
+    c = F.when(did % 2 == 1, F.lit("")).otherwise(F.lit("</li>"))
+    nested = F.concat(
+        F.lit("<ol><li>sub 0 d"),
+        did.cast("string"),
+        c,
+        F.lit("<li>sub 1 d"),
+        did.cast("string"),
+        c,
+        F.lit("</ol>tail d"),
+        did.cast("string"),
+    )
+    pieces = [
+        F.lit("<html><body><p>pre</p><ul><li>item 0 of d"),
+        did.cast("string"),
+        F.lit(" &amp; co"),
+        F.when(did % 3 == 0, nested).otherwise(F.lit("")),
+        c,
+    ]
+    for k in range(1, 4):  # item k emitted iff k <= i%4
+        seg = F.concat(
+            F.lit(f"<li>item {k} of d"),
+            did.cast("string"),
+            F.lit(" &amp; co"),
+            c,
+        )
+        pieces.append(F.when(F.lit(k) <= did % 4, seg).otherwise(F.lit("")))
+    pieces.append(
+        F.when(did % 7 == 0, F.lit("")).otherwise(F.lit("</ul>"))
+    )
+    pieces.append(F.lit("</body></html>"))
+    html = F.concat(*pieces)
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_page_lists(pages)
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T185: day-over-day vocabulary drift per source — the ingestion
     monitor that catches a source changing under the crawler (new CMS,
@@ -5714,6 +5766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_curve": q_zipf_curve,
         "url_shape": q_url_shape,
         "vocab_drift": q_vocab_drift,
+        "list_items": q_list_items,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6643,6 +6696,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(nw.n_new_words, 0) * 1000000
                         // tot.n_today_words AS BIGINT) AS new_word_ppm
             FROM tot LEFT JOIN nw ON tot.source = nw.source
+        """,
+        "list_items": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://l' || (doc_id % 7) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), outer_items AS (
+                SELECT url, CAST(0 AS INT) AS list_idx, CAST(1 AS INT)
+                           AS depth,
+                       FALSE AS ordered, CAST(k.k AS INT) AS item_idx,
+                       'item ' || k.k || ' of d' || i || ' & co'
+                       || CASE WHEN k.k = 0 AND i % 3 = 0
+                               THEN ' tail d' || i ELSE '' END AS item_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+                WHERE k.k <= i % 4
+            ), subs AS (
+                SELECT url, CAST(1 AS INT) AS list_idx, CAST(2 AS INT)
+                           AS depth,
+                       TRUE AS ordered, CAST(j.j AS INT) AS item_idx,
+                       'sub ' || j.j || ' d' || i AS item_text
+                FROM base CROSS JOIN (SELECT unnest([0, 1]) AS j) j
+                WHERE i % 3 = 0
+            )
+            SELECT url, list_idx, depth, ordered, item_idx, item_text
+            FROM outer_items
+            UNION ALL
+            SELECT url, list_idx, depth, ordered, item_idx, item_text
+            FROM subs
         """,
         "simhash": """
             WITH toks AS (

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "zipf_curve",
     "url_shape",
     "vocab_drift",
+    "list_items",
 ]
 
 

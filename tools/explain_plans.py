@@ -1041,6 +1041,11 @@ def main() -> int:
         )
     )
 
+    # T194: list extraction is ONE narrow Arrow stage — zero shuffle
+    grab("list_items", em.q_list_items(spark, sf), "MapInPandas")
+    li_plan = sections[-1][1]
+    checks.append(("list_items", "no Exchange", "Exchange" not in li_plan))
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
