@@ -5337,6 +5337,43 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T178: per-label embedding-centroid drift between snapshots — the
+    semantic complement to T78's categorical TVD and T185's lexical
+    drift: "does source X still EMBED like it used to".  Composes T101's
+    exact machinery (integer-quantized dim sums, scale-invariant
+    centroid-division skip, sequential double fold) over groups tagged
+    label|half (block-parity snapshot halves), keeping same-label pairs:
+    drift_cos ≈ 1 means the source is stationary; the group dim is
+    2·|labels| rows so everything past the quantized sum agg is
+    dimension arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.similarity import (
+        group_centroid_cosines,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        F.concat(
+            F.col("label").cast("string"),
+            F.lit("|"),
+            (F.expr("vec_id div 20") % 2).cast("string"),
+        ).alias("grp"),
+        "embedding",
+    )
+    m = group_centroid_cosines(tagged, "embedding", "grp", dim=64)
+    a0 = F.split(F.col("group_a"), r"\|")
+    b0 = F.split(F.col("group_b"), r"\|")
+    return (
+        m.filter(a0.getItem(0) == b0.getItem(0))
+        .select(
+            a0.getItem(0).cast("int").alias("label"),
+            "n_a",
+            "n_b",
+            F.col("cos_centroid").alias("drift_cos"),
+        )
+    )
+
+
 def q_list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T194: HTML list extraction (kernel/lists.py via the shared linear
     tokenizer; operators/htmllists.py) — instructions/step-sequences as
@@ -5767,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_shape": q_url_shape,
         "vocab_drift": q_vocab_drift,
         "list_items": q_list_items,
+        "centroid_drift": q_centroid_drift,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6725,6 +6763,38 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT url, list_idx, depth, ordered, item_idx, item_text
             FROM subs
+        """,
+        "centroid_drift": """
+            WITH src AS (
+                SELECT CAST(label AS VARCHAR) || '|'
+                       || CAST((vec_id // 20) % 2 AS VARCHAR) AS grp,
+                       embedding
+                FROM embeddings
+            ), idx AS (
+                SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS d
+            ), sums AS (
+                SELECT grp, i.d,
+                       CAST(sum(CAST(floor(
+                           CAST(embedding[i.d + 1] AS DOUBLE) * 1048576.0
+                           + 0.5) AS BIGINT)) AS BIGINT) AS s
+                FROM src CROSS JOIN idx i GROUP BY 1, 2
+            ), cnt AS (
+                SELECT grp, CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1
+            ), vecs AS (
+                SELECT grp, list(CAST(s AS DOUBLE) ORDER BY d) AS v
+                FROM sums GROUP BY 1
+            )
+            SELECT CAST(string_split(a.grp, '|')[1] AS INT) AS label,
+                   ca.n AS n_a, cb.n AS n_b,
+                   round(list_dot_product(a.v, b.v)
+                         / nullif(sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v)), 0.0),
+                         6) AS drift_cos
+            FROM vecs a JOIN vecs b
+              ON a.grp < b.grp
+             AND string_split(a.grp, '|')[1] = string_split(b.grp, '|')[1]
+            JOIN cnt ca ON ca.grp = a.grp
+            JOIN cnt cb ON cb.grp = b.grp
         """,
         "simhash": """
             WITH toks AS (
