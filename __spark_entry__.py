@@ -5337,6 +5337,77 @@ def q_heading_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heading_profile(extract_page_headings(_heading_pages(spark, sf_dir)))
 
 
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T179: HTML→Markdown rendering (kernel/markdown.py via
+    operators/markdown.py) — the corpus-serialization pass every LLM data
+    pipeline runs, unified over the shared tokenizer: headings, soup
+    lists (closer-free for every 3rd doc), fenced python code (even
+    docs), pipe tables with a one-time header separator (every 5th doc),
+    inline backticks (every 7th doc).  ONE narrow Arrow stage; the
+    oracle rebuilds every doc's ENTIRE markdown string — blank-line
+    joins, single-spaced item/row runs, fence newlines — from doc_id
+    arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.markdown import (
+        render_pages_markdown,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.format_string("http://m%d.example.com/p/%d", did % 9, did)
+    ds = did.cast("string")
+    pieces = [
+        F.lit("<html><body><h1>Doc d"),
+        ds,
+        F.lit(" &amp; co</h1><p>intro text d"),
+        ds,
+        F.lit("</p>"),
+    ]
+    pieces.append(
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<ul><li>alpha d"), ds, F.lit("<li>beta d"), ds,
+                F.lit("</ul>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<pre><code class="language-python">def f'),
+                ds,
+                F.lit("():\n    return "),
+                ds,
+                F.lit("</code></pre>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<table><tr><th>H1</th><th>H2</th></tr><tr><td>a d"),
+                ds,
+                F.lit("</td><td>b</td></tr></table>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit("<p>see <code>x"), ds, F.lit("</code> end</p>")),
+        ).otherwise(
+            F.concat(F.lit("<p>outro d"), ds, F.lit("</p>"))
+        )
+    )
+    pieces.append(F.lit("</body></html>"))
+    pages = docs.select(
+        url.alias("url"), F.encode(F.concat(*pieces), "utf-8").alias("html")
+    )
+    return render_pages_markdown(pages)
+
+
 def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T178: per-label embedding-centroid drift between snapshots — the
     semantic complement to T78's categorical TVD and T185's lexical
@@ -5805,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "list_items": q_list_items,
         "centroid_drift": q_centroid_drift,
+        "markdown_render": q_markdown_render,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6795,6 +6867,33 @@ def oracle_sql() -> dict[str, str]:
              AND string_split(a.grp, '|')[1] = string_split(b.grp, '|')[1]
             JOIN cnt ca ON ca.grp = a.grp
             JOIN cnt cb ON cb.grp = b.grp
+        """,
+        "markdown_render": """
+            SELECT 'http://m' || (doc_id % 9) || '.example.com/p/'
+                       || doc_id AS url,
+                   array_to_string(list_filter([
+                       '# Doc d' || doc_id || ' & co',
+                       'intro text d' || doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN '- alpha d' || doc_id || chr(10)
+                                 || '- beta d' || doc_id
+                            ELSE '' END,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN '```python' || chr(10) || 'def f'
+                                 || doc_id || '():' || chr(10)
+                                 || '    return ' || doc_id || chr(10)
+                                 || '```'
+                            ELSE '' END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN '| H1 | H2 |' || chr(10)
+                                 || '| --- | --- |' || chr(10)
+                                 || '| a d' || doc_id || ' | b |'
+                            ELSE '' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'see `x' || doc_id || '` end'
+                            ELSE 'outro d' || doc_id END
+                   ], x -> x <> ''), chr(10) || chr(10)) AS markdown
+            FROM documents
         """,
         "simhash": """
             WITH toks AS (

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "url_shape",
     "vocab_drift",
     "list_items",
+    "centroid_drift",
+    "markdown_render",
 ]
 
 

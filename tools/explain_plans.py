@@ -1046,6 +1046,11 @@ def main() -> int:
     li_plan = sections[-1][1]
     checks.append(("list_items", "no Exchange", "Exchange" not in li_plan))
 
+    # T179: the serialization pass is ONE narrow Arrow stage — zero shuffle
+    grab("markdown_render", em.q_markdown_render(spark, sf), "MapInPandas")
+    md_plan = sections[-1][1]
+    checks.append(("markdown_render", "no Exchange", "Exchange" not in md_plan))
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
