@@ -5408,6 +5408,55 @@ def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_pages_markdown(pages)
 
 
+def q_markup_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T181: markup-invariant dedup — the duplicate class BYTE hashing of
+    raw HTML can never catch: same content re-serialized by a different
+    CMS (closer-free tag soup vs well-formed, attribute noise).  Dedup
+    key = md5 of the T179 markdown PROJECTION: every doc_id%11==0 page
+    gains a soup twin (url suffix '/amp', no closers, a dummy attribute)
+    that renders byte-identically, so its cluster has exactly 2 members;
+    everything else stays a singleton (reported via the ≥2 filter's
+    absence).  One narrow render stage + one digest-keyed hash agg."""
+    from pdf_drawing_ocr_recognition_spark.operators.markdown import (
+        render_pages_markdown,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.format_string("http://i%d.example.com/p/%d", did % 5, did)
+    well_formed = F.concat(
+        F.lit("<html><body><h2>Title d"), ds,
+        F.lit("</h2><p>body text d"), ds, F.lit("</p></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(well_formed, "utf-8").alias("html"))
+    soup_src = docs.filter(did % 11 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit('<html data-amp="1"><body><h2>Title d'), ds,
+            F.lit("<p>body text d"), ds, F.lit("</body></html>"),
+        ).alias("_soup"),
+    )
+    twins = soup_src.select(
+        F.format_string(
+            "http://i%d.example.com/p/%d/amp",
+            F.col("doc_id") % 5,
+            F.col("doc_id"),
+        ).alias("url"),
+        F.encode(F.col("_soup"), "utf-8").alias("html"),
+    )
+    md = render_pages_markdown(pages.unionByName(twins))
+    counts = md.groupBy("markdown").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min("url").alias("keeper_url"),
+    )
+    return counts.filter(F.col("cluster_size") >= 2).select(
+        F.md5(F.encode(F.col("markdown"), "utf-8")).alias("md_digest"),
+        "cluster_size",
+        "keeper_url",
+    )
+
+
 def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T178: per-label embedding-centroid drift between snapshots — the
     semantic complement to T78's categorical TVD and T185's lexical
@@ -5877,6 +5926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_items": q_list_items,
         "centroid_drift": q_centroid_drift,
         "markdown_render": q_markdown_render,
+        "markup_invariant_dedup": q_markup_invariant_dedup,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6894,6 +6944,14 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 'outro d' || doc_id END
                    ], x -> x <> ''), chr(10) || chr(10)) AS markdown
             FROM documents
+        """,
+        "markup_invariant_dedup": """
+            SELECT md5('## Title d' || doc_id || chr(10) || chr(10)
+                       || 'body text d' || doc_id) AS md_digest,
+                   CAST(2 AS BIGINT) AS cluster_size,
+                   'http://i' || (doc_id % 5) || '.example.com/p/'
+                       || doc_id AS keeper_url
+            FROM documents WHERE doc_id % 11 = 0
         """,
         "simhash": """
             WITH toks AS (
