@@ -5408,6 +5408,68 @@ def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_pages_markdown(pages)
 
 
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T183: image/alt-text harvesting (kernel/images.py via
+    operators/multimodal.py:extract_page_images) — the LAION-class
+    image-text-pair miner: doc i carries i%3 imgs with entity-laden alt
+    text (relative srcs resolved against the page URL), every 4th doc
+    wraps img 0 in a <figure> whose <figcaption> FOLLOWS the img (records
+    emit at figure close), every 9th doc adds a data-URI img that must be
+    SKIPPED.  ONE narrow Arrow stage; every (src, alt, title, caption)
+    replays from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        extract_page_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.format_string("http://f%d.example.com/p/%d", did % 7, did)
+
+    def img(k: int) -> F.Column:
+        title = ' title="ttl d' if k == 1 else ""
+        tail = (
+            F.concat(F.lit(title), ds, F.lit('"')) if k == 1 else F.lit("")
+        )
+        return F.concat(
+            F.lit(f'<img src="/img/'),
+            ds,
+            F.lit(f'_{k}.png" alt="pic {k} of d'),
+            ds,
+            F.lit(' &amp; co"'),
+            tail,
+            F.lit(">"),
+        )
+
+    img0 = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit("<figure>"),
+            img(0),
+            F.lit("<figcaption>cap d"),
+            ds,
+            F.lit("</figcaption></figure>"),
+        ),
+    ).otherwise(img(0))
+    pieces = [F.lit("<html><body><p>pre</p>")]
+    pieces.append(F.when(did % 3 > 0, img0).otherwise(F.lit("")))
+    for k in (1, 2):
+        pieces.append(
+            F.when(F.lit(k) < did % 3, img(k)).otherwise(F.lit(""))
+        )
+    pieces.append(
+        F.when(
+            did % 9 == 0,
+            F.lit('<img src="data:image/png;base64,AAAA" alt="nope">'),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(F.lit("</body></html>"))
+    pages = docs.select(
+        url.alias("url"), F.encode(F.concat(*pieces), "utf-8").alias("html")
+    )
+    return extract_page_images(pages)
+
+
 def q_markup_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T181: markup-invariant dedup — the duplicate class BYTE hashing of
     raw HTML can never catch: same content re-serialized by a different
@@ -5927,6 +5989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": q_centroid_drift,
         "markdown_render": q_markdown_render,
         "markup_invariant_dedup": q_markup_invariant_dedup,
+        "image_text_pairs": q_image_text_pairs,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -6952,6 +7015,23 @@ def oracle_sql() -> dict[str, str]:
                    'http://i' || (doc_id % 5) || '.example.com/p/'
                        || doc_id AS keeper_url
             FROM documents WHERE doc_id % 11 = 0
+        """,
+        "image_text_pairs": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://f' || (doc_id % 7) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            )
+            SELECT url, CAST(k.k AS INT) AS img_idx,
+                   'http://f' || (i % 7) || '.example.com/img/' || i
+                       || '_' || k.k || '.png' AS src,
+                   'pic ' || k.k || ' of d' || i || ' & co' AS alt,
+                   CASE WHEN k.k = 1 THEN 'ttl d' || i ELSE '' END AS title,
+                   CASE WHEN k.k = 0 AND i % 4 = 0
+                        THEN 'cap d' || i ELSE '' END AS caption
+            FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+            WHERE k.k < i % 3
         """,
         "simhash": """
             WITH toks AS (

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "list_items",
     "centroid_drift",
     "markdown_render",
+    "markup_invariant_dedup",
+    "image_text_pairs",
 ]
 
 

@@ -323,3 +323,37 @@ def hamming_near_dupe_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+IMAGE_REF_SCHEMA = (
+    "url STRING, img_idx INT, src STRING, alt STRING, "
+    "title STRING, caption STRING"
+)
+
+
+def extract_page_images(pages: DataFrame) -> DataFrame:
+    """(url, html[, …]) → one row per followable <img> with its alt/title
+    and figure caption (kernel/images.py) — the image-text-pair miner
+    feeding this module's fetch/decode/feature stack.  Same ONE-narrow-
+    Arrow-stage contract as the other extractors."""
+    import pandas as pd
+
+    def run(batches):
+        from ..kernel.images import extract_images
+
+        cols = ["url", "img_idx", "src", "alt", "title", "caption"]
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                for r in extract_images(text, url):
+                    rows.append(
+                        (url, r["idx"], r["src"], r["alt"], r["title"], r["caption"])
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.select("url", "html").mapInPandas(run, IMAGE_REF_SCHEMA)
