@@ -5470,6 +5470,56 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_images(pages)
 
 
+def q_image_pair_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T186: LAION-style image-text-pair gates over the T183 harvest —
+    the junk classes every pair miner drops: empty/too-short alt, alt
+    that is just the image FILENAME (alt="IMG_1234.jpg"), and
+    non-image-extension srcs; plus the keep verdict.  Docs with
+    doc_id%7==1 get img-1's alt REWRITTEN to its own filename, docs with
+    doc_id%5==2 get img-0's alt shortened and src flipped to .php, so all
+    three drop reasons fire.  Pure codegen string predicates over the
+    harvested rows."""
+    base = q_image_text_pairs(spark, sf_dir)
+    did = F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1).cast("bigint")
+    fname = F.regexp_extract(F.col("src"), r"/([^/]+)$", 1)
+    alt = (
+        F.when(
+            (did % 7 == 1) & (F.col("img_idx") == 1), fname
+        )
+        .when(
+            (did % 5 == 2) & (F.col("img_idx") == 0), F.lit("x")
+        )
+        .otherwise(F.col("alt"))
+    )
+    src = F.when(
+        (did % 5 == 2) & (F.col("img_idx") == 0),
+        F.concat(F.regexp_replace(F.col("src"), r"\.png$", ""), F.lit(".php")),
+    ).otherwise(F.col("src"))
+    rewritten = base.select(
+        "url", "img_idx", src.alias("src"), alt.alias("alt"), "caption"
+    )
+    fname2 = F.regexp_extract(F.col("src"), r"/([^/]+)$", 1)
+    alt_is_filename = (F.col("alt") == fname2).cast("int")
+    alt_too_short = (F.length("alt") < 5).cast("int")
+    bad_extension = (~F.col("src").rlike(r"\.(png|jpg|jpeg|gif|webp)$")).cast(
+        "int"
+    )
+    return rewritten.select(
+        "url",
+        "img_idx",
+        alt_is_filename.alias("alt_is_filename"),
+        alt_too_short.alias("alt_too_short"),
+        bad_extension.alias("bad_extension"),
+        (
+            (alt_is_filename == 0)
+            & (alt_too_short == 0)
+            & (bad_extension == 0)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def q_markup_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T181: markup-invariant dedup — the duplicate class BYTE hashing of
     raw HTML can never catch: same content re-serialized by a different
@@ -5990,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_render": q_markdown_render,
         "markup_invariant_dedup": q_markup_invariant_dedup,
         "image_text_pairs": q_image_text_pairs,
+        "image_pair_filters": q_image_pair_filters,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -7032,6 +7083,49 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'cap d' || i ELSE '' END AS caption
             FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
             WHERE k.k < i % 3
+        """,
+        "image_pair_filters": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://f' || (doc_id % 7) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            ), pairs AS (
+                SELECT url, i, CAST(k.k AS INT) AS img_idx,
+                       'http://f' || (i % 7) || '.example.com/img/' || i
+                           || '_' || k.k || '.png' AS src,
+                       'pic ' || k.k || ' of d' || i || ' & co' AS alt
+                FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+                WHERE k.k < i % 3
+            ), rew AS (
+                SELECT url, img_idx,
+                       CASE WHEN i % 5 = 2 AND img_idx = 0
+                            THEN replace(src, '.png', '.php') ELSE src END
+                           AS src,
+                       CASE WHEN i % 7 = 1 AND img_idx = 1
+                            THEN i || '_1.png'
+                            WHEN i % 5 = 2 AND img_idx = 0 THEN 'x'
+                            ELSE alt END AS alt
+                FROM pairs
+            ), flags AS (
+                SELECT url, img_idx,
+                       CASE WHEN alt = regexp_extract(src, '/([^/]+)$', 1)
+                            THEN 1 ELSE 0 END AS alt_is_filename,
+                       CASE WHEN length(alt) < 5 THEN 1 ELSE 0 END
+                           AS alt_too_short,
+                       CASE WHEN NOT regexp_matches(src,
+                            '\\.(png|jpg|jpeg|gif|webp)$')
+                            THEN 1 ELSE 0 END AS bad_extension
+                FROM rew
+            )
+            SELECT url, img_idx,
+                   CAST(alt_is_filename AS INT) AS alt_is_filename,
+                   CAST(alt_too_short AS INT) AS alt_too_short,
+                   CAST(bad_extension AS INT) AS bad_extension,
+                   CAST(CASE WHEN alt_is_filename = 0 AND alt_too_short = 0
+                             AND bad_extension = 0
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM flags
         """,
         "simhash": """
             WITH toks AS (
