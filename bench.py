@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "markdown_render",
     "markup_invariant_dedup",
     "image_text_pairs",
+    "image_pair_filters",
 ]
 
 
