@@ -1051,6 +1051,32 @@ def main() -> int:
     md_plan = sections[-1][1]
     checks.append(("markdown_render", "no Exchange", "Exchange" not in md_plan))
 
+    # T181: render + digest agg — no joins, no window
+    grab(
+        "markup_invariant_dedup",
+        em.q_markup_invariant_dedup(spark, sf),
+        "MapInPandas",
+        "partial_count",
+    )
+
+    # T183/T186: harvesting is one narrow Arrow stage; the gates fuse as
+    # codegen predicates on top (no extra shuffle, no extra Python)
+    grab("image_text_pairs", em.q_image_text_pairs(spark, sf), "MapInPandas")
+    it_plan = sections[-1][1]
+    checks.append(("image_text_pairs", "no Exchange", "Exchange" not in it_plan))
+    grab("image_pair_filters", em.q_image_pair_filters(spark, sf), "MapInPandas")
+    ip_plan = sections[-1][1]
+    checks.append(
+        ("image_pair_filters", "no Exchange", "Exchange" not in ip_plan)
+    )
+    checks.append(
+        (
+            "image_pair_filters",
+            "exactly one Python stage (gates fused)",
+            ip_plan.count("MapInPandas") == 1,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
