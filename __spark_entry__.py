@@ -5470,6 +5470,56 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_images(pages)
 
 
+def q_srcset_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T188: responsive-image srcset resolution (kernel/images.py:
+    pick_srcset) — responsive pages put the real image in srcset and a
+    thumbnail in src, so the pair miner must prefer it: EVEN docs carry
+    width candidates (960w beats 480w), ODD docs density candidates (2x
+    beats the descriptor-less 1x), every 5th doc's srcset holds only an
+    unfollowable data: candidate and must FALL BACK to the src attribute
+    (from_srcset 0).  Every branch replays from doc_id arithmetic."""
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        extract_page_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.format_string("http://r%d.example.com/p/%d", did % 7, did)
+    srcset = (
+        F.when(
+            did % 5 == 0,
+            F.lit('srcset="data:image/png;base64,AA 2x"'),
+        )
+        .when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('srcset="/img/'), ds, F.lit('_sm.png 480w, /img/'),
+                ds, F.lit('_lg.png 960w"'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('srcset="/d1_'), ds, F.lit('.png, /d2_'), ds,
+                F.lit('.png 2x"'),
+            )
+        )
+    )
+    html = F.concat(
+        F.lit('<html><body><img src="/thumb_'),
+        ds,
+        F.lit('.png" alt="resp pic d'),
+        ds,
+        F.lit('" '),
+        srcset,
+        F.lit("></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return extract_page_images(pages).select(
+        "url", "src", "alt", "from_srcset"
+    )
+
+
 def q_image_pair_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T186: LAION-style image-text-pair gates over the T183 harvest —
     the junk classes every pair miner drops: empty/too-short alt, alt
@@ -6041,6 +6091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_invariant_dedup": q_markup_invariant_dedup,
         "image_text_pairs": q_image_text_pairs,
         "image_pair_filters": q_image_pair_filters,
+        "srcset_resolution": q_srcset_resolution,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -7080,7 +7131,8 @@ def oracle_sql() -> dict[str, str]:
                    'pic ' || k.k || ' of d' || i || ' & co' AS alt,
                    CASE WHEN k.k = 1 THEN 'ttl d' || i ELSE '' END AS title,
                    CASE WHEN k.k = 0 AND i % 4 = 0
-                        THEN 'cap d' || i ELSE '' END AS caption
+                        THEN 'cap d' || i ELSE '' END AS caption,
+                   CAST(0 AS INT) AS from_srcset
             FROM base CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
             WHERE k.k < i % 3
         """,
@@ -7126,6 +7178,23 @@ def oracle_sql() -> dict[str, str]:
                              AND bad_extension = 0
                         THEN 1 ELSE 0 END AS INT) AS keep
             FROM flags
+        """,
+        "srcset_resolution": """
+            SELECT 'http://r' || (doc_id % 7) || '.example.com/p/'
+                       || doc_id AS url,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'http://r' || (doc_id % 7)
+                             || '.example.com/thumb_' || doc_id || '.png'
+                        WHEN doc_id % 2 = 0
+                        THEN 'http://r' || (doc_id % 7)
+                             || '.example.com/img/' || doc_id || '_lg.png'
+                        ELSE 'http://r' || (doc_id % 7)
+                             || '.example.com/d2_' || doc_id || '.png'
+                   END AS src,
+                   'resp pic d' || doc_id AS alt,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT)
+                       AS from_srcset
+            FROM documents
         """,
         "simhash": """
             WITH toks AS (

@@ -39,10 +39,55 @@ def _norm(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+_SRCSET_DESC_RE = re.compile(r"^(\d+)(w|x)$")
+
+
+def pick_srcset(srcset: str) -> str | None:
+    """Best candidate of a ``srcset`` attribute: responsive pages put the
+    real image there and a thumbnail in ``src``, so pair miners prefer it.
+    Width descriptors (``Nw``) beat density (``Nx``); within a class the
+    LARGEST integer descriptor wins, first candidate on ties; a
+    descriptor-less candidate counts as ``1x``; fractional densities
+    (``1.5x``) are treated as ``1x`` (integer-only determinism contract).
+    Returns the chosen candidate URL string, or None for an empty set.
+    """
+    # whitespace-token parse (the HTML-spec shape): a URL is a full
+    # non-whitespace run — commas INSIDE it (data: URIs) stay; a URL
+    # ENDING with commas ends its candidate; otherwise descriptors follow
+    # until one ends with a comma
+    best_url, best_key = None, None
+    tokens = srcset.split()
+    i = 0
+    while i < len(tokens):
+        url = tokens[i]
+        i += 1
+        ended = url.endswith(",")
+        url = url.rstrip(",")
+        if not url:
+            continue
+        kind, val = 0, 1  # (0=density, 1=width), magnitude
+        if not ended and i < len(tokens):
+            d = tokens[i]
+            i += 1
+            m = _SRCSET_DESC_RE.match(d.rstrip(","))
+            if m:
+                kind = 1 if m.group(2) == "w" else 0
+                val = int(m.group(1))
+            # single-descriptor contract: the next token (if the comma
+            # hasn't ended this candidate) starts a new candidate
+        key = (kind, val)
+        if best_key is None or key > best_key:
+            best_url, best_key = url, key
+    return best_url
+
+
 def extract_images(html: str, base_url: str) -> list[dict]:
     """All followable images of *html* in document order.
 
-    Returns ``[{"idx", "src", "alt", "title", "caption"}]``.
+    Returns ``[{"idx", "src", "alt", "title", "caption",
+    "from_srcset"}]`` — ``src`` is the resolved BEST candidate: the
+    srcset pick when present and followable (``from_srcset`` 1), else
+    the ``src`` attribute.
     """
     out: list[dict] = []
     drop = 0
@@ -76,13 +121,24 @@ def extract_images(html: str, base_url: str) -> list[dict]:
                     figures[-1]["in_cap"] = True
             elif a == "img":
                 raw = html[span[0] : span[1]]
-                src = resolve_href(_attr_of(raw, "src") or "", base_url)
+                src = None
+                from_srcset = 0
+                srcset = _attr_of(raw, "srcset")
+                if srcset:
+                    cand = pick_srcset(srcset)
+                    if cand:
+                        src = resolve_href(cand, base_url)
+                        from_srcset = 1 if src is not None else 0
+                if src is None:
+                    src = resolve_href(_attr_of(raw, "src") or "", base_url)
+                    from_srcset = 0
                 if src is None:
                     continue
                 rec = {
                     "src": src,
                     "alt": _norm(_attr_of(raw, "alt") or ""),
                     "title": _norm(_attr_of(raw, "title") or ""),
+                    "from_srcset": from_srcset,
                 }
                 if figures:
                     figures[-1]["imgs"].append(rec)

@@ -327,7 +327,7 @@ def hamming_near_dupe_pairs(
 
 IMAGE_REF_SCHEMA = (
     "url STRING, img_idx INT, src STRING, alt STRING, "
-    "title STRING, caption STRING"
+    "title STRING, caption STRING, from_srcset INT"
 )
 
 
@@ -341,7 +341,9 @@ def extract_page_images(pages: DataFrame) -> DataFrame:
     def run(batches):
         from ..kernel.images import extract_images
 
-        cols = ["url", "img_idx", "src", "alt", "title", "caption"]
+        cols = [
+            "url", "img_idx", "src", "alt", "title", "caption", "from_srcset",
+        ]
         for pdf in batches:
             rows = []
             for url, html in zip(pdf["url"], pdf["html"]):
@@ -352,7 +354,10 @@ def extract_page_images(pages: DataFrame) -> DataFrame:
                 )
                 for r in extract_images(text, url):
                     rows.append(
-                        (url, r["idx"], r["src"], r["alt"], r["title"], r["caption"])
+                        (
+                            url, r["idx"], r["src"], r["alt"], r["title"],
+                            r["caption"], r["from_srcset"],
+                        )
                     )
             yield pd.DataFrame(rows, columns=cols)
 

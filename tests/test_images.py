@@ -51,3 +51,25 @@ def test_hostility_never_throws():
                  "<figure>" * 1000 + '<img src="a.png">',
                  "<figcaption>orphan</figcaption>"]:
         assert isinstance(extract_images(html, BASE), list)
+
+
+def test_srcset_width_beats_density_and_largest_wins():
+    from pdf_drawing_ocr_recognition_spark.kernel.images import pick_srcset
+
+    assert pick_srcset("/a.png 480w, /b.png 960w") == "/b.png"
+    assert pick_srcset("/a.png 2x, /b.png 100w") == "/b.png"  # w beats x
+    assert pick_srcset("/a.png, /b.png 2x") == "/b.png"  # bare = 1x
+    assert pick_srcset("/a.png 2x, /b.png 2x") == "/a.png"  # tie: first
+    assert pick_srcset("/a.png 1.5x, /b.png") == "/a.png"  # fractional -> 1x tie
+    assert pick_srcset("") is None
+
+
+def test_srcset_fallback_to_src_when_unfollowable():
+    got = _rows(
+        '<img src="/thumb.png" alt="a" srcset="data:image/png;base64,AA 2x">'
+    )
+    assert got[0][1].endswith("/thumb.png")
+    got2 = extract_images(
+        '<img src="/thumb.png" srcset="/big.png 900w">', BASE
+    )
+    assert got2[0]["src"].endswith("/big.png") and got2[0]["from_srcset"] == 1
