@@ -5470,6 +5470,51 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_images(pages)
 
 
+def q_declared_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T189: declared-vs-labeled language mismatch (kernel/meta.py
+    html_lang via operators/metadata.py:extract_page_lang) — a page
+    declaring lang=en whose text is German is machine-translated or
+    template spam (the root <html lang> is the publisher's own claim).
+    Fixture: doc_id%3==0 declares TRUTHFULLY (the doc's lang), %3==1
+    declares 'zz' (mismatch fires), %3==2 declares nothing ('' — absent
+    is not a mismatch).  One narrow Arrow stage + one broadcast join
+    back to the labels."""
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        extract_page_lang,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    did = F.col("doc_id")
+    attr = (
+        F.when(did % 3 == 0, F.concat(F.lit(' lang="'), F.col("lang"), F.lit('"')))
+        .when(did % 3 == 1, F.lit(' lang="zz"'))
+        .otherwise(F.lit(""))
+    )
+    url = F.format_string("http://q%d.example.com/p/%d", did % 5, did)
+    html = F.concat(
+        F.lit("<html"), attr,
+        F.lit("><head><title>t</title></head><body>x</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    declared = extract_page_lang(pages).select(
+        F.regexp_extract(F.col("url"), r"/p/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("html_lang").alias("declared_lang"),
+    )
+    return declared.join(docs, "doc_id").select(
+        "doc_id",
+        "declared_lang",
+        F.col("lang").alias("labeled_lang"),
+        (
+            (F.col("declared_lang") != "")
+            & (F.col("declared_lang") != F.col("lang"))
+        )
+        .cast("int")
+        .alias("mismatch"),
+    )
+
+
 def q_srcset_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T188: responsive-image srcset resolution (kernel/images.py:
     pick_srcset) — responsive pages put the real image in srcset and a
@@ -6092,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_text_pairs": q_image_text_pairs,
         "image_pair_filters": q_image_pair_filters,
         "srcset_resolution": q_srcset_resolution,
+        "declared_lang_mismatch": q_declared_lang_mismatch,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -7194,6 +7240,15 @@ def oracle_sql() -> dict[str, str]:
                    'resp pic d' || doc_id AS alt,
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS INT)
                        AS from_srcset
+            FROM documents
+        """,
+        "declared_lang_mismatch": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN lang WHEN 1 THEN 'zz'
+                        ELSE '' END AS declared_lang,
+                   lang AS labeled_lang,
+                   CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+                       AS mismatch
             FROM documents
         """,
         "simhash": """

@@ -73,12 +73,19 @@ def extract_meta(html: str, base_url: str | None = None) -> dict:
     canonical: str | None = None
     metas: dict[str, str] = {}
     alternates: list[tuple[str, str]] = []
+    html_lang = ""
     in_title = False
     title_parts: list[str] = []
     for kind, a, span in iter_tokens(html):
         if kind == "t":
             raw = html[span[0] : span[1]]
-            if a == "title":
+            if a == "html" and not html_lang:
+                # the root's declared language (BCP 47), first DECLARATION
+                # wins (a bare <html> does not mask a later soup root) —
+                # compared against DETECTED language it is the MT-farm /
+                # mislabeled-page signal
+                html_lang = _norm(_attr_of(raw, "lang") or "").lower()
+            elif a == "title":
                 if title is None and not in_title:
                     in_title = True
                     title_parts = []
@@ -122,4 +129,5 @@ def extract_meta(html: str, base_url: str | None = None) -> dict:
         "canonical": canonical,
         "metas": metas,
         "alternates": alternates,
+        "html_lang": html_lang,
     }

@@ -162,3 +162,31 @@ def sniff_page_charsets(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(run, CHARSET_SCHEMA)
+
+
+LANG_SCHEMA = "url STRING, html_lang STRING"
+
+
+def extract_page_lang(pages: DataFrame) -> DataFrame:
+    """(url, html[, …]) → the root element's declared language (first
+    <html lang> wins, '' when absent) — compared against the DETECTED or
+    labeled language it is the mislabeled-page / MT-farm signal (a page
+    declaring lang=en whose text is German is machine-translated or
+    template spam).  Same ONE-narrow-Arrow-stage contract."""
+    import pandas as pd
+
+    def run(batches):
+        from ..kernel.meta import extract_meta
+
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = (
+                    html.decode("utf-8", "replace")
+                    if isinstance(html, (bytes, bytearray))
+                    else html
+                )
+                rows.append((url, extract_meta(text)["html_lang"]))
+            yield pd.DataFrame(rows, columns=["url", "html_lang"])
+
+    return pages.select("url", "html").mapInPandas(run, LANG_SCHEMA)

@@ -94,7 +94,7 @@ class TestHostileTotality:
     )
     def test_never_raises(self, html):
         m = extract_meta(html, base_url=BASE)
-        assert set(m) == {"title", "canonical", "metas", "alternates"}
+        assert set(m) == {"title", "canonical", "metas", "alternates", "html_lang"}
 
 
 class TestAlternates:
@@ -185,3 +185,14 @@ class TestCharsetSniff:
         for raw in (b"", b"\xff", b"\x80" * 2000, b"<meta charset="):
             s = self._s(raw)
             assert set(s) == {"charset", "source"}
+
+
+def test_html_lang_first_wins_and_normalizes():
+    assert extract_meta('<html LANG=" EN-us "><body>x</body></html>')[
+        "html_lang"
+    ] == "en-us"
+    # first DECLARED lang wins (a bare root does not mask a later
+    # soup declaration — documented contract)
+    assert extract_meta("<html><html lang=de>")["html_lang"] == "de"
+    assert extract_meta("<html lang=fr><html lang=de>")["html_lang"] == "fr"
+    assert extract_meta("no root at all")["html_lang"] == ""
