@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "markup_invariant_dedup",
     "image_text_pairs",
     "image_pair_filters",
+    "srcset_resolution",
+    "declared_lang_mismatch",
 ]
 
 
