@@ -1077,6 +1077,19 @@ def main() -> int:
         )
     )
 
+    # T188: srcset resolution rides the same narrow harvest stage
+    grab("srcset_resolution", em.q_srcset_resolution(spark, sf), "MapInPandas")
+    sr_plan = sections[-1][1]
+    checks.append(("srcset_resolution", "no Exchange", "Exchange" not in sr_plan))
+
+    # T189: one narrow Arrow stage + one broadcast join to the labels
+    grab(
+        "declared_lang_mismatch",
+        em.q_declared_lang_mismatch(spark, sf),
+        "MapInPandas",
+        "BroadcastHashJoin",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
