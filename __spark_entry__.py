@@ -5470,6 +5470,120 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_images(pages)
 
 
+def q_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T190: the unified page profile — SIX extractors (markdown,
+    headings, lists, code, images, links), all riding the one shared
+    linear tokenizer, composed over ONE rich fixture page and LEFT-joined
+    into the denormalized per-page record a corpus export actually ships:
+    (url, md_chars, n_headings, n_list_items, n_code_blocks, code_chars,
+    n_images, n_links).  Every rollup is map-side-combinable; absent
+    payloads coalesce to 0 (absence is data).  The oracle re-derives all
+    eight columns — including the full markdown LENGTH — from doc_id
+    arithmetic, pinning the kernels' composition, not just each alone."""
+    from pdf_drawing_ocr_recognition_spark.operators.codeblocks import (
+        extract_page_code_blocks,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_headings,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.htmllists import (
+        extract_page_lists,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.links import (
+        extract_page_links,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.markdown import (
+        render_pages_markdown,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+        extract_page_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.format_string("http://pp%d.example.com/p/%d", did % 7, did)
+    pieces = [
+        F.lit("<html><body><h1>Doc d"),
+        ds,
+        F.lit('</h1><p>intro d'),
+        ds,
+        F.lit(' <a href="/n/'),
+        ds,
+        F.lit('">next</a></p>'),
+    ]
+    pieces.append(
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<ul><li>alpha d"), ds, F.lit("<li>beta d"), ds,
+                F.lit("</ul>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<pre><code class="language-python">def f'), ds,
+                F.lit("():\n    return "), ds, F.lit("</code></pre>"),
+            ),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit('<img src="/i/'), ds, F.lit('.png" alt="pic d'), ds, F.lit('">')),
+        ).otherwise(F.lit(""))
+    )
+    pieces.append(F.concat(F.lit("<p>outro d"), ds, F.lit("</p></body></html>")))
+    pages = docs.select(
+        url.alias("url"), F.encode(F.concat(*pieces), "utf-8").alias("html")
+    )
+
+    def roll(df, *aggs):
+        return df.groupBy("url").agg(*aggs)
+
+    md = render_pages_markdown(pages).select(
+        "url", F.length("markdown").cast("bigint").alias("md_chars")
+    )
+    heads = roll(
+        extract_page_headings(pages),
+        F.count(F.lit(1)).cast("bigint").alias("n_headings"),
+    )
+    lists = roll(
+        extract_page_lists(pages),
+        F.count(F.lit(1)).cast("bigint").alias("n_list_items"),
+    )
+    code = roll(
+        extract_page_code_blocks(pages),
+        F.count(F.lit(1)).cast("bigint").alias("n_code_blocks"),
+        F.sum(F.length("code_text")).cast("bigint").alias("code_chars"),
+    )
+    imgs = roll(
+        extract_page_images(pages),
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+    )
+    links = roll(
+        extract_page_links(pages),
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+    )
+    out = md
+    for part in (heads, lists, code, imgs, links):
+        out = out.join(part, "url", "left")
+    fill = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+    return out.select(
+        "url",
+        "md_chars",
+        fill("n_headings"),
+        fill("n_list_items"),
+        fill("n_code_blocks"),
+        fill("code_chars"),
+        fill("n_images"),
+        fill("n_links"),
+    )
+
+
 def q_declared_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T189: declared-vs-labeled language mismatch (kernel/meta.py
     html_lang via operators/metadata.py:extract_page_lang) — a page
@@ -6138,6 +6252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_filters": q_image_pair_filters,
         "srcset_resolution": q_srcset_resolution,
         "declared_lang_mismatch": q_declared_lang_mismatch,
+        "page_profile": q_page_profile,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -7250,6 +7365,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
                        AS mismatch
             FROM documents
+        """,
+        "page_profile": """
+            WITH base AS (
+                SELECT doc_id AS i,
+                       'http://pp' || (doc_id % 7) || '.example.com/p/'
+                           || doc_id AS url
+                FROM documents
+            )
+            SELECT url,
+                   CAST(length(array_to_string(list_filter([
+                       '# Doc d' || i,
+                       'intro d' || i || ' next',
+                       CASE WHEN i % 3 = 0
+                            THEN '- alpha d' || i || chr(10)
+                                 || '- beta d' || i ELSE '' END,
+                       CASE WHEN i % 2 = 0
+                            THEN '```python' || chr(10) || 'def f' || i
+                                 || '():' || chr(10) || '    return ' || i
+                                 || chr(10) || '```' ELSE '' END,
+                       'outro d' || i
+                   ], x -> x <> ''), chr(10) || chr(10))) AS BIGINT)
+                       AS md_chars,
+                   CAST(1 AS BIGINT) AS n_headings,
+                   CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 0 END AS BIGINT)
+                       AS n_list_items,
+                   CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_code_blocks,
+                   CAST(CASE WHEN i % 2 = 0
+                        THEN length('def f' || i || '():' || chr(10)
+                                    || '    return ' || i)
+                        ELSE 0 END AS BIGINT) AS code_chars,
+                   CAST(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_images,
+                   CAST(1 AS BIGINT) AS n_links
+            FROM base
         """,
         "simhash": """
             WITH toks AS (

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "image_pair_filters",
     "srcset_resolution",
     "declared_lang_mismatch",
+    "page_profile",
 ]
 
 
