@@ -1090,6 +1090,23 @@ def main() -> int:
         "BroadcastHashJoin",
     )
 
+    # T190: six extractor rollups join on url — no cartesian anywhere
+    grab(
+        "page_profile",
+        em.q_page_profile(spark, sf),
+        "MapInPandas",
+        "partial_count",
+    )
+    pp2_plan = sections[-1][1]
+    checks.append(
+        (
+            "page_profile",
+            "no cartesian / nested-loop join",
+            "CartesianProduct" not in pp2_plan
+            and "BroadcastNestedLoopJoin" not in pp2_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
