@@ -5470,6 +5470,55 @@ def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_page_images(pages)
 
 
+def q_title_body_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T191: title-body coverage — the clickbait/SEO-stuffing signal: how
+    many of the title's words the body actually delivers, as exact ppm.
+    Composes TWO oracled kernels (head metadata title + section body
+    text); the fixture plants 3-word titles whose body contains word 1
+    always, word 2 on even docs, word 3 never → coverage is exactly
+    333333 or 666666 ppm.  One narrow Arrow stage per kernel + one url
+    equi-join; the set intersection is in-array (bounded by title
+    length)."""
+    from pdf_drawing_ocr_recognition_spark.operators.headings import (
+        extract_page_sections,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.metadata import (
+        extract_page_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.format_string("http://tb%d.example.com/p/%d", did % 3, did)
+    html = F.concat(
+        F.lit("<html><head><title>alpha"), ds, F.lit(" beta"), ds,
+        F.lit(" gamma"), ds, F.lit("</title></head><body><p>alpha"), ds,
+        F.lit(" filler words here"),
+        F.when(did % 2 == 0, F.concat(F.lit(" beta"), ds)).otherwise(F.lit("")),
+        F.lit(" end</p></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    titles = extract_page_meta(pages).select("url", "title")
+    bodies = extract_page_sections(pages).groupBy("url").agg(
+        F.concat_ws(" ", F.collect_list("section_text")).alias("_body")
+    )
+    joined = titles.join(bodies, "url").select(
+        "url",
+        F.split(F.col("title"), " ").alias("_tw"),
+        F.split(F.col("_body"), " ").alias("_bw"),
+    )
+    covered = F.size(F.array_intersect(F.col("_tw"), F.col("_bw")))
+    return joined.select(
+        "url",
+        F.size("_tw").cast("bigint").alias("n_title_words"),
+        covered.cast("bigint").alias("n_covered"),
+        F.expr(
+            "cast(size(array_intersect(_tw, _bw)) as bigint) * 1000000"
+            " div size(_tw)"
+        ).alias("coverage_ppm"),
+    )
+
+
 def q_page_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T190: the unified page profile — SIX extractors (markdown,
     headings, lists, code, images, links), all riding the one shared
@@ -6253,6 +6302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srcset_resolution": q_srcset_resolution,
         "declared_lang_mismatch": q_declared_lang_mismatch,
         "page_profile": q_page_profile,
+        "title_body_coverage": q_title_body_coverage,
         "bpe_encode": q_bpe_encode,
         "tokenizer_fertility": q_tokenizer_fertility,
         "pii_by_domain": q_pii_by_domain,
@@ -7400,6 +7450,16 @@ def oracle_sql() -> dict[str, str]:
                        AS n_images,
                    CAST(1 AS BIGINT) AS n_links
             FROM base
+        """,
+        "title_body_coverage": """
+            SELECT 'http://tb' || (doc_id % 3) || '.example.com/p/'
+                       || doc_id AS url,
+                   CAST(3 AS BIGINT) AS n_title_words,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS n_covered,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 666666 ELSE 333333 END
+                        AS BIGINT) AS coverage_ppm
+            FROM documents
         """,
         "simhash": """
             WITH toks AS (

@@ -86,6 +86,9 @@ def extract_sections(html: str) -> list[dict]:
     so adjacent paragraphs never glue; script/style content is dropped;
     same totality contract as :func:`extract_headings`.
 
+    ``<title>`` content is metadata, not body text, and is dropped like
+    script/style (the head leaks into the preamble otherwise).
+
     Returns ``[{"idx", "level", "title", "text"}]`` in document order.
     """
     from .html_extract import _BLOCK_TAGS
@@ -123,7 +126,7 @@ def extract_sections(html: str) -> list[dict]:
                     a = _htmllib.unescape(a)
                 (h_parts if in_heading else b_parts).append(a)
         elif kind == "t":
-            if a in _DROP_TAGS:
+            if a in _DROP_TAGS or a == "title":
                 drop += 1
                 continue
             if a in _HEADING_TAGS:
@@ -138,7 +141,7 @@ def extract_sections(html: str) -> list[dict]:
             elif a in _BLOCK_TAGS:
                 (h_parts if in_heading else b_parts).append(" ")
         else:
-            if a in _DROP_TAGS:
+            if a in _DROP_TAGS or a == "title":
                 drop = max(0, drop - 1)
             elif a in _HEADING_TAGS:
                 close_heading()

@@ -130,7 +130,7 @@ def render_markdown(html: str) -> str:
             else:
                 para.append(a)
         elif kind == "t":
-            if a in _DROP_TAGS:
+            if a in _DROP_TAGS or a == "title":  # head metadata, not body
                 drop += 1
                 continue
             if fence is not None:  # inside a fence only pre/code nest
@@ -183,7 +183,7 @@ def render_markdown(html: str) -> str:
             elif a in _BLOCK_TAGS or a == "br":
                 flush_para()
         else:
-            if a in _DROP_TAGS:
+            if a in _DROP_TAGS or a == "title":
                 drop = max(0, drop - 1)
                 continue
             if fence is not None:
