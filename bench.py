@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "srcset_resolution",
     "declared_lang_mismatch",
     "page_profile",
+    "title_body_coverage",
 ]
 
 
