@@ -78,6 +78,8 @@ def extract_code_blocks(html: str) -> list[dict]:
         elif kind == "t":
             if a in _DROP_TAGS:
                 drop += 1
+            elif drop:
+                pass  # tags inside dropped subtrees are payload, not markup
             elif a in _CODE_TAGS:
                 if depth == 0:
                     parts = []
@@ -93,6 +95,8 @@ def extract_code_blocks(html: str) -> list[dict]:
         else:
             if a in _DROP_TAGS:
                 drop = max(0, drop - 1)
+            elif drop:
+                pass
             elif a in _CODE_TAGS and depth > 0:
                 depth -= 1
                 if depth == 0:

@@ -60,7 +60,7 @@ def extract_headings(html: str) -> list[dict]:
         elif kind == "t":
             if a in _DROP_TAGS:
                 drop += 1
-            elif a in _HEADING_TAGS:
+            elif drop == 0 and a in _HEADING_TAGS:
                 flush()  # soup: a new heading auto-closes the previous
                 level = _HEADING_TAGS[a]
                 parts = []
@@ -69,7 +69,7 @@ def extract_headings(html: str) -> list[dict]:
         else:
             if a in _DROP_TAGS:
                 drop = max(0, drop - 1)
-            elif a in _HEADING_TAGS:
+            elif drop == 0 and a in _HEADING_TAGS:
                 flush()  # any </hN> closes the open heading
     flush()  # unterminated heading at EOF
     return out
@@ -129,6 +129,8 @@ def extract_sections(html: str) -> list[dict]:
             if a in _DROP_TAGS or a == "title":
                 drop += 1
                 continue
+            if drop:
+                continue
             if a in _HEADING_TAGS:
                 close_heading()
                 close_section()
@@ -143,6 +145,8 @@ def extract_sections(html: str) -> list[dict]:
         else:
             if a in _DROP_TAGS or a == "title":
                 drop = max(0, drop - 1)
+            elif drop:
+                pass  # tags inside dropped subtrees are payload, not markup
             elif a in _HEADING_TAGS:
                 close_heading()
             elif a in _BLOCK_TAGS:

@@ -81,6 +81,18 @@ class Block:
 # rule), and "<!-->"/"<!--->" close abruptly as in the HTML5 spec.
 _TAG_NAME_RE = re.compile(r"<(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
 
+# HTML5 RAWTEXT elements: between "<script…>"/"<style…>" and the matching
+# case-insensitive close tag NOTHING is markup — "<p>" inside a JS string
+# must not reach any kernel as a tag event (it would mutate parser state:
+# open headings from document.write payloads, swallow the body into a code
+# fence).  The close tag is "</script" / "</style" followed by whitespace,
+# "/", ">" or EOF, exactly the spec's appropriate-end-tag check; an
+# unterminated rawtext element swallows to EOF (eof-in-script rule).
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</{t}(?=[\s/>]|\Z)", re.IGNORECASE)
+    for t in ("script", "style")
+}
+
 
 def iter_tokens(html: str):
     """Linear scan of *html* → (kind, a, b) events, SHARED by the
@@ -117,10 +129,27 @@ def iter_tokens(html: str):
                 if lt > i:
                     yield ("d", html[i:lt], None)
                 i = tok_end
+                tag = m.group(2).lower()
                 if m.group(1):
-                    yield ("e", m.group(2).lower(), (lt, tok_end))
+                    yield ("e", tag, (lt, tok_end))
                 else:
-                    yield ("t", m.group(2).lower(), (lt, tok_end))
+                    yield ("t", tag, (lt, tok_end))
+                    close = _RAWTEXT_CLOSE.get(tag)
+                    if close is not None:
+                        # RAWTEXT mode: one data run to the matching close
+                        # tag (or EOF) — still strictly linear: the search
+                        # scans the region once and i jumps past it.
+                        mm = close.search(html, i)
+                        if mm is None:
+                            if i < n:
+                                yield ("d", html[i:], None)
+                            return
+                        if mm.start() > i:
+                            yield ("d", html[i : mm.start()], None)
+                        gt2 = find(">", mm.end())
+                        end2 = n if gt2 < 0 else gt2 + 1
+                        yield ("e", tag, (mm.start(), end2))
+                        i = end2
                 continue
             # doctype / PI / malformed: drop the "<...>" token
         if lt > i:
@@ -155,6 +184,8 @@ class _BlockTokenizer:
         if tag in _DROP_TAGS:
             self._drop_depth += 1
             return
+        if self._drop_depth > 0:
+            return  # tags inside svg/iframe/noscript/… are not structure
         if tag in _BOILER_TAGS:
             self._flush()
             self._boiler_depth += 1
@@ -168,6 +199,8 @@ class _BlockTokenizer:
     def _end(self, tag: str) -> None:
         if tag in _DROP_TAGS:
             self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth > 0:
             return
         if tag in _BOILER_TAGS:
             self._flush()

@@ -114,6 +114,8 @@ def extract_images(html: str, base_url: str) -> list[dict]:
         elif kind == "t":
             if a in _DROP_TAGS:
                 drop += 1
+            elif drop:
+                pass  # tags inside dropped subtrees are payload, not markup
             elif a == "figure":
                 figures.append({"imgs": [], "cap_parts": [], "in_cap": False})
             elif a == "figcaption":
@@ -147,6 +149,8 @@ def extract_images(html: str, base_url: str) -> list[dict]:
         else:
             if a in _DROP_TAGS:
                 drop = max(0, drop - 1)
+            elif drop:
+                pass
             elif a == "figcaption":
                 if figures:
                     figures[-1]["in_cap"] = False

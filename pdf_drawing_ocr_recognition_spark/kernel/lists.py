@@ -76,6 +76,8 @@ def extract_list_items(html: str) -> list[dict]:
         elif kind == "t":
             if a in _DROP_TAGS:
                 drop += 1
+            elif drop:
+                pass  # tags inside dropped subtrees are payload, not markup
             elif a in _LIST_TAGS:
                 enclosing = open_item_frame()
                 if enclosing is not None:
@@ -96,6 +98,8 @@ def extract_list_items(html: str) -> list[dict]:
         else:
             if a in _DROP_TAGS:
                 drop = max(0, drop - 1)
+            elif drop:
+                pass
             elif a in _LIST_TAGS and stack:
                 flush_item(stack[-1])
                 stack.pop()

@@ -106,6 +106,23 @@ def render_markdown(html: str) -> str:
                 table_header_done[-1] = True
         row = None
 
+    def close_inline_code() -> None:
+        # the span stays inside its enclosing block: same sink priority as
+        # character data (heading > cell > open list item > paragraph) —
+        # `<li>item <code>foo</code> tail</li>` must render one item line,
+        # never rip the span out as a trailing paragraph
+        nonlocal inline_code
+        span_text = "`" + norm(inline_code) + "`"
+        inline_code = None
+        if heading is not None:
+            heading[1].append(span_text)
+        elif cell is not None:
+            cell.append(span_text)
+        elif lists and lists[-1]["item"] is not None:
+            lists[-1]["item"].append(span_text)
+        else:
+            para.append(span_text)
+
     row_has_header = False
 
     for kind, a, span in iter_tokens(html):
@@ -119,10 +136,10 @@ def render_markdown(html: str) -> str:
                 continue
             if "&" in a:
                 a = _htmllib.unescape(a)
-            if heading is not None:
-                heading[1].append(a)
-            elif inline_code is not None:
+            if inline_code is not None:  # an open span captures its data
                 inline_code.append(a)
+            elif heading is not None:
+                heading[1].append(a)
             elif cell is not None:
                 cell.append(a)
             elif lists and lists[-1]["item"] is not None:
@@ -132,6 +149,8 @@ def render_markdown(html: str) -> str:
         elif kind == "t":
             if a in _DROP_TAGS or a == "title":  # head metadata, not body
                 drop += 1
+                continue
+            if drop:  # tags inside dropped subtrees are payload, not markup
                 continue
             if fence is not None:  # inside a fence only pre/code nest
                 if a in ("pre", "code"):
@@ -186,6 +205,8 @@ def render_markdown(html: str) -> str:
             if a in _DROP_TAGS or a == "title":
                 drop = max(0, drop - 1)
                 continue
+            if drop:
+                continue
             if fence is not None:
                 if a in ("pre", "code"):
                     fence[0] -= 1
@@ -196,8 +217,7 @@ def render_markdown(html: str) -> str:
                 continue
             if a == "code":
                 if inline_code is not None:
-                    para.append("`" + norm(inline_code) + "`")
-                    inline_code = None
+                    close_inline_code()
             elif a in _HEADING:
                 flush_heading()
             elif a == "li":
@@ -227,7 +247,7 @@ def render_markdown(html: str) -> str:
         lang, text = fence[1], "".join(fence[2])
         blocks.append(("fence", f"```{lang}\n{text}\n```"))
     if inline_code is not None:
-        para.append("`" + norm(inline_code) + "`")
+        close_inline_code()
     flush_heading()
     while lists:
         flush_item()
