@@ -189,10 +189,20 @@ def near_dupe_pairs(
     key_col: str = "doc_id",
     n_bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int = 10000,
+    max_bucket: int = 1000,
     min_jaccard: float | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs (key_a < key_b), optionally Jaccard-confirmed."""
+    """LSH candidate pairs (key_a < key_b), optionally Jaccard-confirmed.
+
+    ``max_bucket`` bounds BOTH the pair count (a bucket over the cap is
+    dropped — at r=4 rows/band a >1000-member bucket is a degenerate
+    near-identical mass, not a dedup candidate set) and, since round 5,
+    the per-row memory: the expansion posexplodes each bucket to one row
+    per member FIRST and pairs each member against its slice, so no row
+    ever materializes more than ``max_bucket`` structs (the old in-array
+    form built the full k²/2 pair array inside ONE row before exploding
+    — ~5·10⁵ structs per row at the cap, GBs in one task just under it).
+    """
     sigs = minhash_signatures(docs, text_col, key_col)
     banded = sigs.select(
         key_col,
@@ -206,24 +216,17 @@ def near_dupe_pairs(
     )
     pairs = (
         capped.filter(~F.col("capped"))
+        .select(F.posexplode("ids").alias("_i", "key_a"), F.col("ids"))
         .select(
+            "key_a",
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(x.alias("key_a"), y.alias("key_b")),
-                        ),
-                    )
+                F.slice(
+                    F.col("ids"),
+                    F.col("_i") + 2,
+                    F.greatest(F.size("ids") - F.col("_i") - 1, F.lit(0)),
                 )
-            ).alias("p")
+            ).alias("key_b"),
         )
-        .select("p.key_a", "p.key_b")
         .distinct()
     )
     if min_jaccard is not None:

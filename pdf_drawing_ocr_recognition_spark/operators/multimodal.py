@@ -270,24 +270,15 @@ def image_dhash(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, DHASH_SCHEMA)
 
 
-def hamming_near_dupe_pairs(
+def _hamming_banded(
     hashes: DataFrame,
-    n_bits: int = 56,
-    max_distance: int = 2,
-    id_col: str = "doc_id",
-    hash_col: str = "dhash",
+    n_bits: int,
+    max_distance: int,
+    id_col: str,
+    hash_col: str,
 ) -> DataFrame:
-    """All pairs within Hamming distance *max_distance* — EXACTLY, without
-    an all-pairs join: pigeonhole multi-index (the mod-p banding of
-    Manku/Jain/Sarma's SimHash dedup, WWW 2007).  The hash is split into
-    ``max_distance+1`` disjoint bit bands; two hashes within distance d
-    differ in at most d bands, so at least one band matches exactly —
-    band-equality join gives a candidate superset (same shape/cost as the
-    T3 MinHash band join: one shuffle keyed by (band, value)), then ONE
-    codegen ``bit_count(xor)`` filter confirms.  Recall is structural
-    (pigeonhole), not probabilistic.  Returns (key_a, key_b, hamming),
-    key_a < key_b.
-    """
+    """(_id, _h, b) rows — one per (hash, pigeonhole band), shared by the
+    pair join and the hot-band report so both see identical banding."""
     from pyspark.sql import functions as F
 
     n_bands = max_distance + 1
@@ -306,11 +297,78 @@ def hamming_near_dupe_pairs(
                 F.shiftright("_h", shift).bitwiseAND(F.lit((1 << w) - 1)).alias("bv"),
             )
         )
-    banded = src.select("_id", "_h", F.explode(F.array(*band_cols)).alias("b"))
-    a = banded.select(
+    return src.select("_id", "_h", F.explode(F.array(*band_cols)).alias("b"))
+
+
+def hamming_hot_bands(
+    hashes: DataFrame,
+    n_bits: int = 56,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_band: int = 1000,
+) -> DataFrame:
+    """The band values :func:`hamming_near_dupe_pairs` SUPPRESSES at the
+    same *max_band* — (band_index, band_value, n_members), the capped-
+    bucket report of the T3 MinHash path (dedup.py near-dupe family).
+    Run it alongside the pair join: a hot value here means a degenerate
+    hash mass (uniform thumbnails, empty pages) whose members should be
+    deduped by EXACT hash equality instead of pairwise expansion."""
+    from pyspark.sql import functions as F
+
+    banded = _hamming_banded(hashes, n_bits, max_distance, id_col, hash_col)
+    return (
+        banded.groupBy(
+            F.col("b.bi").alias("band_index"), F.col("b.bv").alias("band_value")
+        )
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_band)
+    )
+
+
+def hamming_near_dupe_pairs(
+    hashes: DataFrame,
+    n_bits: int = 56,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_band: int = 1000,
+) -> DataFrame:
+    """All pairs within Hamming distance *max_distance* — EXACTLY, without
+    an all-pairs join: pigeonhole multi-index (the mod-p banding of
+    Manku/Jain/Sarma's SimHash dedup, WWW 2007).  The hash is split into
+    ``max_distance+1`` disjoint bit bands; two hashes within distance d
+    differ in at most d bands, so at least one band matches exactly —
+    band-equality join gives a candidate superset (same shape/cost as the
+    T3 MinHash band join: one shuffle keyed by (band, value)), then ONE
+    codegen ``bit_count(xor)`` filter confirms.  Recall is structural
+    (pigeonhole), not probabilistic.  Returns (key_a, key_b, hamming),
+    key_a < key_b.
+
+    Hot-band cap: a band VALUE shared by more than *max_band* hashes is
+    suppressed from the join (the same discipline as the T3 MinHash
+    ``max_bucket`` — real image corpora put millions of uniform
+    thumbnails on one dhash band value, and an uncapped equi-self-join
+    would emit ~n²/2 rows from that single value).  Suppression costs
+    recall only for pairs whose EVERY matching band is hot — report and
+    handle those masses with :func:`hamming_hot_bands` (exact-equality
+    dedup, not pairwise).  The frequency count is one map-side-combinable
+    hash agg on the same (band, value) key the join shuffles on.
+    """
+    from pyspark.sql import functions as F
+
+    banded = _hamming_banded(hashes, n_bits, max_distance, id_col, hash_col)
+    hot = (
+        banded.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_band)
+        .select("b")
+    )
+    cold = banded.join(hot, "b", "left_anti")
+    a = cold.select(
         F.col("b").alias("ba"), F.col("_id").alias("key_a"), F.col("_h").alias("ha")
     )
-    b = banded.select(
+    b = cold.select(
         F.col("b").alias("bb"), F.col("_id").alias("key_b"), F.col("_h").alias("hb")
     )
     return (

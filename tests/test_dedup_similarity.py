@@ -59,6 +59,26 @@ class TestNearDedupe:
         pairs = near_dupe_pairs(docs_with_dups, max_bucket=1)
         assert pairs.count() == 0
 
+    def test_bucket_expansion_bounded_per_row(self, spark):
+        """Round-5 scale fix: a bucket just under the cap must expand via
+        posexplode-then-slice (per-row arrays ≤ bucket size), never the
+        k²/2-struct in-array pair build — and the boundary semantics hold:
+        a bucket AT the cap pairs fully, one over is dropped."""
+        from pdf_drawing_ocr_recognition_spark.operators.dedup import near_dupe_pairs
+
+        # 40 byte-identical docs: every LSH band puts all 40 in one bucket
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(40)],
+            "doc_id LONG, text STRING",
+        )
+        at_cap = near_dupe_pairs(docs, max_bucket=40)
+        assert at_cap.count() == 40 * 39 // 2
+        # the optimized plan must not build pair structs in-array (flatten
+        # of nested transform was the unbounded-row construct)
+        plan = at_cap._jdf.queryExecution().optimizedPlan().toString()
+        assert "flatten(" not in plan and "posexplode" in plan
+        assert near_dupe_pairs(docs, max_bucket=39).count() == 0
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

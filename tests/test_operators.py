@@ -496,6 +496,39 @@ class TestImageDhash:
         assert got == want
         assert (4, 5) not in got and (1, 4) not in got
 
+    def test_hamming_hot_band_suppression(self, spark):
+        """Degenerate mass (the uniform-thumbnail case): 1200 identical
+        hashes put 1200 members on every band value — an uncapped
+        equi-self-join would emit ~719k pairs from ONE value.  With the
+        cap the mass is suppressed (0 pairs from it), the planted
+        cold-band near-dup still surfaces, and hamming_hot_bands reports
+        exactly the suppressed (band, value) masses with their counts."""
+        from pdf_drawing_ocr_recognition_spark.operators.multimodal import (
+            hamming_hot_bands,
+            hamming_near_dupe_pairs,
+        )
+
+        degenerate = [(i, 0) for i in range(1200)]  # all-zero dhash mass
+        planted = [(2001, 0x5AC3F0F1E2D4), (2002, 0x5AC3F0F1E2D4 ^ 1)]
+        df = spark.createDataFrame(
+            degenerate + planted, "doc_id LONG, dhash LONG"
+        )
+        pairs = hamming_near_dupe_pairs(
+            df, n_bits=56, max_distance=2, max_band=100
+        ).collect()
+        assert [(r["key_a"], r["key_b"], r["hamming"]) for r in pairs] == [
+            (2001, 2002, 1)
+        ]
+        hot = {
+            (r["band_index"], r["band_value"]): r["n_members"]
+            for r in hamming_hot_bands(
+                df, n_bits=56, max_distance=2, max_band=100
+            ).collect()
+        }
+        # zero mass occupies value 0 in all three bands; the planted pair's
+        # band values stay cold
+        assert hot == {(0, 0): 1200, (1, 0): 1200, (2, 0): 1200}
+
 
 class TestCorpusPrep:
     def test_prepared_equals_entry_audit_and_mix_composes(self, spark, sf_dir):
