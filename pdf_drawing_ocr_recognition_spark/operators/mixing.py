@@ -298,15 +298,20 @@ def curriculum_order(
     Scale shape: the bin is a pure codegen projection
     (``least(n_bins-1, floor(score·n_bins))`` — fixed thresholds, the way
     production curricula actually bin, NOT ntile, whose global window is a
-    single-partition sort); the shuffle position is a rank window
-    PARTITIONED BY bin over ``md5(seed:id)`` (each bin sorts
-    independently, n/n_bins rows, spillable).  The global curriculum
-    order is the lexicographic (bin, pos_in_bin) — never computed as one
-    sequence.  Everything replays in ANSI SQL (``curriculum_order``
-    oracle).
+    single-partition sort); the shuffle position comes from the T43
+    range-repartition + per-partition-offset machinery applied WITHIN bin
+    (operators/order.py grouped_row_numbers) — a rank window PARTITIONED
+    BY bin would funnel each bin through ONE task (2.5·10¹¹ rows per bin
+    at 10¹² docs), where the range sort spreads every bin across the
+    cluster.  The global curriculum order is the lexicographic
+    (bin, pos_in_bin) — never computed as one sequence.  Everything
+    replays in ANSI SQL (``curriculum_order`` oracle; value-identical to
+    the window form because (md5(seed:id), id) is a total order).
 
     Returns ``(id_col, score_col, bin, pos_in_bin)``.
     """
+    from .order import grouped_row_numbers
+
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     binned = df.select(
@@ -325,12 +330,14 @@ def curriculum_order(
             )
         ).alias("_shuf"),
     )
-    w = Window.partitionBy("bin").orderBy(F.asc("_shuf"), F.asc(id_col))
-    return binned.select(
+    numbered = grouped_row_numbers(
+        binned, ["bin"], [F.asc("_shuf"), F.asc(id_col)], id_col="_pos"
+    )
+    return numbered.select(
         id_col,
         score_col,
         "bin",
-        F.row_number().over(w).alias("pos_in_bin"),
+        F.col("_pos").cast("int").alias("pos_in_bin"),
     )
 
 
@@ -348,22 +355,38 @@ def per_group_percentiles(
     cross-source cut (the quantile-normalization step quality-classifier
     pipelines run before thresholding across heterogeneous sources).
 
-    Shape: one rank window PARTITIONED BY group (each group sorts
-    independently and spills; no global sort), percent_rank with the
-    (score, id) total order so ties break identically in any engine;
-    single-row groups get 0.0 (percent_rank's defined value).  Replays
-    verbatim in ANSI SQL.
+    Shape: the T43 range-repartition + offset machinery applied WITHIN
+    group (operators/order.py grouped_row_numbers) — sources are exactly
+    the skewed key (one host owns 50% of the fixture corpus), so a rank
+    window PARTITIONED BY source would push half the corpus through ONE
+    task; the range sort spreads a hot source across the cluster instead.
+    percent_rank ≡ (row_number−1)/(n_group−1) because (score, id) is a
+    total order (rank == row_number, ties impossible), with
+    single-row groups pinned to 0.0 (percent_rank's defined value);
+    division of identical integers gives the identical IEEE double the
+    window form produced.  Replays verbatim in ANSI SQL.
 
     Returns the input key columns + ``out_col`` = round(percent_rank, 6).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.asc(score_col), F.asc(id_col)
+    from .order import grouped_row_numbers
+
+    numbered = grouped_row_numbers(
+        df.select(id_col, group_col, score_col),
+        [group_col],
+        [F.asc(score_col), F.asc(id_col)],
+        id_col="_rn",
+        total_col="_ng",
     )
-    return df.select(
+    return numbered.select(
         id_col,
         group_col,
         score_col,
-        F.round(F.percent_rank().over(w), 6).alias(out_col),
+        F.round(
+            F.when(F.col("_ng") == 1, F.lit(0.0)).otherwise(
+                (F.col("_rn") - 1).cast("double") / (F.col("_ng") - 1)
+            ),
+            6,
+        ).alias(out_col),
     )
 
 

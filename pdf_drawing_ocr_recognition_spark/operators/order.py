@@ -72,3 +72,83 @@ def global_row_numbers(
             yield pdf
 
     return with_pid.mapInPandas(number, schema).drop("_pid")
+
+
+def grouped_row_numbers(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    id_col: str = "row_id",
+    total_col: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """1-based row numbers WITHIN each group, in ``order_cols`` order — the
+    scalable twin of ``row_number() OVER (PARTITION BY group ORDER BY …)``
+    for the per-group-window scale cliff: a rank window partitioned by a
+    low-cardinality or skewed group funnels each group through ONE task
+    (2.5·10¹¹ rows per bin at 10¹² docs / 4 curriculum bins — spilling,
+    not parallel).  Same two-job range-sort shape as
+    :func:`global_row_numbers`, range-partitioned on (group, order) so ONE
+    group spans many partitions and every partition stays
+    memory-bounded.
+
+    ``(group_cols, order_cols)`` MUST form a total order (unique
+    tiebreaker).  Driver traffic is the per-(partition, group) count rows:
+    range partitioning keeps each partition to a contiguous key span, so
+    that's ≤ n_partitions + n_groups − 1 scalar rows — bins/sources/hosts,
+    never documents.  With ``total_col`` set, each row also carries its
+    group's total row count (free here; a separate count-join would cost
+    another shuffle) — callers derive percent ranks as (rn−1)/(n−1).
+    """
+    import numpy as np
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in group_cols] + list(order_cols)
+    part = df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+    with_pid = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    count_rows = (
+        with_pid.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+
+    def gkey(row_or_vals) -> tuple:
+        return tuple(row_or_vals[g] for g in group_cols)
+
+    offsets: dict[tuple, dict[int, int]] = {}
+    totals: dict[tuple, int] = {}
+    for r in sorted(count_rows, key=lambda r: r["_pid"]):
+        k = gkey(r)
+        running = totals.get(k, 0)
+        offsets.setdefault(k, {})[r["_pid"]] = running
+        totals[k] = running + r["cnt"]
+
+    fields = list(with_pid.schema.fields) + [StructField(id_col, LongType())]
+    if total_col is not None:
+        fields.append(StructField(total_col, LongType()))
+    schema = StructType(fields)
+    want_total = total_col is not None
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen: dict[tuple, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            grp = pdf.groupby(group_cols, sort=False, dropna=False)
+            cc = grp.cumcount().to_numpy()
+            base = np.empty(len(pdf), dtype=np.int64)
+            tot = np.empty(len(pdf), dtype=np.int64) if want_total else None
+            for k, idx in grp.indices.items():
+                kk = k if isinstance(k, tuple) else (k,)
+                start = offsets[kk][pid] + seen.get(kk, 0)
+                base[idx] = start
+                seen[kk] = start - offsets[kk][pid] + len(idx)
+                if want_total:
+                    tot[idx] = totals[kk]
+            pdf[id_col] = base + cc + 1
+            if want_total:
+                pdf[total_col] = tot
+            yield pdf
+
+    return with_pid.mapInPandas(number, schema).drop("_pid")

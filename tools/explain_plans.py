@@ -462,19 +462,36 @@ def main() -> int:
             "Window" not in sections[-1][1],
         )
     )
-    # curriculum: binning is a projection; the only window is partitioned
-    # by bin (no single-partition global sort)
+    # curriculum (round 5): binning is a projection; the in-bin position is
+    # the T43 range-repartition + offset machinery — NO Window operator at
+    # all (a per-bin rank window funneled each bin through one task), and
+    # the sort is a range-partitioned within-partition sort.
     grab(
         "curriculum_order",
         em.q_curriculum_order(spark, sf),
-        "Window",
+        "MapInPandas",
     )
     cur_plan = sections[-1][1]
     checks.append(
         (
             "curriculum_order",
-            "rank window partitioned by bin (no single-partition sort)",
-            "windowspecdefinition(bin#" in cur_plan,
+            "no per-group Window (T43 offsets instead)",
+            "Window" not in cur_plan,
+        )
+    )
+    # per-group percent ranks (round 5): same machinery applied within
+    # source — the skewed key must not serialize into one window task
+    grab(
+        "score_calibration",
+        em.q_score_calibration(spark, sf),
+        "MapInPandas",
+    )
+    sc_plan = sections[-1][1]
+    checks.append(
+        (
+            "score_calibration",
+            "no per-group Window (T43 offsets instead)",
+            "Window" not in sc_plan,
         )
     )
     # classifier inference: broadcast 256-row weight dim, partial agg
