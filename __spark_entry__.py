@@ -1208,28 +1208,41 @@ def q_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_RECALL_THRESHOLDS = [600000, 750000, 850000, 950000]
+# absolute sample size for the recall eval: the modulus max(1, n // 200)
+# keeps the deliberate O(sample²) truth join at ~2e4 pairs at ANY corpus
+# scale (at sf0.1's 5000 docs this is the same 1/25 sample as round 4,
+# so bench numbers stay comparable)
+LSH_RECALL_SAMPLE_DOCS = 200
 
 
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T155: empirical LSH recall — the measured S-curve: on a
-    deterministic 1/25 sample (the T6 all-pairs discipline: O(sample²) BY
-    CONSTRUCTION, never run unsampled), compute every pair's TRUE
-    shingle-set Jaccard, mark which pairs the T3 banding actually
-    surfaces, and report recall per threshold.  The number the sweep
-    (T145) can't see: T145 counts what the candidates contain, THIS
-    counts what banding MISSES (near-dups that never meet in a bucket).
-    The sample has no organic near-dups (max pair jaccard 3%), so
-    positives are PLANTED: each sampled doc gets a twin with 1+doc_id%12
-    unique words prepended — true jaccard spans ~0.77–0.99 around the
-    banding S-curve by construction.  One theta join against the
-    thresholds dim; the oracle replays the signature banding AND the
-    all-pairs truth from the same fragments as the T3/T112 oracles."""
+    deterministic ABSOLUTE-SIZE sample (the T6 all-pairs discipline:
+    O(sample²) BY CONSTRUCTION with the sample pinned to ~200 docs —
+    modulus ``max(1, n_docs // 200)`` over the dense doc_id space, so the
+    cartesian stays ~2·10⁴ pairs at ANY corpus scale; round 4's fractional
+    1/25 sample grew the truth join with corpus², 10,000× the work at
+    100× data), compute every pair's TRUE shingle-set Jaccard, mark which
+    pairs the T3 banding actually surfaces, and report recall per
+    threshold.  The number the sweep (T145) can't see: T145 counts what
+    the candidates contain, THIS counts what banding MISSES (near-dups
+    that never meet in a bucket).  The sample has no organic near-dups
+    (max pair jaccard 3%), so positives are PLANTED: each sampled doc
+    gets a twin with 1+doc_id%12 unique words prepended — true jaccard
+    spans ~0.77–0.99 around the banding S-curve by construction.  One
+    theta join against the thresholds dim; the oracle replays the
+    modulus derivation, the signature banding AND the all-pairs truth
+    from the same fragments as the T3/T112 oracles.  The count feeding
+    the modulus is one column-pruned scan (driver-side scalar — the
+    same dim-bounded collect discipline as the sketch operators)."""
     from pdf_drawing_ocr_recognition_spark.functions.dedup import word_shingles
     from pdf_drawing_ocr_recognition_spark.operators.dedup import (
         near_dupe_pairs,
     )
 
-    orig = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    modulus = max(1, n_docs // LSH_RECALL_SAMPLE_DOCS)
+    orig = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % modulus == 0)
     did = F.col("doc_id")
     prefix = F.concat_ws(
         " ",
@@ -11362,7 +11375,9 @@ def oracle_sql() -> dict[str, str]:
                    list_distinct(wsh) AS g
             FROM (
                 SELECT doc_id, {{shingle5}} AS wsh FROM (
-                    SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+                    SELECT doc_id, text FROM documents
+                    WHERE doc_id % (SELECT greatest(1, count(*) // {{sample_docs}})
+                                    FROM documents) = 0
                     UNION ALL
                     SELECT doc_id + 10000000,
                            array_to_string(list_transform(
@@ -11370,7 +11385,9 @@ def oracle_sql() -> dict[str, str]:
                                j -> 'zz' || CAST(doc_id AS VARCHAR) || 'x'
                                     || CAST(j AS VARCHAR)), ' ')
                            || ' ' || text
-                    FROM documents WHERE doc_id % 25 = 0
+                    FROM documents
+                    WHERE doc_id % (SELECT greatest(1, count(*) // {{sample_docs}})
+                                    FROM documents) = 0
                 )
             )
         ), sigs AS (
@@ -11408,7 +11425,7 @@ def oracle_sql() -> dict[str, str]:
         "{{window_mins}}", window_mins
     ).replace("{{band_keys}}", band_keys).replace(
         "{{thresholds}}", ", ".join(map(str, LSH_RECALL_THRESHOLDS))
-    )
+    ).replace("{{sample_docs}}", str(LSH_RECALL_SAMPLE_DOCS))
     # T153: point-in-time lookup composed from the T151 oracle — the
     # history and the lookup share one source of truth.
     d["policy_at_fetch"] = f"""
