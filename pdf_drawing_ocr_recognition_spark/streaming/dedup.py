@@ -267,6 +267,66 @@ def streaming_qhist_fold(
     )
 
 
+def _rollback_swap(live: str) -> None:
+    """If a prior swap was interrupted between its two renames (live
+    missing, backup present), roll the backup — the last committed table —
+    back in before anything reads or publishes."""
+    import os
+
+    bak = live + "_bak"
+    if not os.path.exists(live) and os.path.exists(bak):
+        os.rename(bak, live)
+
+
+def _swap_in(tmp: str, live: str) -> None:
+    """Crash-safe publish of a fully-materialized table directory: the
+    previous table stays RECOVERABLE through a crash at any point —
+    round 4's rmtree(live) + rename(tmp, live) had a window where no
+    readable table existed.  Sequence: roll back any interrupted prior
+    swap, rename live aside to ``_bak``, rename tmp in, drop the backup.
+    A crash between the two renames leaves ``_bak`` as the committed
+    table; the next ``_read_folded``/``_swap_in`` rolls it back in.  (On
+    HDFS/S3A in production the same shape holds with FileSystem.rename /
+    a versioned prefix + pointer object; local os.rename is this
+    sandbox's atomic primitive.)"""
+    import os
+    import shutil
+
+    _rollback_swap(live)
+    bak = live + "_bak"
+    if os.path.exists(live):
+        if os.path.exists(bak):
+            shutil.rmtree(bak)
+        os.rename(live, bak)
+    os.rename(tmp, live)
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+
+
+def _read_folded(spark, live: str):
+    """Read a fold-maintained table, rolling back an interrupted swap
+    first; None when the table has never been published."""
+    _rollback_swap(live)
+    try:
+        return spark.read.parquet(live)
+    except Exception:
+        return None
+
+
+def _last_applied_batch(live: str):
+    """The batch_id recorded inside the published table, or None."""
+    import json
+    import os
+
+    _rollback_swap(live)
+    marker = os.path.join(live, "_last_batch.json")
+    try:
+        with open(marker) as fh:
+            return json.load(fh)["batch_id"]
+    except Exception:
+        return None
+
+
 def streaming_scd2_fold(
     snapshots: DataFrame,
     history_path: str,
@@ -283,17 +343,21 @@ def streaming_scd2_fold(
     payload, so a checkpoint wipe can never lose intervals.
 
     Write discipline: the merged history lands at a temp suffix and is
-    swapped in by rename, so a crash mid-fold leaves the previous history
-    readable (the landing idempotence the daily-ingest journal proved
-    matters).  After any number of micro-batches the stored history equals
-    the batch fold over the same snapshots in order (tested multi-batch) —
-    scd2_merge is associative over ordered snapshot batches by
-    construction.  Per-batch cost: one open-rows-vs-batch join; the closed
-    majority is rewritten as data but never shuffled.
+    published with the backup-rename swap (``_swap_in``): the live table
+    is renamed aside before the new one renames in, so a crash at ANY
+    point leaves a committed table recoverable (either live or the
+    ``_bak`` aside, which the next read/fold rolls back in) — round 4's
+    rmtree-then-rename had a window where NO table existed.  Batch-replay
+    idempotence needs no explicit guard here: re-merging an
+    already-applied snapshot finds no attribute change and adds no
+    intervals (scd2_merge is a no-op on replay by construction; the
+    summation fold below is NOT, and carries a batch-id guard).  After
+    any number of micro-batches the stored history equals the batch fold
+    over the same snapshots in order (tested multi-batch) — scd2_merge is
+    associative over ordered snapshot batches by construction.  Per-batch
+    cost: one open-rows-vs-batch join; the closed majority is rewritten
+    as data but never shuffled.
     """
-    import os
-    import shutil
-
     from pdf_drawing_ocr_recognition_spark.operators.cdc import scd2_merge
 
     attrs = attr_cols if attr_cols is not None else ["policy"]
@@ -302,10 +366,7 @@ def streaming_scd2_fold(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        try:
-            prev = spark.read.parquet(history_path)
-        except Exception:
-            prev = None
+        prev = _read_folded(spark, history_path)
         # a micro-batch may span several snapshot days: fold in ts order
         days = [
             r[0]
@@ -321,9 +382,7 @@ def streaming_scd2_fold(
         hist.write.mode("overwrite").parquet(tmp)
         final = spark.read.parquet(tmp)
         final.count()  # materialize before the swap
-        if os.path.exists(history_path):
-            shutil.rmtree(history_path)
-        os.rename(tmp, history_path)
+        _swap_in(tmp, history_path)
 
     return (
         snapshots.writeStream.foreachBatch(fold)
@@ -356,9 +415,19 @@ def streaming_hour_counts_fold(
     ``operators/politeness.rate_bursts_from_counts`` — late events can
     raise an old hour's count, so baselines must be re-evaluated, not
     frozen at first emission.
+
+    Replay idempotence (round-5 fix): unlike the SCD2 fold, summation is
+    NOT naturally idempotent — a crash between the table swap and the
+    streaming checkpoint commit replays the same batch_id, and re-summing
+    would double-count its events.  The last-applied batch_id is
+    persisted INSIDE the swapped table directory (``_last_batch.json``,
+    underscore-hidden from the parquet reader), so the guard commits
+    atomically with the counts it describes; a replayed batch_id is
+    skipped.  Publishing uses the same backup-rename swap as the SCD2
+    fold (previous table recoverable through a crash at any point).
     """
+    import json
     import os
-    import shutil
 
     us_per_hour = 3_600_000_000
 
@@ -366,14 +435,14 @@ def streaming_hour_counts_fold(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        last = _last_applied_batch(counts_path)
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded into the table
         part = batch_df.groupBy(
             F.col(actor_col).alias("actor"),
             F.expr(f"{ts_us_col} div {us_per_hour}").alias("hour_num"),
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        try:
-            prev = spark.read.parquet(counts_path)
-        except Exception:
-            prev = None
+        prev = _read_folded(spark, counts_path)
         merged = (
             part
             if prev is None
@@ -384,9 +453,9 @@ def streaming_hour_counts_fold(
         tmp = counts_path + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).count()  # materialize before the swap
-        if os.path.exists(counts_path):
-            shutil.rmtree(counts_path)
-        os.rename(tmp, counts_path)
+        with open(os.path.join(tmp, "_last_batch.json"), "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        _swap_in(tmp, counts_path)
 
     return (
         events.writeStream.foreachBatch(fold)

@@ -103,3 +103,18 @@ def test_streaming_fold_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(counts_path).collect()
     }
     assert stored[("a", 1)] == 4
+
+    # round-5 idempotence guard: a replayed micro-batch must NOT re-sum.
+    # Wiping the checkpoint replays every batch_id from 0 against the
+    # already-folded table (the crash-between-swap-and-commit shape);
+    # the persisted _last_batch marker skips them all — counts unchanged.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = streaming_hour_counts_fold(ev, counts_path, str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    replayed = {
+        (r["actor"], r["hour_num"]): r["n_events"]
+        for r in spark.read.parquet(counts_path).collect()
+    }
+    assert replayed == stored

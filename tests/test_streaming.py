@@ -593,3 +593,34 @@ class TestStreamingScd2Fold:
         assert os.path.exists(hist_path + "_tmp")
         rows = spark.read.parquet(hist_path).collect()  # old history readable
         assert len(rows) == 1 and rows[0]["valid_to"] is None
+
+    def test_swap_interrupted_between_renames_recovers(self, spark, tmp_path):
+        """Round-5 fix for the swap itself: a crash BETWEEN the two
+        renames (live gone, backup holding the committed table) must not
+        lose the table — the next read rolls the backup in, and a
+        subsequent publish proceeds normally."""
+        import os
+
+        from pdf_drawing_ocr_recognition_spark.streaming.dedup import (
+            _read_folded,
+            _swap_in,
+        )
+
+        live = str(tmp_path / "counts")
+        spark.createDataFrame(
+            [("a", 1, 2)], "actor string, hour_num long, n_events long"
+        ).write.parquet(live)
+        # simulate: _swap_in crashed after renaming live aside
+        os.rename(live, live + "_bak")
+        assert not os.path.exists(live)
+        got = _read_folded(spark, live)  # rolls the backup in
+        assert got is not None and got.count() == 1
+        assert os.path.exists(live) and not os.path.exists(live + "_bak")
+        # a publish after recovery swaps cleanly and drops the backup
+        tmp = live + "_tmp"
+        spark.createDataFrame(
+            [("a", 1, 5)], "actor string, hour_num long, n_events long"
+        ).write.parquet(tmp)
+        _swap_in(tmp, live)
+        assert spark.read.parquet(live).collect()[0]["n_events"] == 5
+        assert not os.path.exists(live + "_bak") and not os.path.exists(tmp)
