@@ -2387,6 +2387,51 @@ def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22 manifest-level file pruning (round 5 — the one Iceberg property
+    the snapshot analogue still lacked): commit the even-doc_id half
+    range-partitioned into 8 files as snapshot 1 (per-file doc_id min/max
+    bounds land in the manifest from the parquet footers — no extra data
+    pass), append the odd half as snapshot 2, then read **VERSION AS OF 1
+    with a doc_id >= ceil(0.7·n) predicate**: plan_scan drops every file
+    whose bounds prove the predicate false using ONLY manifest JSON (at
+    10⁶ files on object storage that's one JSON read vs 10⁶ footer GETs),
+    and the same predicate re-applies row-wise so pruning can change cost,
+    never values.  The threshold derives from a corpus count (the T155
+    absolute-size discipline) so the selectivity is scale-stable.  A
+    pytest (tests/test_snapshots.py::TestManifestStats) asserts files are
+    actually skipped; the DuckDB twin replays the even-half + threshold
+    slice."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    thr = (7 * n_docs) // 10
+    root = f"/tmp/pdor_spark_prunetable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 2 == 0).repartitionByRange(
+                8, "doc_id"
+            ),
+            root,
+        )
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+    return read_snapshot(
+        spark, root, snapshot_id=1, filters=[("doc_id", ">=", thr)]
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T83 MERGE INTO (file-granular copy-on-write): commit `documents` as
     snapshot 1, then MERGE a source of updates (every doc_id%10==0 gets
@@ -6372,6 +6417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "snapshot_diff": q_snapshot_diff,
         "snapshot_timetravel": q_snapshot_timetravel,
+        "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "blocklist_filter": q_blocklist_filter,
@@ -9759,6 +9805,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_timetravel": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        """,
+        "snapshot_pruned_scan": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 2 = 0
+              AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
         """,
         "snapshot_merge": """
             WITH merged AS (

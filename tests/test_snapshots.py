@@ -97,7 +97,7 @@ class TestCrashSemantics:
         # durable — readers roll forward over the stale hint
         root = str(tmp_path / "t")
         append_snapshot(_docs(spark, 0, 10), root)
-        files, n, schema_json = _write_data_files(_docs(spark, 10, 20), root)
+        files, n, schema_json, _st = _write_data_files(_docs(spark, 10, 20), root)
         prior = read_manifest(root, 1)["files"]
         _commit(root, 1, prior + files, files, n, schema_json, "append")
         # simulate the crash: reset the hint to the stale value
@@ -111,8 +111,8 @@ class TestCrashSemantics:
         root = str(tmp_path / "t")
         append_snapshot(_docs(spark, 0, 10), root)
         # two writers prepared against parent=1; the second to commit loses
-        f_a, n_a, sj = _write_data_files(_docs(spark, 10, 20), root)
-        f_b, n_b, _ = _write_data_files(_docs(spark, 20, 30), root)
+        f_a, n_a, sj, _sa = _write_data_files(_docs(spark, 10, 20), root)
+        f_b, n_b, _, _sb = _write_data_files(_docs(spark, 20, 30), root)
         prior = read_manifest(root, 1)["files"]
         _commit(root, 1, prior + f_a, f_a, n_a, sj, "append")
         with pytest.raises(CommitConflictError):
@@ -365,3 +365,117 @@ class TestTimeTravelCdc:
             ).collect()
         }
         assert counts == {"changed": 5, "unchanged": 25, "added": 10}
+
+
+class TestManifestStats:
+    """Round-5: Iceberg's manifest-level column statistics — per-file
+    min/max bounds recorded at commit from the parquet footers, inherited
+    by name, and used to prune files from a scan plan WITHOUT opening
+    them."""
+
+    def _ranged(self, spark, tmp_path, n=800, files=8):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            plan_scan,
+        )
+
+        root = str(tmp_path / "t")
+        df = _docs(spark, 0, n).repartitionByRange(files, "doc_id")
+        append_snapshot(df, root)
+        return root, plan_scan
+
+    def test_bounds_recorded_and_prune_skips_dead_files(self, spark, tmp_path):
+        root, plan_scan = self._ranged(spark, tmp_path)
+        man = read_manifest(root, 1)
+        assert len(man["files"]) == 8
+        for f in man["files"]:
+            assert "doc_id" in man["stats"][f]  # numeric bounds recorded
+        kept, skipped = plan_scan(root, 1, [("doc_id", ">=", 700)])
+        # range-partitioned on doc_id: only the top range file(s) survive
+        assert len(skipped) >= 6 and len(kept) + len(skipped) == 8
+        kept_eq, skipped_eq = plan_scan(root, 1, [("doc_id", "==", 5)])
+        assert len(kept_eq) == 1 and len(skipped_eq) == 7
+
+    def test_pruned_read_equals_full_filter(self, spark, tmp_path):
+        root, _ = self._ranged(spark, tmp_path)
+        for filt in ([("doc_id", ">=", 700)], [("doc_id", "<", 100)],
+                     [("doc_id", "==", 5)],
+                     [("doc_id", ">=", 100), ("doc_id", "<=", 150)]):
+            pruned = read_snapshot(spark, root, 1, filters=filt)
+            full = read_snapshot(spark, root, 1)
+            for col, op, val in filt:
+                import operator as _op
+                ops = {"==": _op.eq, ">=": _op.ge, ">": _op.gt,
+                       "<=": _op.le, "<": _op.lt}
+                full = full.filter(ops[op](F.col(col), F.lit(val)))
+            assert _rows(pruned) == _rows(full), filt
+
+    def test_all_files_pruned_returns_typed_empty(self, spark, tmp_path):
+        root, plan_scan = self._ranged(spark, tmp_path)
+        kept, skipped = plan_scan(root, 1, [("doc_id", ">", 10_000)])
+        assert kept == [] and len(skipped) == 8
+        got = read_snapshot(spark, root, 1, filters=[("doc_id", ">", 10_000)])
+        assert got.count() == 0 and got.columns == ["doc_id", "text"]
+
+    def test_stats_inherited_by_name_on_append_and_merge(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            merge_into,
+            plan_scan,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(
+            _docs(spark, 0, 400).repartitionByRange(4, "doc_id"), root
+        )
+        append_snapshot(
+            _docs(spark, 400, 800).repartitionByRange(4, "doc_id"), root
+        )
+        man2 = read_manifest(root, 2)
+        assert len(man2["files"]) == 8
+        assert all("doc_id" in man2["stats"][f] for f in man2["files"])
+        # merge touching only the top range: untouched files carry bounds
+        upd = _docs(spark, 780, 800).withColumn("text", F.lit("merged"))
+        merge_into(spark, root, upd, "doc_id")
+        man3 = read_manifest(root, 3)
+        assert all("doc_id" in man3["stats"][f] for f in man3["files"])
+        kept, skipped = plan_scan(root, 3, [("doc_id", "<", 100)])
+        assert len(skipped) >= 5  # pruning still effective post-merge
+        got = read_snapshot(spark, root, 3, filters=[("doc_id", ">=", 780)])
+        assert {r["text"] for r in got.collect()} == {"merged"}
+
+    def test_unknown_column_bounds_never_prune(self, spark, tmp_path):
+        """A column without recorded bounds (here: a >64-char string) must
+        keep every file — pruning is never optimistic."""
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            plan_scan,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("x" * 80), F.col("id").cast("string")).alias("text"),
+        ).repartitionByRange(4, "doc_id")
+        append_snapshot(df, root)
+        man = read_manifest(root, 1)
+        assert all("text" not in man["stats"][f] for f in man["files"])
+        kept, skipped = plan_scan(root, 1, [("text", ">=", "zzz")])
+        assert skipped == [] and len(kept) == 4
+        # row-wise filter still applies even though nothing was pruned
+        assert read_snapshot(
+            spark, root, 1, filters=[("text", ">=", "zzz")]
+        ).count() == 0
+
+    def test_string_bounds_prune(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            plan_scan,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(0, "en"), (1, "en"), (2, "fr"), (3, "fr")],
+            "doc_id long, lang string",
+        ).repartitionByRange(2, "lang")
+        append_snapshot(df, root)
+        kept, skipped = plan_scan(root, 1, [("lang", "==", "fr")])
+        assert len(kept) == 1 and len(skipped) == 1
+        got = read_snapshot(spark, root, 1, filters=[("lang", "==", "fr")])
+        assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]
