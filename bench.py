@@ -285,26 +285,33 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_first_run": cold,
-                "timing": "queries=warm best-of-2 after sf0.001 warmup; "
-                "queries_first_run=cold first sample (compare rounds on "
-                "the warm column)",
-                "sf": sf,
-                "extraction_docs_per_s": round(docs_per_s, 1),
-                "extraction_docs": n_docs,
-                "pages_rows": n_pages,
-                "cpus": cpus,
-                "skew_join": skew_join,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_bench_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_first_run": cold,
+        "timing": "queries=warm best-of-2 after sf0.001 warmup; "
+        "queries_first_run=cold first sample (compare rounds on "
+        "the warm column)",
+        "sf": sf,
+        "extraction_docs_per_s": round(docs_per_s, 1),
+        "extraction_docs": n_docs,
+        "pages_rows": n_pages,
+        "cpus": cpus,
+        "skew_join": skew_join,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # the driver truncates stdout at 2000 chars (BENCH_r04's per-query tail
+    # was lost); the full record always lands on disk as well —
+    # override with --out <path> or BENCH_OUT
+    out_path = os.environ.get("BENCH_OUT", "BENCH/last_run.json")
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

@@ -98,7 +98,23 @@ def politeness_schedule(
     epoch microseconds) via the prefix-max closed form above.  ``ts_col``
     must already be epoch-us BIGINT so every step is exact integer math
     (identical in the DuckDB twin).  ``order_cols`` break ready-time ties
-    deterministically."""
+    deterministically.
+
+    Scale note (the one per-host window this repo keeps): the recurrence
+    ``sched_i = max(ts_i, sched_{i-1} + delay)`` is a true sequential
+    dependency — unlike the rank windows replaced in round 5, it cannot be
+    range-split without changing answers, because any cut point needs the
+    running max from the left segment.  The window task is bounded by
+    PHYSICS, not corpus size: rows per host are candidate fetches for one
+    scheduling horizon, and a host crawled AT the politeness delay absorbs
+    only 86.4M/delay_us fetches/day (17.3k at the 5s default) — a hot host
+    with a year of backlog is ~6M narrow (host, ts) rows in one spillable
+    sort, while the corpus can grow 100× in HOSTS without touching that
+    bound.  If a queue ever exceeds the horizon bound, cap the INPUT
+    (schedule the earliest N per host this horizon — a groupBy/min_by
+    selection, not a window) rather than splitting the recurrence: a
+    (host, day) pre-split silently resets backlog at day boundaries and
+    under-delays exactly the hosts politeness exists to protect."""
     w = Window.partitionBy(host_col).orderBy(
         F.col(ts_col), *[F.col(c) for c in order_cols]
     )
