@@ -14,8 +14,10 @@ Water-Run/pdf-drawing-ocr-recognition, byte-for-byte:
 
 The reference writes these to files; here they are pure str→str renderers, used
 both as DataFrame string columns and by driver-side writers in ``operators/sinks``.
-The simpsave INI sink (ref :63-70) is deliberately not ported (SURVEY.md §7
-non-goals); YAML/TOML are gated behind import-try since those libs may be absent.
+The simpsave INI sink (ref :63-70) is ported since round 5 as
+``render_simpsave``/``read_simpsave`` (clean-room INI emitter honoring the
+ss.write/ss.read key→value contract — all 8 reference formats now dispatch);
+YAML/TOML are gated behind import-try since those libs may be absent.
 """
 
 from __future__ import annotations
@@ -91,6 +93,37 @@ def render_json(data: Dict[str, Any]) -> str:
 def render_python(data: Dict[str, Any]) -> str:
     """Python module text ``data = {repr(result)}`` (ref pdor/pdor_out.py:115-124)."""
     return "# 由PDOR生成的Python数据文件\n\n" + f"data = {repr(data)}\n"
+
+
+def render_simpsave(data: Dict[str, Any], key: str = "Pdor Result") -> str:
+    """simpsave-style INI text — the reference's DEFAULT sink
+    (``ss.write("Pdor Result", result, file=<base>.ini)``, ref
+    pdor/pdor_out.py:63-70): the saved key becomes an INI section holding
+    the value's type name and its ``repr``, recoverable by key with
+    :func:`read_simpsave`.  Clean-room emitter of the documented simpsave
+    model (key → typed repr in an INI file); the pip package is
+    unobtainable offline, so the byte layout is pinned by OUR
+    read_simpsave round-trip tests, not against upstream bytes — the user
+    contract the reference prints ("read it back by key") is what is
+    honored.  ``repr`` of standard containers never emits raw newlines
+    (strings escape them), so each field stays one INI line; readers use
+    RawConfigParser, so ``%`` needs no interpolation escaping."""
+    return f"[{key}]\ntype = {type(data).__name__}\nvalue = {data!r}\n"
+
+
+def read_simpsave(text: str, key: str = "Pdor Result") -> Any:
+    """Recover the value :func:`render_simpsave` stored under *key* —
+    the ``ss.read(key, file=...)`` twin (ast.literal_eval of the repr
+    payload; raises KeyError for a missing key like simpsave does)."""
+    import ast
+    import configparser
+
+    cp = configparser.RawConfigParser()
+    cp.optionxform = str  # keys are case/char-preserving, as in simpsave
+    cp.read_string(text)
+    if not cp.has_section(key):
+        raise KeyError(key)
+    return ast.literal_eval(cp.get(key, "value"))
 
 
 def render_xml(data: Dict[str, Any]) -> str:

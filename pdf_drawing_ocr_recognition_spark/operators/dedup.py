@@ -711,6 +711,22 @@ def exact_substring_dedupe(
     suffixes: corpus-scale suffix arrays don't distribute, rolling windows
     do, and the window form is the standard Spark reformulation.
 
+    Approximation contract (the documented gap vs full ExactSubstr): the
+    paper's suffix array finds duplicated BYTE spans of length >= 50 at
+    any offset; the k-token-window form detects a duplicated region iff
+    it covers at least one complete k-token window at the SAME token
+    alignment in both occurrences.  Consequences callers must own:
+    (a) duplicated spans shorter than k tokens slip through;
+    (b) matches are word-token-aligned — duplication that starts or ends
+        mid-token contributes only its fully-covered windows, so up to
+        k-1 leading/trailing tokens of a duplicated region survive;
+    (c) removal granularity is whole tokens, never partial bytes.
+    Recall for long duplication is unaffected (any span of >= k tokens
+    contains a complete window); precision is exact (a matched window IS
+    byte-identical duplicated text).  Tune k DOWN toward the paper's
+    50-byte threshold (~8 english tokens) when memorization matters more
+    than over-removal.
+
     Plan: window digests are WHOLE-STAGE-CODEGEN projections — posexplode
     the tokens, build each k-window with lead() over the per-doc position
     order, md5 as a plain column (a transform()-over-token-array HOF

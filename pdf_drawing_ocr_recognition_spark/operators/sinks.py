@@ -6,10 +6,12 @@ dispatch becomes a writer registry; the recursive per-document formatters
 batch pass as extraction, so "write results as markdown/json/plaintext" is
 just ``df.write`` on the chosen column — no driver-side loops, no second scan.
 
-The simpsave INI sink is not ported (SURVEY.md non-goals).  YAML requires
-pyyaml (present in this environment); TOML uses the toml package when
-importable and the kernel's built-in tomllib-round-trip-verified emitter
-otherwise — all 7 remaining reference formats dispatch for real.
+Since round 5 the simpsave INI sink is ported too (kernel/render.py
+render_simpsave — clean-room key→typed-repr INI honoring the
+ss.write/ss.read contract), so ALL 8 reference formats dispatch for real.
+YAML requires pyyaml (present in this environment); TOML uses the toml
+package when importable and the kernel's built-in
+tomllib-round-trip-verified emitter otherwise.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from ..kernel.render import (
     render_markdown,
     render_plaintext,
     render_python,
+    render_simpsave,
     render_toml,
     render_xml,
     render_yaml,
@@ -39,6 +42,7 @@ RENDERERS = {
     "xml": render_xml,
     "yaml": render_yaml,
     "toml": render_toml,
+    "simpsave": render_simpsave,
 }
 
 RENDER_SCHEMA_PREFIX = "url STRING"

@@ -146,3 +146,43 @@ def test_jsonl_roundtrip_and_corpus_lines(spark, extracted, tmp_path):
     for l in lines:
         obj = json.loads(l)
         assert set(obj) <= {"url", "extracted_text"} and "url" in obj
+
+
+def test_simpsave_render_roundtrip_kernel():
+    """Round-5 A35: the reference's default sink (ss.write('Pdor Result',
+    result, file=<base>.ini)) — clean-room INI emitter; the value must be
+    recoverable BY KEY from the rendered text, including nested dicts,
+    lists, Chinese text, and % (no interpolation)."""
+    from pdf_drawing_ocr_recognition_spark.kernel.render import (
+        read_simpsave,
+        render_simpsave,
+    )
+
+    result = {
+        "图纸": "E-101 配电图",
+        "cells": [{"row": 1, "text": "A 相"}, {"row": 2, "text": "50% 负载"}],
+        "meta": {"dpi": 1390, "ok": True, "note": "line1\nline2"},
+    }
+    text = render_simpsave(result)
+    assert text.startswith("[Pdor Result]\n")
+    assert "\ntype = dict\n" in text
+    assert read_simpsave(text) == result
+    # missing key behaves like simpsave's read of an absent key
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_simpsave(text, key="nope")
+
+
+def test_simpsave_render_dispatches_as_column(spark, extracted):
+    from pdf_drawing_ocr_recognition_spark.kernel.render import read_simpsave
+    from pdf_drawing_ocr_recognition_spark.operators.sinks import (
+        render_results,
+    )
+
+    ok = extracted.filter("status = 'ok'")
+    rows = render_results(ok, ("simpsave", "json")).collect()
+    assert rows
+    for r in rows:
+        recovered = read_simpsave(r["render_simpsave"])
+        assert recovered == json.loads(r["render_json"])
