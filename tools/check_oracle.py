@@ -53,7 +53,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = build_session(app="oracle-check", master="local[8]", shuffle_partitions=8)
+    # local[8] is plenty at sf0.01; the sf1/sf10 scale gates override with
+    # CHECK_ORACLE_CPUS to use the idle cores (gate runs are not timed)
+    cpus = int(os.environ.get("CHECK_ORACLE_CPUS", "8"))
+    spark = build_session(
+        app="oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
