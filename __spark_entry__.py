@@ -1588,18 +1588,21 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing = scored.join(
         F.broadcast(thr), F.col("true_ppm") >= F.col("threshold_ppm")
     )
-    n_pairs = passing.groupBy("threshold_ppm").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
-    )
-    flagged = (
+    # ONE aggregation over ONE evaluation of the calibration feed: the pair
+    # count is recovered from the exploded grain (each pair contributes
+    # exactly two doc rows, so count DIV 2 is exact) — the previous
+    # two-branch form re-executed the whole T112 subtree for each rollup.
+    return (
         passing.select(
             "threshold_ppm",
             F.explode(F.array("doc_a", "doc_b")).alias("d"),
         )
         .groupBy("threshold_ppm")
-        .agg(F.countDistinct("d").cast("bigint").alias("n_docs_flagged"))
+        .agg(
+            F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_pairs"),
+            F.countDistinct("d").cast("bigint").alias("n_docs_flagged"),
+        )
     )
-    return n_pairs.join(flagged, "threshold_ppm")
 
 
 def q_cocitation_farms(spark: SparkSession, sf_dir: str) -> DataFrame:
