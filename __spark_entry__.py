@@ -1267,21 +1267,37 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("g")
     )
-    a = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    a = grams.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("g").alias("ga"),
+        F.size("g").alias("na"),
+    )
+    b = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("g").alias("gb"),
+        F.size("g").alias("nb"),
+    )
+    # |a∪b| = |a|+|b|−|a∩b| (ga/gb are array_distinct by construction):
+    # one set operation per pair instead of two, and the union array is
+    # never materialized — value-identical to size(array_union(...)).
     truth = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ga", "gb")).cast("bigint").alias("_i"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             F.when(
-                F.size(F.array_union("ga", "gb")) == 0, F.lit(0).cast("bigint")
+                F.col("na") + F.col("nb") - F.col("_i") == 0,
+                F.lit(0).cast("bigint"),
             )
             .otherwise(
-                F.expr(
-                    "CAST((1000000 * CAST(size(array_intersect(ga, gb)) AS"
-                    " BIGINT)) DIV size(array_union(ga, gb)) AS BIGINT)"
-                )
+                F.expr("CAST((1000000 * _i) DIV (na + nb - _i) AS BIGINT)")
             )
             .alias("true_ppm"),
         )
@@ -4733,6 +4749,7 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias(f"doc_{suf}"),
         F.col("sig").alias(f"_s{suf}"),
         F.col("g").alias(f"_g{suf}"),
+        F.size("g").alias(f"_n{suf}"),
     )
     j = pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
     matches = F.size(
@@ -4741,18 +4758,25 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda z: z,
         )
     )
-    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
-    return j.select(
+    # |a∪b| = |a|+|b|−|a∩b| (_ga/_gb are array_distinct by construction):
+    # one set operation per candidate pair, no union array materialized.
+    scored = j.select(
         "doc_a",
         "doc_b",
         (F.lit(62500).cast("bigint") * matches.cast("bigint")).alias("est_ppm"),
-        F.when(union == 0, F.lit(0).cast("bigint"))
-        .otherwise(
-            F.expr(
-                "CAST((1000000 * CAST(size(array_intersect(_ga, _gb)) AS BIGINT))"
-                " DIV size(array_union(_ga, _gb)) AS BIGINT)"
-            )
+        "_na",
+        "_nb",
+        F.size(F.array_intersect("_ga", "_gb")).cast("bigint").alias("_i"),
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "est_ppm",
+        F.when(
+            F.col("_na") + F.col("_nb") - F.col("_i") == 0,
+            F.lit(0).cast("bigint"),
         )
+        .otherwise(F.expr("CAST((1000000 * _i) DIV (_na + _nb - _i) AS BIGINT)"))
         .alias("true_ppm"),
     ).withColumn("err_ppm", (F.col("est_ppm") - F.col("true_ppm")).cast("bigint"))
 
