@@ -2451,6 +2451,49 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
+    `documents` range-partitioned into 8 files, then TWO position-delete
+    commits — doc_id >= ceil(0.9·n) and doc_id < floor(0.1·n), thresholds
+    count-derived so selectivity is scale-stable.  Each DELETE writes
+    parquet position-delete files (manifest-pruned planning touches only
+    the files whose bounds admit matches — here ~1 of 8 each); data files
+    are NEVER rewritten (pytest pins the file list by name).  The final
+    read unions the vectorized parquet path (6 clean files) with the Arrow
+    merge-read path (2 masked files), so a hash match proves mask
+    application, clean/dirty composition, AND delete accumulation across
+    commits in one result.  DuckDB twin: the middle doc_id slice."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    thr_hi = (9 * n_docs) // 10
+    thr_lo = n_docs // 10
+    root = f"/tmp/pdor_spark_mortable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 3
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.select("doc_id", "lang", "n_chars").repartitionByRange(
+                8, "doc_id"
+            ),
+            root,
+        )
+        delete_from(spark, root, [("doc_id", ">=", thr_hi)])
+        delete_from(spark, root, [("doc_id", "<", thr_lo)])
+    return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T83 MERGE INTO (file-granular copy-on-write): commit `documents` as
     snapshot 1, then MERGE a source of updates (every doc_id%10==0 gets
@@ -6445,6 +6488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
+        "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "blocklist_filter": q_blocklist_filter,
@@ -9837,6 +9881,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 2 = 0
               AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
+        """,
+        "snapshot_mor_delete": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id < (SELECT (9 * count(*)) // 10 FROM documents)
+              AND doc_id >= (SELECT count(*) // 10 FROM documents)
         """,
         "snapshot_merge": """
             WITH merged AS (

@@ -56,6 +56,16 @@ data files at all, which is the property that matters when the table is
 10⁶ files on S3 (per-footer pruning costs 10⁶ GETs; manifest pruning
 costs one JSON read).
 
+Since round 5 (closing session) the table also supports Iceberg v2's
+**merge-on-read positional deletes** (:func:`delete_from`): a DELETE
+commits small parquet *delete files* of row positions instead of
+rewriting data files — a delete touching 0.1% of rows writes delete
+files proportional to the MATCHED rows, never the table.  Readers apply
+the mask at scan time: files with no deletes keep the fast vectorized
+parquet path; only files carrying deletes take the Arrow merge-read
+path.  ``rewrite_data_files`` (major compaction) applies and purges all
+delete files, exactly as Iceberg's rewrite actions do.
+
 Reference analogue: none — the reference reads one file per run
 (pdor/pdor_unit.py:97-109); this is the north-rule "Iceberg table" input
 contract made testable offline.
@@ -218,6 +228,7 @@ def _commit(
     schema_json: str,
     operation: str,
     stats: dict | None = None,
+    delete_files: dict[str, list[str]] | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     manifest = {
@@ -231,6 +242,14 @@ def _commit(
         # files keep their bounds by name, so stats never require
         # re-reading a data file after its first commit
         "stats": {f: (stats or {}).get(f, {}) for f in files},
+        # merge-on-read position deletes ({data_file: [delete_file, ...]});
+        # only entries for files still in this snapshot are carried — a
+        # rewritten/dropped data file takes its masks with it
+        "delete_files": {
+            f: sorted((delete_files or {}).get(f, ()))
+            for f in files
+            if (delete_files or {}).get(f)
+        },
         "summary": {"added_files": len(added), "added_rows": added_rows,
                     "total_files": len(files)},
     }
@@ -270,12 +289,14 @@ def append_snapshot(df: DataFrame, root: str) -> int:
     if parent:
         pman = read_manifest(root, parent)
         inherited, pstats = pman["files"], pman.get("stats", {})
+        pdels = pman.get("delete_files", {})
     else:
-        inherited, pstats = [], {}
+        inherited, pstats, pdels = [], {}, {}
     added, n_rows, schema_json, stats = _write_data_files(df, root)
     return _commit(
         root, parent, inherited + added, added, n_rows, schema_json, "append",
         stats={**pstats, **stats},
+        delete_files=pdels,  # inherited files keep their position masks
     )
 
 
@@ -333,11 +354,81 @@ def plan_scan(
     return kept, skipped
 
 
+def _deleted_positions(data_dir: str, delete_files: list[str]):
+    """Union of row positions recorded by *delete_files* (sorted int64
+    numpy array; possibly empty)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not delete_files:
+        return np.empty(0, dtype=np.int64)
+    chunks = [
+        pq.read_table(os.path.join(data_dir, d), columns=["pos"])
+        .column("pos")
+        .to_numpy(zero_copy_only=False)
+        for d in delete_files
+    ]
+    return np.unique(np.concatenate(chunks)).astype(np.int64)
+
+
+def _merge_read(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    files: list[str],
+    dels: dict[str, list[str]],
+    file_col: str | None = None,
+) -> DataFrame:
+    """Arrow merge-read for data files carrying position deletes: each task
+    opens ITS data file (executor-side, as Iceberg readers do), masks the
+    deleted positions, and emits the surviving rows.  Work is distributed
+    over the FILE list — driver traffic is file names only.  Files without
+    deletes never take this path (they keep the vectorized parquet scan)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    data_dir = _data_dir(root)
+    tasks = [(f, json.dumps(dels[f])) for f in files]
+    n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    plan = spark.createDataFrame(tasks, "file string, dels string").repartition(
+        n_parts, "file"
+    )
+    names = [f.name for f in schema.fields]
+    out_schema = StructType(list(schema.fields))
+    if file_col is not None:
+        out_schema = out_schema.add(file_col, StringType())
+
+    def scan(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for fname, dels_json in zip(pdf["file"], pdf["dels"]):
+                tab = pq.read_table(os.path.join(data_dir, fname))
+                dead = _deleted_positions(data_dir, json.loads(dels_json))
+                if dead.size:
+                    keep = np.ones(tab.num_rows, dtype=bool)
+                    keep[dead[dead < tab.num_rows]] = False
+                    tab = tab.filter(pa.array(keep))
+                out = tab.to_pandas()
+                for name in names:
+                    if name not in out.columns:
+                        out[name] = None
+                out = out[names]
+                if file_col is not None:
+                    out[file_col] = fname
+                yield out
+
+    return plan.mapInPandas(scan, schema=out_schema)
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    _file_col: str | None = None,
 ) -> DataFrame:
     """The table as of *snapshot_id* (default: current) — Iceberg's
     ``VERSION AS OF``.  Returns an empty, correctly-typed frame for an
@@ -348,7 +439,14 @@ def read_snapshot(
     bounds prove the predicate false never reach Spark) and the SAME
     predicate is applied row-wise, so the result is always exactly
     ``read_snapshot(...).filter(predicate)`` — pruning changes cost,
-    never values."""
+    never values.
+
+    Position deletes (:func:`delete_from`) are applied at scan time:
+    files with no delete masks keep Spark's vectorized parquet path; only
+    files carrying deletes take the Arrow merge-read path.  ``_file_col``
+    (internal) additionally exposes each row's data-file name — both scan
+    branches provide it, which is what lets :func:`merge_into` stay
+    file-granular over a table with outstanding deletes."""
     from pyspark.sql import functions as F
 
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
@@ -360,10 +458,30 @@ def read_snapshot(
         files, _ = plan_scan(root, sid, filters)
     else:
         files = man["files"]
-    if not files:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(_data_dir(root), f) for f in files]
-    df = spark.read.schema(schema).parquet(*paths)
+    dels = man.get("delete_files", {})
+    clean = [f for f in files if f not in dels]
+    dirty = [f for f in files if f in dels]
+    parts: list[DataFrame] = []
+    if clean:
+        paths = [os.path.join(_data_dir(root), f) for f in clean]
+        df = spark.read.schema(schema).parquet(*paths)
+        if _file_col is not None:
+            df = df.withColumn(
+                _file_col, F.element_at(F.split(F.input_file_name(), "/"), -1)
+            )
+        parts.append(df)
+    if dirty:
+        parts.append(_merge_read(spark, root, schema, dirty, dels, _file_col))
+    if not parts:
+        out_schema = StructType(list(schema.fields))
+        if _file_col is not None:
+            from pyspark.sql.types import StringType
+
+            out_schema = out_schema.add(_file_col, StringType())
+        return spark.createDataFrame([], out_schema)
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
     for col, op, val in filters or []:
         c = F.col(col)
         df = df.filter(
@@ -371,6 +489,110 @@ def read_snapshot(
              "<=": c <= val, "<": c < val}[op]
         )
     return df
+
+
+def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
+    """Iceberg v2 merge-on-read ``DELETE FROM table WHERE <filters>``:
+    commit parquet *position-delete files* instead of rewriting data files.
+
+    Planning reuses :func:`plan_scan` — files whose manifest bounds prove
+    the predicate false are never opened.  Each candidate file is then
+    scanned executor-side reading ONLY the filtered columns, matched
+    positions (minus positions already deleted) are written as one
+    ``del-*.parquet`` per data file, and the commit records the mapping.
+    Data files are never rewritten — a delete matching 0.1% of rows costs
+    I/O proportional to the matched files, never the table.  A delete
+    matching nothing commits nothing and returns the parent id (Iceberg
+    skips empty commits).  History stays time-travelable: reads of the
+    parent snapshot ignore the new delete files by construction.
+
+    Trade-offs mirror Iceberg v2: reads of masked files pay a merge cost
+    until :func:`rewrite_data_files` (major compaction) applies and purges
+    the masks.  Incremental append reads refuse to cross a delete commit,
+    as upstream does."""
+    for _, op, _v in filters:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported delete op {op!r}")
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    cols = {f["name"] for f in man["schema"]["fields"]}
+    for c, _op, _v in filters:
+        if c not in cols:
+            raise ValueError(f"unknown column {c!r} in delete predicate")
+    candidates, _ = plan_scan(root, parent, filters)
+    existing = man.get("delete_files", {})
+    new_dels: dict[str, list[str]] = {}
+    if candidates:
+        data_dir = _data_dir(root)
+        tasks = [
+            (f, json.dumps(existing.get(f, []))) for f in sorted(candidates)
+        ]
+        n_parts = max(
+            1, min(len(tasks), spark.sparkContext.defaultParallelism)
+        )
+        plan = spark.createDataFrame(
+            tasks, "file string, dels string"
+        ).repartition(n_parts, "file")
+        flt = list(filters)
+        filter_cols = sorted({c for c, _o, _v in flt})
+
+        def find_positions(batches):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ops = {
+                "==": lambda s, v: s == v,
+                ">=": lambda s, v: s >= v,
+                ">": lambda s, v: s > v,
+                "<=": lambda s, v: s <= v,
+                "<": lambda s, v: s < v,
+            }
+            for pdf in batches:
+                for fname, dels_json in zip(pdf["file"], pdf["dels"]):
+                    tab = pq.read_table(
+                        os.path.join(data_dir, fname), columns=filter_cols
+                    )
+                    frame = tab.to_pandas()
+                    mask = np.ones(len(frame), dtype=bool)
+                    for c, op, v in flt:
+                        mask &= ops[op](frame[c], v).to_numpy(dtype=bool)
+                    pos = np.flatnonzero(mask).astype(np.int64)
+                    dead = _deleted_positions(data_dir, json.loads(dels_json))
+                    if dead.size:
+                        pos = pos[~np.isin(pos, dead)]
+                    if pos.size == 0:
+                        continue
+                    dname = f"del-{uuid.uuid4().hex[:12]}.parquet"
+                    tmp = os.path.join(data_dir, f".{dname}.tmp")
+                    pq.write_table(
+                        pa.table({"pos": pa.array(pos, type=pa.int64())}), tmp
+                    )
+                    os.replace(tmp, os.path.join(data_dir, dname))
+                    yield pd.DataFrame(
+                        {"data_file": [str(fname)], "delete_file": [dname],
+                         "n_deleted": [int(pos.size)]}
+                    )
+
+        planned = plan.mapInPandas(
+            find_positions,
+            schema="data_file string, delete_file string, n_deleted long",
+        ).collect()  # bounded by the matched-file count, never rows
+        for r in planned:
+            new_dels.setdefault(r["data_file"], []).append(r["delete_file"])
+    if not new_dels:
+        return parent
+    merged = {
+        f: existing.get(f, []) + new_dels.get(f, [])
+        for f in set(existing) | set(new_dels)
+    }
+    return _commit(
+        root, parent, man["files"], [], 0, json.dumps(man["schema"]),
+        "delete", stats=man.get("stats", {}), delete_files=merged,
+    )
 
 
 def read_appends_between(
@@ -439,9 +661,10 @@ def merge_into(
         )
     from pyspark.sql import functions as F
 
-    cur = read_snapshot(spark, root, parent).withColumn(
-        "_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
-    )
+    # _file_col is delete-aware: rows surviving a position mask still carry
+    # their data file's name, so the affected-file detection below stays
+    # file-granular over a table with outstanding MOR deletes
+    cur = read_snapshot(spark, root, parent, _file_col="_file")
     keys = source.select(key_col).distinct()
     affected = {
         r["_file"]
@@ -462,9 +685,13 @@ def merge_into(
         new_data = source
     added, n_rows, schema_json, stats = _write_data_files(new_data, root)
     pstats = man.get("stats", {})
+    pdels = man.get("delete_files", {})
     return _commit(
         root, parent, untouched + added, added, n_rows, schema_json, "merge",
         stats={**pstats, **stats},
+        # untouched files keep their position masks; rewritten files had
+        # theirs applied during the delete-aware read above
+        delete_files={f: pdels[f] for f in untouched if f in pdels},
     )
 
 
@@ -494,6 +721,14 @@ def rewrite_data_files(
     )
 
 
+def _manifest_all_files(man: dict) -> list[str]:
+    """Every file a manifest references: data files AND position-delete
+    files (both live under data/ and share the expiry/orphan lifecycle)."""
+    return man["files"] + [
+        d for ds in man.get("delete_files", {}).values() for d in ds
+    ]
+
+
 def expire_snapshots(root: str, keep_last: int) -> dict:
     """Drop all but the newest *keep_last* snapshots and delete data files
     no retained snapshot references.  Returns counts for auditing."""
@@ -503,10 +738,10 @@ def expire_snapshots(root: str, keep_last: int) -> dict:
     if len(log) <= keep_last:
         return {"expired_snapshots": 0, "deleted_files": 0}
     expired, kept = log[:-keep_last], log[-keep_last:]
-    live = {f for man in kept for f in man["files"]}
+    live = {f for man in kept for f in _manifest_all_files(man)}
     deleted = 0
     for man in expired:
-        for f in man["files"]:
+        for f in _manifest_all_files(man):
             if f not in live:
                 path = os.path.join(_data_dir(root), f)
                 if os.path.exists(path):
@@ -523,7 +758,7 @@ def remove_orphan_files(root: str, older_than_s: float = 3600.0) -> int:
     *older_than_s* are spared so an in-flight commit's just-written files
     survive the sweep (Iceberg's ``remove_orphan_files(older_than=...)``).
     Returns the number of files deleted."""
-    live = {f for man in snapshot_log(root) for f in man["files"]}
+    live = {f for man in snapshot_log(root) for f in _manifest_all_files(man)}
     cutoff = time.time() - older_than_s
     removed = 0
     for name in os.listdir(_data_dir(root)):

@@ -479,3 +479,170 @@ class TestManifestStats:
         assert len(kept) == 1 and len(skipped) == 1
         got = read_snapshot(spark, root, 1, filters=[("lang", "==", "fr")])
         assert sorted(r["doc_id"] for r in got.collect()) == [2, 3]
+
+
+class TestPositionDeletes:
+    """Iceberg v2 merge-on-read DELETE: position-delete files masked at
+    scan time, data files never rewritten, compaction purges the masks."""
+
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "mor")
+        append_snapshot(_docs(spark, 0, 100), root)
+        return root
+
+    def test_delete_masks_rows_without_rewriting_data_files(
+        self, spark, tmp_path
+    ):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        files_before = read_manifest(root, 1)["files"]
+        sid = delete_from(spark, root, [("doc_id", "<", 30)])
+        assert sid == 2
+        man = read_manifest(root, 2)
+        # same data files, BY NAME — the delete rewrote nothing
+        assert man["files"] == files_before
+        assert man["operation"] == "delete"
+        assert man["delete_files"], "delete files must be recorded"
+        got = _rows(read_snapshot(spark, root))
+        want = _rows(_docs(spark, 30, 100))
+        assert got == want
+
+    def test_time_travel_ignores_later_deletes(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", ">=", 50)])
+        assert _rows(read_snapshot(spark, root, snapshot_id=1)) == _rows(
+            _docs(spark, 0, 100)
+        )
+
+    def test_deletes_accumulate_across_commits(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 10)])
+        delete_from(spark, root, [("doc_id", ">=", 90)])
+        got = _rows(read_snapshot(spark, root))
+        assert got == _rows(_docs(spark, 10, 90))
+        # second delete carries the first commit's masks forward
+        man = read_manifest(root, current_snapshot_id(root))
+        n_masks = sum(len(v) for v in man["delete_files"].values())
+        assert n_masks >= 2
+
+    def test_empty_delete_commits_nothing(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        sid = delete_from(spark, root, [("doc_id", ">=", 1000)])
+        assert sid == 1 == current_snapshot_id(root)
+
+    def test_overlapping_delete_records_no_duplicate_positions(
+        self, spark, tmp_path
+    ):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 40)])
+        # overlaps [0, 40) — only [40, 60) is newly dead
+        delete_from(spark, root, [("doc_id", "<", 60)])
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 60, 100))
+
+    def test_compaction_applies_and_purges_masks(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+            rewrite_data_files,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 25)])
+        sid = rewrite_data_files(spark, root, target_files=1)
+        man = read_manifest(root, sid)
+        assert man["delete_files"] == {}
+        assert len(man["files"]) == 1
+        assert _rows(read_snapshot(spark, root)) == _rows(_docs(spark, 25, 100))
+
+    def test_merge_into_over_masked_table(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+            merge_into,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 10)])
+        source = spark.createDataFrame(
+            [(5, "resurrect?"), (50, "updated"), (200, "inserted")],
+            "doc_id long, text string",
+        )
+        merge_into(spark, root, source, "doc_id")
+        rows = dict(_rows(read_snapshot(spark, root)))
+        # doc 5 was deleted, so MERGE sees it as NOT MATCHED -> insert
+        assert rows[5] == "resurrect?"
+        assert rows[50] == "updated"
+        assert rows[200] == "inserted"
+        assert 7 not in rows  # other deleted rows stay dead through merge
+        assert rows[60] == "text of document 60"
+
+    def test_expiry_keeps_masks_of_retained_snapshots(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 30)])
+        append_snapshot(_docs(spark, 100, 110), root)
+        expire_snapshots(root, keep_last=2)
+        got = _rows(read_snapshot(spark, root))
+        assert got == _rows(_docs(spark, 30, 110))
+
+    def test_incremental_appends_refuse_delete_boundaries(
+        self, spark, tmp_path
+    ):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+            read_appends_between,
+        )
+
+        root = self._table(spark, tmp_path)
+        delete_from(spark, root, [("doc_id", "<", 30)])
+        append_snapshot(_docs(spark, 100, 110), root)
+        with pytest.raises(ValueError, match="delete"):
+            read_appends_between(spark, root, 1, 3)
+
+    def test_pruned_filtered_read_composes_with_deletes(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = str(tmp_path / "morp")
+        # two appends -> distinct files with disjoint doc_id bounds
+        append_snapshot(_docs(spark, 0, 50).coalesce(1), root)
+        append_snapshot(_docs(spark, 50, 100).coalesce(1), root)
+        delete_from(spark, root, [("doc_id", ">=", 80)])
+        got = _rows(
+            read_snapshot(spark, root, filters=[("doc_id", ">=", 40)])
+        )
+        assert got == _rows(_docs(spark, 40, 80))
+
+    def test_delete_validation(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            delete_from,
+        )
+
+        root = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="unsupported delete op"):
+            delete_from(spark, root, [("doc_id", "!=", 3)])
+        with pytest.raises(ValueError, match="unknown column"):
+            delete_from(spark, root, [("nope", "<", 3)])
+        with pytest.raises(ValueError, match="no committed snapshot"):
+            delete_from(spark, str(tmp_path / "void"), [("doc_id", "<", 3)])
