@@ -2494,6 +2494,38 @@ def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
 
 
+def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T174 Z-order layout audit (round 5 closing): the Morton key over
+    (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
+    `step = ceil(span/256)`, then a 16-term bit-interleave, all inside one
+    whole-stage-codegen projection (no UDF, no window; pytest pins the
+    plan) — bucketed by the top 6 z bits (64 axis-aligned rectangles) with
+    per-bucket row counts and min/max bounds of BOTH columns.  Those
+    bounds ARE what manifest pruning reads: narrow per-bucket rectangles
+    on both axes = file skipping for predicates on EITHER column, which a
+    linear sort gives only its lead key (tests/test_zorder.py proves the
+    physical version: 0 → ≥8 of 16 files skipped on the second column
+    after `rewrite_data_files(cluster_by=...)`).  The DuckDB twin replays
+    quantization, interleave, and bucket bounds bit-for-bit."""
+    from pdf_drawing_ocr_recognition_spark.operators.zorder import (
+        attach_zvalue,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    z = attach_zvalue(docs, ["doc_id", "n_chars"], bits=8, out="_z")
+    return (
+        z.groupBy(F.shiftright(F.col("_z"), 10).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.min("n_chars").alias("min_n_chars"),
+            F.max("n_chars").alias("max_n_chars"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T83 MERGE INTO (file-granular copy-on-write): commit `documents` as
     snapshot 1, then MERGE a source of updates (every doc_id%10==0 gets
@@ -6489,6 +6521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
+        "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
         "blocklist_filter": q_blocklist_filter,
@@ -9886,6 +9919,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id < (SELECT (9 * count(*)) // 10 FROM documents)
               AND doc_id >= (SELECT count(*) // 10 FROM documents)
+        """,
+        "zorder_pruning_audit": """
+            WITH rng AS (
+                SELECT min(doc_id) AS lo_d,
+                       (max(doc_id) - min(doc_id) + 256) // 256 AS step_d,
+                       min(n_chars) AS lo_c,
+                       (max(n_chars) - min(n_chars) + 256) // 256 AS step_c
+                FROM documents
+            ),
+            q AS (
+                SELECT (d.doc_id - r.lo_d) // r.step_d AS qd,
+                       (d.n_chars - r.lo_c) // r.step_c AS qc,
+                       d.doc_id, d.n_chars
+                FROM documents d, rng r
+            ),
+            z AS (
+                SELECT doc_id, n_chars,
+                       ( ((qd >> 0) & 1) * 2   + ((qc >> 0) & 1) * 1
+                       + ((qd >> 1) & 1) * 8   + ((qc >> 1) & 1) * 4
+                       + ((qd >> 2) & 1) * 32  + ((qc >> 2) & 1) * 16
+                       + ((qd >> 3) & 1) * 128 + ((qc >> 3) & 1) * 64
+                       + ((qd >> 4) & 1) * 512 + ((qc >> 4) & 1) * 256
+                       + ((qd >> 5) & 1) * 2048  + ((qc >> 5) & 1) * 1024
+                       + ((qd >> 6) & 1) * 8192  + ((qc >> 6) & 1) * 4096
+                       + ((qd >> 7) & 1) * 32768 + ((qc >> 7) & 1) * 16384
+                       ) AS zv
+                FROM q
+            )
+            SELECT CAST(zv >> 10 AS BIGINT) AS z_bucket,
+                   count(*) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+                   CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+                   CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_n_chars
+            FROM z GROUP BY 1 ORDER BY 1
         """,
         "snapshot_merge": """
             WITH merged AS (

@@ -696,7 +696,11 @@ def merge_into(
 
 
 def rewrite_data_files(
-    spark: SparkSession, root: str, target_files: int = 1
+    spark: SparkSession,
+    root: str,
+    target_files: int = 1,
+    cluster_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> int:
     """Iceberg's ``rewrite_data_files`` (small-files compaction) as a new
     snapshot: read the CURRENT snapshot, rewrite its rows into
@@ -706,14 +710,36 @@ def rewrite_data_files(
     transform); history is preserved — the pre-compaction snapshot stays
     time-travelable until expired, exactly as in Iceberg.  The streaming
     daily-append pattern (many small commits) composes with this: compact
-    once a day, expire once a week.
-    """
+    once a day, expire once a week.  Outstanding position deletes
+    (:func:`delete_from`) are applied by the delete-aware read and purged
+    from the new snapshot — this IS Iceberg's major compaction.
+
+    With *cluster_by*, rows are laid out along the Morton z-curve of the
+    named numeric columns (``operators/zorder.py``) before writing —
+    Iceberg's ``strategy => 'sort', sort_order => 'zorder(...)'`` — so the
+    manifest min/max bounds (:func:`plan_scan`) prune files for predicates
+    on ANY clustered column, not just a lead sort key.  The layout is a
+    range-partition + in-partition sort on the z key: no global sort
+    bottleneck, ``target_files`` contiguous z ranges."""
     if target_files < 1:
         raise ValueError(f"target_files must be >= 1, got {target_files}")
     parent = current_snapshot_id(root)
     if parent is None:
         raise ValueError(f"table at {root} has no committed snapshot")
-    df = read_snapshot(spark, root, parent).coalesce(target_files)
+    df = read_snapshot(spark, root, parent)
+    if cluster_by:
+        from pdf_drawing_ocr_recognition_spark.operators.zorder import (
+            attach_zvalue,
+        )
+
+        df = (
+            attach_zvalue(df, cluster_by, bits=zorder_bits, out="_z")
+            .repartitionByRange(target_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        df = df.coalesce(target_files)
     added, n_rows, schema_json, stats = _write_data_files(df, root)
     return _commit(
         root, parent, added, added, n_rows, schema_json, "replace",
