@@ -2454,8 +2454,9 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
-    commits — doc_id >= ceil(0.9·n) and doc_id < floor(0.1·n), thresholds
-    count-derived so selectivity is scale-stable.  Each DELETE writes
+    commits — doc_id >= lo+0.9·span and doc_id < lo+0.1·span, thresholds
+    derived from the doc_id VALUE range (count-derived cuts can land in a
+    gap on the non-dense sf1/sf10 derived tables and delete nothing).  Each DELETE writes
     parquet position-delete files (manifest-pruned planning touches only
     the files whose bounds admit matches — here ~1 of 8 each); data files
     are NEVER rewritten (pytest pins the file list by name).  The final
@@ -2473,10 +2474,16 @@ def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    thr_hi = (9 * n_docs) // 10
-    thr_lo = n_docs // 10
-    root = f"/tmp/pdor_spark_mortable_{os.path.basename(os.path.normpath(sf_dir))}"
+    # thresholds from the VALUE range, not the row count: doc_id need not
+    # be dense (the sf1/sf10 derived tables are shifted copies with gaps),
+    # and a count-derived cut can land in a gap and delete nothing
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    span = int(rng["hi"]) - int(rng["lo"])
+    thr_hi = int(rng["lo"]) + (9 * span) // 10
+    thr_lo = int(rng["lo"]) + span // 10
+    root = f"/tmp/pdor_spark_mortable2_{os.path.basename(os.path.normpath(sf_dir))}"
     try:
         ok = current_snapshot_id(root) == 3
     except Exception:
@@ -9916,9 +9923,15 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
         """,
         "snapshot_mor_delete": """
-            SELECT doc_id, lang, n_chars FROM documents
-            WHERE doc_id < (SELECT (9 * count(*)) // 10 FROM documents)
-              AND doc_id >= (SELECT count(*) // 10 FROM documents)
+            WITH rng AS (
+                SELECT min(doc_id) AS lo,
+                       max(doc_id) - min(doc_id) AS span
+                FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d, rng r
+            WHERE d.doc_id < r.lo + (9 * r.span) // 10
+              AND d.doc_id >= r.lo + r.span // 10
         """,
         "zorder_pruning_audit": """
             WITH rng AS (
