@@ -1124,6 +1124,35 @@ def main() -> int:
         )
     )
 
+    # T174: the Morton key is ONE codegen projection — no UDF, no window;
+    # the audit is a partial-agg rollup over it
+    grab(
+        "zorder_pruning_audit",
+        em.q_zorder_pruning_audit(spark, sf),
+        "partial_min",
+        "partial_count",
+    )
+    zp_plan = sections[-1][1]
+    checks.append(
+        (
+            "zorder_pruning_audit",
+            "z key stays codegen (no Python eval, no Window)",
+            "BatchEvalPython" not in zp_plan
+            and "ArrowEvalPython" not in zp_plan
+            and "Window" not in zp_plan,
+        )
+    )
+
+    # T173: the MOR read unions the vectorized parquet scan (clean files)
+    # with the Arrow merge-read (masked files) — both branches present
+    grab(
+        "snapshot_mor_delete",
+        em.q_snapshot_mor_delete(spark, sf),
+        "MapInPandas",
+        "Scan parquet",
+        "Union",
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
