@@ -2824,6 +2824,52 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T176 mixed-script detection (round 5 closing): per-document counts
+    of Latin / Cyrillic / Han codepoints and a mixed-script flag — the
+    UTS #39 confusable-spoofing axis (Cyrillic 'а' in Latin words, CJK
+    spam tails on English pages) that `char_diversity`'s entropy signal
+    cannot see because it is script-blind.  Counts are codegen
+    `length(t) - length(regexp_replace(t, script_class, ''))` — one JVM
+    regex pass per script, no UDF.  The fixture corpus is pure ASCII, so
+    the non-Latin branches are PLANTED deterministically (doc_id%7==1
+    gains a Cyrillic tail, doc_id%11==3 a Han tail; doc_id%77==36 hits
+    both) — the DuckDB twin replays the plant and the counts with RE2's
+    spelling of the same Unicode script classes."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 1, F.lit(" привет мир")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 3, F.lit(" 垃圾邮件")).otherwise(
+            F.lit("")
+        ),
+    )
+
+    def n_script(cls: str):  # Java regex spelling of the script class
+        return F.length(t) - F.length(
+            F.regexp_replace(t, f"[\\p{{{cls}}}]", "")
+        )
+
+    n_latin = n_script("IsLatin")
+    n_cyr = n_script("IsCyrillic")
+    n_han = n_script("IsHan")
+    n_scripts = (
+        (n_latin > 0).cast("int")
+        + (n_cyr > 0).cast("int")
+        + (n_han > 0).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_han.alias("n_han"),
+        n_scripts.alias("n_scripts"),
+        (n_scripts >= 2).cast("int").alias("mixed_script"),
+    )
+
+
 def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T115: character-distribution gibberish signals — the cheap pre-filter
     every web pipeline runs before tokenizing (C4's alphabetic-fraction rule,
@@ -6507,6 +6553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_row_numbers": q_global_row_numbers,
         "repetition_signals": q_repetition_signals,
         "char_diversity": q_char_diversity,
+        "script_mix": q_script_mix,
         "pivot_event_matrix": q_pivot_event_matrix,
         "map_event_stats": q_map_event_stats,
         "extract_documents": q_extract_documents,
@@ -9370,6 +9417,32 @@ def oracle_sql() -> dict[str, str]:
                               ELSE agg.top_bigram_count / agg.n_bigrams END, 4)
                        AS top_bigram_frac
             FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+        """,
+        "script_mix": """
+            WITH p AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 1 THEN ' привет мир' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 3 THEN ' 垃圾邮件' ELSE '' END
+                       AS t
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                       length(t) - length(regexp_replace(t, '[\\p{Latin}]', '', 'g')) AS n_latin,
+                       length(t) - length(regexp_replace(t, '[\\p{Cyrillic}]', '', 'g')) AS n_cyrillic,
+                       length(t) - length(regexp_replace(t, '[\\p{Han}]', '', 'g')) AS n_han
+                FROM p
+            )
+            SELECT doc_id,
+                   CAST(n_latin AS BIGINT) AS n_latin,
+                   CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+                   CAST(n_han AS BIGINT) AS n_han,
+                   CAST((n_latin > 0)::INT + (n_cyrillic > 0)::INT
+                        + (n_han > 0)::INT AS INT) AS n_scripts,
+                   CAST(((n_latin > 0)::INT + (n_cyrillic > 0)::INT
+                        + (n_han > 0)::INT >= 2) AS INT) AS mixed_script
+            FROM c
         """,
         "char_diversity": """
             WITH ch AS (

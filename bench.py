@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     "declared_lang_mismatch",
     "page_profile",
     "title_body_coverage",
+    # round 5 (closing): lakehouse layout + script signals
+    "zorder_pruning_audit",
+    "script_mix",
 ]
 
 
