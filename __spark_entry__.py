@@ -5024,6 +5024,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs.filter(~is_bench), docs.filter(is_bench), n=5)
 
 
+def q_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T180 corpus duplication-rate audit (round 5 closing): per-source
+    fraction of 5-gram occurrences inside a corpus-wide-duplicated gram —
+    the number dataset papers REPORT (Lee et al. 2022 §5; RefinedWeb
+    tab. 2) and the before/after receipt for the dedup cascade.  One
+    corpus explode, one (source, gram) shuffle, gram totals from the
+    partials (the token stream never re-shuffles), exact-integer ppm.
+    The fixture's planted boilerplate lines make duplicated grams
+    naturally load-bearing at every sf."""
+    from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+        duplication_rate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplication_rate(docs, n=5)
+
+
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T104: curriculum ordering — fixed-threshold difficulty bins over the
     T12 quality score (a pure codegen projection, NOT ntile whose global
@@ -6613,6 +6630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taxonomy_tags": q_taxonomy_tags,
         "curriculum_order": q_curriculum_order,
         "ngram_novelty": q_ngram_novelty,
+        "duplication_rate": q_duplication_rate,
         "rendezvous_shards": q_rendezvous_shards,
         "pca_outliers": q_pca_outliers,
         "score_calibration": q_score_calibration,
@@ -10935,6 +10953,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(substr(max(wk), 35, 4) AS INT) AS shard
             FROM cand GROUP BY doc_id
+        """,
+        "duplication_rate": """
+            WITH occ AS (
+                SELECT source,
+                       unnest(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split(lower(text), ' ')) - 4)),
+                           i -> array_to_string(
+                               string_split(lower(text), ' ')[i:i+4], ' ')))
+                           AS sh
+                FROM documents
+            ), per_sg AS (
+                SELECT source, sh, count(*) AS c FROM occ GROUP BY 1, 2
+            ), tot AS (
+                SELECT sh, CAST(sum(c) AS BIGINT) AS t FROM per_sg GROUP BY 1
+            ), agg AS (
+                SELECT p.source,
+                       CAST(sum(p.c) AS BIGINT) AS n_grams,
+                       CAST(sum(CASE WHEN t.t >= 2 THEN p.c ELSE 0 END)
+                            AS BIGINT) AS n_dup_grams
+                FROM per_sg p JOIN tot t USING (sh)
+                GROUP BY 1
+            )
+            SELECT source, n_grams, n_dup_grams,
+                   CAST((1000000 * n_dup_grams) // n_grams AS BIGINT)
+                       AS dup_ppm
+            FROM agg
         """,
         "ngram_novelty": """
             WITH sh5 AS (

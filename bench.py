@@ -123,9 +123,10 @@ BENCH_QUERIES = [
     "declared_lang_mismatch",
     "page_profile",
     "title_body_coverage",
-    # round 5 (closing): lakehouse layout + script signals
+    # round 5 (closing): lakehouse layout + script + duplication signals
     "zorder_pruning_audit",
     "script_mix",
+    "duplication_rate",
 ]
 
 

@@ -185,3 +185,63 @@ def stitch_continuations(
         .filter(F.col("prev_doc") != F.col("next_doc"))
         .select("prev_doc", "next_doc", "overlap_key")
     )
+
+
+def duplication_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """T180 corpus duplication-rate audit — the metric dataset papers
+    REPORT where the dedup family REMOVES (Lee et al. 2022 §5, RefinedWeb
+    tab. 2): per source, the fraction of n-gram *occurrences* lying inside
+    a gram that appears ≥ 2 times corpus-wide, ``dup_ppm = scale ·
+    n_dup_grams / n_grams`` as an exact integer (DIV — no float).  High
+    dup_ppm marks the sources worth sending through T71/T45 first, and
+    the post-dedup re-run is the pipeline's before/after receipt.
+
+    Shape: the corpus explodes ONCE into n-gram occurrences; one shuffle
+    on the composite (source, gram) key builds map-side-combined
+    occurrence counts; gram totals then derive from a SECOND aggregate
+    over those partials (rows bounded by distinct grams × sources — the
+    token stream is never re-shuffled); the duplicated verdict is a
+    gram-dim ⋈ gram-dim join.  Within-source AND cross-source repeats
+    both count (the total is corpus-wide by construction).
+
+    Returns ``(source_col, n_grams, n_dup_grams, dup_ppm)``; documents
+    shorter than *n* words contribute no grams (no denominator).
+    """
+    from ..functions.dedup import word_shingles
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    grams = docs.select(
+        F.col(source_col).alias("_src"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+    )
+    per_sg = grams.groupBy("_src", "_sh").agg(F.count(F.lit(1)).alias("_c"))
+    totals = per_sg.groupBy("_sh").agg(F.sum("_c").alias("_tot"))
+    agg = (
+        per_sg.join(totals, "_sh")
+        .groupBy("_src")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_tot") >= 2, F.col("_c")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+    )
+    return agg.select(
+        F.col("_src").alias(source_col),
+        "n_grams",
+        "n_dup_grams",
+        F.expr(
+            f"CAST(({scale} * n_dup_grams) DIV n_grams AS BIGINT)"
+        ).alias("dup_ppm"),
+    )

@@ -275,3 +275,62 @@ class TestLanguageMixture:
             map(tuple, language_mixture(df.repartition(11), "host").collect())
         )
         assert a == b
+
+
+class TestDuplicationRate:
+    """T180: corpus duplication-rate audit — hand-computed ppm."""
+
+    def test_hand_computed_values(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            duplication_rate,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a", "one two three four five six"),
+                (2, "a", "one two three four five"),
+                (3, "b", "unique words only here now"),
+                (4, "b", "shorty"),  # < 5 words: no grams, no denominator
+            ],
+            "doc_id long, source string, text string",
+        )
+        rows = {
+            r["source"]: r for r in duplication_rate(docs, n=5).collect()
+        }
+        # source a: grams {g1 x2 (docs 1+2), g2 x1}; g1 total 2 -> dup
+        assert rows["a"]["n_grams"] == 3
+        assert rows["a"]["n_dup_grams"] == 2
+        assert rows["a"]["dup_ppm"] == 666666
+        # source b: one unique gram
+        assert rows["b"]["n_grams"] == 1
+        assert rows["b"]["n_dup_grams"] == 0
+        assert rows["b"]["dup_ppm"] == 0
+
+    def test_within_source_repeat_counts(self, spark):
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            duplication_rate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x y z w v"), (2, "a", "x y z w v")],
+            "doc_id long, source string, text string",
+        )
+        r = duplication_rate(docs, n=5).collect()[0]
+        assert (r["n_grams"], r["n_dup_grams"], r["dup_ppm"]) == (
+            2, 2, 1000000,
+        )
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from pdf_drawing_ocr_recognition_spark.operators.corpus_prep import (
+            duplication_rate,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x")], "doc_id long, source string, text string"
+        )
+        with _pytest.raises(ValueError, match="n must be"):
+            duplication_rate(docs, n=0)
+        with _pytest.raises(ValueError, match="scale must be"):
+            duplication_rate(docs, scale=0)
