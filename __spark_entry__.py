@@ -2533,6 +2533,39 @@ def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T192 branches/tags + write-audit-publish (round 5 closing): three
+    append commits (doc_id%3 == 0, 1, 2), a TAG pinned at snapshot 2 (the
+    audited state), then a read **via the ref** after snapshot 3 landed —
+    the WAP pattern: consumers on the ref never see unaudited commits,
+    tags are immutable, expiry keeps ref'd snapshots (pytest).  The
+    DuckDB twin is doc_id % 3 < 2 — a hash match proves ref resolution
+    reads exactly the pinned historical state."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+        set_ref,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_reftable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 3
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        for k in range(3):
+            append_snapshot(docs.filter(F.col("doc_id") % 3 == k), root)
+        set_ref(root, "audited", 2, ref_type="tag")
+    return read_snapshot(spark, root, ref="audited").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T83 MERGE INTO (file-granular copy-on-write): commit `documents` as
     snapshot 1, then MERGE a source of updates (every doc_id%10==0 gets
@@ -6592,6 +6625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
+        "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
         "snapshot_changes": q_snapshot_changes,
@@ -10023,6 +10057,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d, rng r
             WHERE d.doc_id < r.lo + (9 * r.span) // 10
               AND d.doc_id >= r.lo + r.span // 10
+        """,
+        "snapshot_tag_read": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 3 < 2
         """,
         "zorder_pruning_audit": """
             WITH rng AS (

@@ -429,6 +429,7 @@ def read_snapshot(
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
     _file_col: str | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """The table as of *snapshot_id* (default: current) — Iceberg's
     ``VERSION AS OF``.  Returns an empty, correctly-typed frame for an
@@ -449,6 +450,10 @@ def read_snapshot(
     file-granular over a table with outstanding deletes."""
     from pyspark.sql import functions as F
 
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = resolve_ref(root, ref)
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
     if sid is None:
         raise ValueError(f"table at {root} has no committed snapshot")
@@ -747,6 +752,74 @@ def rewrite_data_files(
     )
 
 
+_REFS = "refs.json"
+
+
+def _refs_path(root: str) -> str:
+    return os.path.join(_meta_dir(root), _REFS)
+
+
+def list_refs(root: str) -> dict:
+    """All named refs: ``{name: {"snapshot_id": N, "type": "branch"|"tag"}}``."""
+    try:
+        with open(_refs_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def set_ref(
+    root: str, name: str, snapshot_id: int, ref_type: str = "branch"
+) -> None:
+    """Create or move a named ref — Iceberg's branches and tags.
+
+    A **tag** is an immutable audit point (re-setting it to a different
+    snapshot raises); a **branch** is re-pointable — moving it IS the
+    "publish" step of write-audit-publish: commits land on the linear
+    history as usual, the consumer-facing branch ref stays pinned at the
+    last audited snapshot, and after validation the branch fast-forwards.
+    Readers pass ``ref=`` to :func:`read_snapshot` to opt into pinned
+    reads; the default reader follows the tip (HadoopCatalog semantics).
+    Refs are retention roots: :func:`expire_snapshots` never drops a
+    snapshot a ref names.  The refs file swaps atomically (os.replace).
+    """
+    if ref_type not in ("branch", "tag"):
+        raise ValueError(f"ref_type must be branch|tag, got {ref_type!r}")
+    if not os.path.exists(_manifest_path(root, snapshot_id)):
+        raise ValueError(f"snapshot {snapshot_id} does not exist at {root}")
+    refs = list_refs(root)
+    old = refs.get(name)
+    if old and old["type"] == "tag" and old["snapshot_id"] != snapshot_id:
+        raise ValueError(
+            f"tag {name!r} is immutable (pinned at {old['snapshot_id']})"
+        )
+    refs[name] = {"snapshot_id": snapshot_id, "type": ref_type}
+    tmp = _refs_path(root) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _refs_path(root))
+
+
+def drop_ref(root: str, name: str) -> None:
+    refs = list_refs(root)
+    if name not in refs:
+        raise ValueError(f"unknown ref {name!r}")
+    del refs[name]
+    tmp = _refs_path(root) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(refs, f)
+    os.replace(tmp, _refs_path(root))
+
+
+def resolve_ref(root: str, name: str) -> int:
+    refs = list_refs(root)
+    if name not in refs:
+        raise ValueError(f"unknown ref {name!r} at {root}")
+    return int(refs[name]["snapshot_id"])
+
+
 def _manifest_all_files(man: dict) -> list[str]:
     """Every file a manifest references: data files AND position-delete
     files (both live under data/ and share the expiry/orphan lifecycle)."""
@@ -757,13 +830,21 @@ def _manifest_all_files(man: dict) -> list[str]:
 
 def expire_snapshots(root: str, keep_last: int) -> dict:
     """Drop all but the newest *keep_last* snapshots and delete data files
-    no retained snapshot references.  Returns counts for auditing."""
+    no retained snapshot references.  Snapshots named by a ref (branch or
+    tag — :func:`set_ref`) are retention roots and are always kept, as in
+    Iceberg.  Returns counts for auditing."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     log = snapshot_log(root)
     if len(log) <= keep_last:
         return {"expired_snapshots": 0, "deleted_files": 0}
-    expired, kept = log[:-keep_last], log[-keep_last:]
+    pinned = {int(r["snapshot_id"]) for r in list_refs(root).values()}
+    expired = [m for m in log[:-keep_last] if m["snapshot_id"] not in pinned]
+    kept = [
+        m
+        for m in log
+        if m["snapshot_id"] in pinned or m in log[-keep_last:]
+    ]
     live = {f for man in kept for f in _manifest_all_files(man)}
     deleted = 0
     for man in expired:

@@ -646,3 +646,100 @@ class TestPositionDeletes:
             delete_from(spark, root, [("nope", "<", 3)])
         with pytest.raises(ValueError, match="no committed snapshot"):
             delete_from(spark, str(tmp_path / "void"), [("doc_id", "<", 3)])
+
+
+class TestRefs:
+    """Iceberg branches/tags: pinned named reads, WAP publish flow,
+    ref'd snapshots as retention roots."""
+
+    def test_tag_pins_a_read_point(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+            set_ref,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 30), root)
+        set_ref(root, "v1", 1, ref_type="tag")
+        append_snapshot(_docs(spark, 30, 60), root)
+        got = _rows(read_snapshot(spark, root, ref="v1"))
+        assert got == _rows(_docs(spark, 0, 30))
+        # default reader follows the tip
+        assert len(_rows(read_snapshot(spark, root))) == 60
+
+    def test_tags_are_immutable_branches_move(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            resolve_ref,
+            set_ref,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        append_snapshot(_docs(spark, 10, 20), root)
+        set_ref(root, "rel", 1, ref_type="tag")
+        with pytest.raises(ValueError, match="immutable"):
+            set_ref(root, "rel", 2, ref_type="tag")
+        set_ref(root, "main", 1)
+        set_ref(root, "main", 2)  # branches re-point (the publish step)
+        assert resolve_ref(root, "main") == 2
+
+    def test_write_audit_publish_flow(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+            resolve_ref,
+            set_ref,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 20), root)
+        set_ref(root, "published", 1)
+        # writer lands snapshot 2; consumers on the ref still see 1
+        append_snapshot(_docs(spark, 20, 40), root)
+        assert len(_rows(read_snapshot(spark, root, ref="published"))) == 20
+        # audit passes -> fast-forward the branch
+        audited = current_snapshot_id(root)
+        set_ref(root, "published", audited)
+        assert resolve_ref(root, "published") == 2
+        assert len(_rows(read_snapshot(spark, root, ref="published"))) == 40
+
+    def test_expiry_keeps_ref_snapshots(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+            set_ref,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 10), root)
+        set_ref(root, "keepme", 1, ref_type="tag")
+        for k in range(1, 5):
+            overwrite_snapshot(_docs(spark, 10 * k, 10 * k + 10), root)
+        out = expire_snapshots(root, keep_last=1)
+        assert out["expired_snapshots"] == 3  # 2,3,4 — never 1 (tagged)
+        assert _rows(read_snapshot(spark, root, ref="keepme")) == _rows(
+            _docs(spark, 0, 10)
+        )
+
+    def test_validation(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            drop_ref,
+            read_snapshot,
+            resolve_ref,
+            set_ref,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 5), root)
+        with pytest.raises(ValueError, match="does not exist"):
+            set_ref(root, "x", 9)
+        with pytest.raises(ValueError, match="branch|tag"):
+            set_ref(root, "x", 1, ref_type="commitish")
+        with pytest.raises(ValueError, match="unknown ref"):
+            resolve_ref(root, "nope")
+        with pytest.raises(ValueError, match="unknown ref"):
+            drop_ref(root, "nope")
+        set_ref(root, "x", 1)
+        with pytest.raises(ValueError, match="not both"):
+            read_snapshot(spark, root, snapshot_id=1, ref="x")
+        drop_ref(root, "x")
+        with pytest.raises(ValueError, match="unknown ref"):
+            read_snapshot(spark, root, ref="x")
