@@ -229,6 +229,7 @@ def _commit(
     operation: str,
     stats: dict | None = None,
     delete_files: dict[str, list[str]] | None = None,
+    properties: dict | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     manifest = {
@@ -251,7 +252,10 @@ def _commit(
             if (delete_files or {}).get(f)
         },
         "summary": {"added_files": len(added), "added_rows": added_rows,
-                    "total_files": len(files)},
+                    "total_files": len(files),
+                    # snapshot summary properties (Iceberg's summary map) —
+                    # e.g. the streaming sink's exactly-once batch id
+                    **({"properties": properties} if properties else {})},
     }
     path = _manifest_path(root, new_id)
     # write the COMPLETE manifest to a temp name, fsync, then hardlink to
@@ -282,8 +286,12 @@ def _commit(
     return new_id
 
 
-def append_snapshot(df: DataFrame, root: str) -> int:
-    """Commit *df*'s rows as a new snapshot = parent's files + new files."""
+def append_snapshot(
+    df: DataFrame, root: str, properties: dict | None = None
+) -> int:
+    """Commit *df*'s rows as a new snapshot = parent's files + new files.
+    *properties* lands in the manifest's summary (Iceberg's snapshot
+    summary map — the streaming sink records its batch id there)."""
     init_table(root)
     parent = current_snapshot_id(root)
     if parent:
@@ -297,6 +305,7 @@ def append_snapshot(df: DataFrame, root: str) -> int:
         root, parent, inherited + added, added, n_rows, schema_json, "append",
         stats={**pstats, **stats},
         delete_files=pdels,  # inherited files keep their position masks
+        properties=properties,
     )
 
 

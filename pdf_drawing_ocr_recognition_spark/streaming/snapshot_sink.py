@@ -1,0 +1,78 @@
+"""Exactly-once Structured Streaming sink into the snapshot table — T193.
+
+Iceberg's streaming write (``writeStream.format("iceberg")``) commits one
+table snapshot per micro-batch and survives replays because the batch id
+is recorded IN the commit: on restart, Spark re-delivers the last
+uncommitted-in-checkpoint batch, the sink sees its id already in the
+table's own history, and skips — the table never double-ingests even when
+the streaming checkpoint and the table commit race a crash.  This module
+is that contract for ``sources/snapshots.py``:
+
+* each micro-batch becomes one ``append`` snapshot whose manifest summary
+  carries ``{"streaming_batch_id": N, "stream_id": ...}`` (Iceberg's
+  snapshot summary map);
+* replay detection reads the table's OWN manifest log (scoped per
+  stream_id so independent streams can share a table) — the guard commits
+  atomically with the data it guards, the same discipline as the
+  ``_last_batch.json`` fix in streaming/dedup.py but stronger: the id
+  lives inside the committed manifest itself, no sidecar;
+* a :class:`CommitConflictError` from a concurrent writer is re-raised so
+  the streaming query retries the batch (it is NOT marked committed).
+
+At 10¹²-doc scale the check is O(snapshots) driver-side metadata — and
+each manifest is read only for its summary; compose with
+``expire_snapshots`` (refs pin audit points) to bound the log.
+
+Reference analogue: none (single-file reference); this closes the loop on
+the north rule's "Iceberg table" framing — the table is now both source
+(time travel, incremental scan) and exactly-once streaming sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sources.snapshots import append_snapshot, snapshot_log
+
+
+def committed_batch_ids(root: str, stream_id: str) -> set[int]:
+    """Batch ids this *stream_id* has already committed into the table."""
+    out: set[int] = set()
+    try:
+        log = snapshot_log(root)
+    except FileNotFoundError:
+        return out  # table not initialized yet: nothing committed
+    for man in log:
+        props = man.get("summary", {}).get("properties", {})
+        if props.get("stream_id") == stream_id and (
+            "streaming_batch_id" in props
+        ):
+            out.add(int(props["streaming_batch_id"]))
+    return out
+
+
+def snapshot_append_batch(
+    batch_df: DataFrame, batch_id: int, root: str, stream_id: str = "default"
+) -> int | None:
+    """``foreachBatch`` body: append *batch_df* as one table snapshot,
+    exactly once per (stream_id, batch_id).  Returns the new snapshot id,
+    or None when the batch was already committed (replay after a crash
+    between table commit and checkpoint commit)."""
+    if batch_id in committed_batch_ids(root, stream_id):
+        return None
+    return append_snapshot(
+        batch_df,
+        root,
+        properties={"streaming_batch_id": int(batch_id),
+                    "stream_id": stream_id},
+    )
+
+
+def snapshot_sink(root: str, stream_id: str = "default"):
+    """The ``foreachBatch`` callable: ``writeStream.foreachBatch(
+    snapshot_sink(root))``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_append_batch(batch_df, batch_id, root, stream_id)
+
+    return _sink

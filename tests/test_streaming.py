@@ -624,3 +624,68 @@ class TestStreamingScd2Fold:
         _swap_in(tmp, live)
         assert spark.read.parquet(live).collect()[0]["n_events"] == 5
         assert not os.path.exists(live + "_bak") and not os.path.exists(tmp)
+
+
+class TestSnapshotStreamingSink:
+    """T193: exactly-once streaming appends into the snapshot table — one
+    snapshot per micro-batch, batch ids in the manifest summary, replays
+    skipped, concurrent streams scoped by stream_id."""
+
+    def test_stream_appends_equal_batch_and_commit_per_batch(
+        self, spark, tmp_path
+    ):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+            snapshot_log,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_sink,
+        )
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "table")
+        df = spark.range(100).selectExpr(
+            "id AS doc_id", "concat('d', id) AS text"
+        )
+        # several input files -> maxFilesPerTrigger=1 forces multi-batch
+        df.repartition(4).write.parquet(src)
+        q = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(snapshot_sink(root, stream_id="s1"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(r["doc_id"] for r in read_snapshot(spark, root).collect())
+        assert got == list(range(100))
+        log = snapshot_log(root)
+        assert len(log) >= 2, "expected one snapshot per micro-batch"
+        ids = [
+            m["summary"]["properties"]["streaming_batch_id"] for m in log
+        ]
+        assert ids == sorted(ids)
+
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            current_snapshot_id,
+            read_snapshot,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_append_batch,
+        )
+
+        root = str(tmp_path / "table")
+        b0 = spark.range(10).selectExpr("id AS doc_id")
+        sid = snapshot_append_batch(b0, 0, root, "s1")
+        assert sid == 1
+        # crash between table commit and checkpoint commit -> replay
+        assert snapshot_append_batch(b0, 0, root, "s1") is None
+        assert current_snapshot_id(root) == 1
+        assert read_snapshot(spark, root).count() == 10
+        # a DIFFERENT stream's batch 0 is not a replay
+        b1 = spark.range(10, 20).selectExpr("id AS doc_id")
+        assert snapshot_append_batch(b1, 0, root, "s2") == 2
+        assert read_snapshot(spark, root).count() == 20
