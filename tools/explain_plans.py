@@ -1143,6 +1143,27 @@ def main() -> int:
         )
     )
 
+    # T176: three script counts are ONE codegen projection — no exchange
+    grab("script_mix", em.q_script_mix(spark, sf))
+    sm_plan = sections[-1][1]
+    checks.append(("script_mix", "no Exchange", "Exchange" not in sm_plan))
+    checks.append(
+        (
+            "script_mix",
+            "no Python eval (JVM regex only)",
+            "BatchEvalPython" not in sm_plan
+            and "ArrowEvalPython" not in sm_plan,
+        )
+    )
+
+    # T180: occurrence counts are map-side-combined partial aggs; the
+    # token stream shuffles once on the composite key
+    grab(
+        "duplication_rate",
+        em.q_duplication_rate(spark, sf),
+        "partial_count",
+    )
+
     # T173: the MOR read unions the vectorized parquet scan (clean files)
     # with the Arrow merge-read (masked files) — both branches present
     grab(
