@@ -4786,6 +4786,36 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T184: BYTE-granular exact-substring dedup (operators/dedup.py:
+    exact_substring_dedupe_bytes) — the exact semantics of Lee et al.
+    2022's suffix-array ExactSubstr pass at threshold k=40 bytes, closing
+    T71's documented token-alignment approximation: stride-1 k-byte
+    windows cover EXACTLY the bytes inside some duplicated span of length
+    >= k (proof in the operator docstring), so nothing slips through at
+    any offset.  Window digests are one narrow codegen stage (explode of
+    sequence + byte-addressed substring + md5 — no per-doc window/sort,
+    unlike the token form); removal is widened to whole UTF-8 code
+    points, a no-op here (the fixture corpus is ASCII — asserted by
+    tests/test_exact_substring_bytes.py — so the DuckDB twin may replay
+    byte windows with character substring).  Reassembled text compared
+    by md5."""
+    from pdf_drawing_ocr_recognition_spark.operators.dedup import (
+        exact_substring_dedupe_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_substring_dedupe_bytes(
+        docs, "text", "doc_id", k=40, min_count=2
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("text_fp"),
+        "n_bytes_kept",
+        "n_bytes_dropped",
+    )
+
+
 def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T98: HyperLogLog distinct-word sketch per language — the mergeable,
     storable distinct-count TABLE that `approx_count_distinct` computes
@@ -6643,6 +6673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "crawl_budget": q_crawl_budget,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "exact_substring_bytes": q_exact_substring_bytes,
         "bm25_topk": q_bm25_topk,
         "phrase_search": q_phrase_search,
         "dsir_weights": q_dsir_weights,
@@ -10592,6 +10623,39 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens_kept,
                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_tokens_dropped
+            FROM kept GROUP BY 1
+        """,
+        "exact_substring_bytes": """
+            WITH wins AS (
+                SELECT doc_id, u.off AS off,
+                       md5(substring(text, u.off + 1, 40)) AS digest
+                FROM documents,
+                     LATERAL unnest(range(0, length(text) - 40 + 1)) AS u(off)
+            ), dup AS (
+                SELECT digest FROM wins GROUP BY 1 HAVING count(*) >= 2
+            ), starts AS (
+                SELECT doc_id, off FROM wins
+                WHERE digest IN (SELECT digest FROM dup)
+            ), covered AS (
+                SELECT DISTINCT s.doc_id, s.off + d.d AS pos
+                FROM starts s, LATERAL unnest(range(0, 40)) AS d(d)
+            ), chars AS (
+                SELECT doc_id, u.i - 1 AS pos, substring(text, u.i, 1) AS ch
+                FROM documents,
+                     LATERAL unnest(range(1, length(text) + 1)) AS u(i)
+            ), kept AS (
+                SELECT c.doc_id, c.pos, c.ch, cv.pos IS NULL AS keep
+                FROM chars c
+                LEFT JOIN covered cv
+                  ON cv.doc_id = c.doc_id AND cv.pos = c.pos
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(ch, '' ORDER BY pos)
+                                FILTER (WHERE keep), '')) AS text_fp,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bytes_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_bytes_dropped
             FROM kept GROUP BY 1
         """,
         "phrase_search": f"""

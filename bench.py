@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "zorder_pruning_audit",
     "script_mix",
     "duplication_rate",
+    # round 5 (cont.): byte-granular ExactSubstr (exact Lee et al. semantics)
+    "exact_substring_bytes",
 ]
 
 

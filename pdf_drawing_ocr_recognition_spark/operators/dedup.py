@@ -725,7 +725,10 @@ def exact_substring_dedupe(
     contains a complete window); precision is exact (a matched window IS
     byte-identical duplicated text).  Tune k DOWN toward the paper's
     50-byte threshold (~8 english tokens) when memorization matters more
-    than over-removal.
+    than over-removal.  When the alignment caveats matter at all, use
+    ``exact_substring_dedupe_bytes`` below: at BYTE granularity the same
+    window trick is provably exact (caveats (a)/(b) vanish), at the cost
+    of ~bytes/token times more window digests.
 
     Plan: window digests are WHOLE-STAGE-CODEGEN projections — posexplode
     the tokens, build each k-window with lead() over the per-doc position
@@ -838,6 +841,159 @@ def exact_substring_dedupe(
         rebuild,
         f"{key_col} {key_ddl}, {text_col} string, "
         "n_tokens_kept bigint, n_tokens_dropped bigint",
+    )
+
+
+def rebuild_uncovered_bytes(text: str, starts, k: int) -> tuple[str, int, int]:
+    """Pure twin of the byte-level ExactSubstr rebuild: remove every byte
+    covered by a duplicated k-byte window starting at any offset in
+    ``starts``, widened to whole UTF-8 code points (a code point is removed
+    iff ANY of its bytes is covered, so output is always valid UTF-8 —
+    coverage is computed on BYTES, removal lands on CHARACTERS; the two
+    coincide on ASCII).  Returns (kept_text, n_bytes_kept, n_bytes_dropped)
+    with kept+dropped == total bytes under the widened removal.
+
+    Vectorized: UTF-8 continuation bytes are exactly those matching
+    0b10xxxxxx, so code-point ids are one cumsum over the start-byte mask
+    and per-char coverage one bincount — O(bytes), no per-char Python.
+    """
+    import numpy as np
+
+    bts = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = len(bts)
+    if n == 0 or not starts:
+        return text, n, 0
+    diff = np.zeros(n + 1, dtype=np.int64)
+    st = np.asarray(starts, dtype=np.int64)
+    np.add.at(diff, st, 1)
+    np.add.at(diff, np.minimum(st + k, n), -1)
+    cov = np.cumsum(diff[:n]) > 0
+    is_start = (bts & 0xC0) != 0x80
+    char_id = np.cumsum(is_start) - 1
+    n_chars = int(char_id[-1]) + 1
+    char_covered = np.bincount(
+        char_id, weights=cov.astype(np.int64), minlength=n_chars
+    ) > 0
+    keep_byte = ~char_covered[char_id]
+    kept = int(keep_byte.sum())
+    return bts[keep_byte].tobytes().decode("utf-8"), kept, n - kept
+
+
+def exact_substring_dedupe_bytes(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 40,
+    min_count: int = 2,
+    spread_partitions: int | None = None,
+) -> DataFrame:
+    """Byte-granular cross-document exact-substring dedup — the EXACT
+    semantics of the suffix-array ExactSubstr pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", §4;
+    RefinedWeb runs the same stage), closing the approximation contract
+    ``exact_substring_dedupe`` documents for its token-window form.
+
+    Exactness, not approximation: a byte is covered by some duplicated
+    k-byte window  ⟺  it lies inside some duplicated byte span of length
+    >= k.  (⇐) a span s with \\|s\\| >= k occurring >= min_count times
+    contains, around every one of its bytes, at least one COMPLETE k-byte
+    window lying inside s, and that window occurs wherever s occurs;
+    (⇒) a >=min_count window IS a duplicated span of length k.  So
+    stride-1 byte windows compute the identical covered set the paper's
+    suffix array yields at threshold k — the suffix array is the
+    single-node O(n log n) data structure, overlapping windows the
+    shuffle-friendly reformulation, and at byte granularity NOTHING slips
+    through (the token form's alignment caveats (a)/(b) vanish; only the
+    UTF-8 code-point widening of ``rebuild_uncovered_bytes`` remains, a
+    no-op on ASCII).  Default k=40 sits at the paper's 50-byte ballpark.
+
+    Plan: one NARROW whole-stage-codegen stage makes the window digests —
+    explode(sequence(0, len-k)) then md5(substring(bytes, off+1, k)) as a
+    plain projection (binary substring is byte-addressed; probed identical
+    to hashlib on multi-byte input) — strictly better than the token
+    form's per-doc lead() window, which needs a shuffle+sort before any
+    digest exists.  Generate + project fuse, so the document's bytes are
+    NEVER duplicated per window; only (digest, off) rows reach the
+    map-side-combinable duplicate count.  Coverage returns per doc as a
+    sorted offset array and ONE Arrow kernel rebuilds each document via
+    the linear diff-array sweep (`rebuild_uncovered_bytes`).
+
+    Returns one row per input doc: (key, text, n_bytes_kept,
+    n_bytes_dropped) — counts under the widened removal, so
+    kept + dropped == octet_length(input).
+    """
+    import pandas as pd
+
+    src = docs.select(key_col, text_col)
+    if spread_partitions is not None:
+        if spread_partitions > 0:
+            src = src.repartition(spread_partitions, key_col)
+    else:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par, key_col)
+    docs = src
+
+    b = F.encode(F.col(text_col), "utf-8")
+    wins = (
+        docs.where(F.length(b) >= k)
+        .select(
+            F.col(key_col),
+            F.explode(
+                F.sequence(F.lit(0), F.length(b) - F.lit(k))
+            ).alias("_off"),
+            b.alias("_bytes"),
+        )
+        .select(
+            key_col,
+            "_off",
+            F.md5(
+                F.substring(F.col("_bytes"), F.col("_off") + 1, F.lit(k))
+            ).alias("_digest"),
+        )
+    )
+    dup = (
+        wins.groupBy("_digest")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") >= min_count)
+    )
+    starts = (
+        wins.join(dup.select("_digest"), "_digest", "left_semi")
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_set("_off")).alias("_starts"))
+    )
+    key_ddl = docs.schema[key_col].dataType.simpleString()
+    key_dtype = (
+        "int64" if key_ddl in ("bigint", "int", "smallint", "tinyint") else object
+    )
+    joined = docs.select(key_col, text_col).join(starts, key_col, "left")
+
+    def rebuild(batches):
+        for pdf in batches:
+            keys, texts, kept_n, drop_n = [], [], [], []
+            for key, text, st in zip(
+                pdf[key_col], pdf[text_col], pdf["_starts"]
+            ):
+                out, kept, dropped = rebuild_uncovered_bytes(
+                    text, [] if st is None else list(st), k
+                )
+                keys.append(key)
+                texts.append(out)
+                kept_n.append(kept)
+                drop_n.append(dropped)
+            yield pd.DataFrame(
+                {
+                    key_col: pd.Series(keys, dtype=key_dtype),
+                    text_col: texts,
+                    "n_bytes_kept": pd.Series(kept_n, dtype="int64"),
+                    "n_bytes_dropped": pd.Series(drop_n, dtype="int64"),
+                }
+            )
+
+    return joined.mapInPandas(
+        rebuild,
+        f"{key_col} {key_ddl}, {text_col} string, "
+        "n_bytes_kept bigint, n_bytes_dropped bigint",
     )
 
 

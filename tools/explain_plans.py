@@ -1174,6 +1174,29 @@ def main() -> int:
         "Union",
     )
 
+    # T184: byte-window digests are ONE narrow codegen stage — explode of
+    # sequence + byte substring + md5 fuse (Generate), with NO per-doc
+    # window/sort anywhere in the plan (the token form T71 needs lead());
+    # the only Python stage is the Arrow rebuild
+    grab(
+        "exact_substring_bytes",
+        em.q_exact_substring_bytes(spark, sf),
+        "Generate explode",
+        "MapInPandas",
+    )
+    esb_plan = sections[-1][1]
+    checks.append(
+        ("exact_substring_bytes", "no Window operator", "Window" not in esb_plan)
+    )
+    checks.append(
+        (
+            "exact_substring_bytes",
+            "single Python stage (digests stay JVM-side)",
+            esb_plan.count("MapInPandas") == 1
+            and "BatchEvalPython" not in esb_plan,
+        )
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
