@@ -886,6 +886,7 @@ def exact_substring_dedupe_bytes(
     k: int = 40,
     min_count: int = 2,
     spread_partitions: int | None = None,
+    digest: str = "md5",
 ) -> DataFrame:
     """Byte-granular cross-document exact-substring dedup — the EXACT
     semantics of the suffix-array ExactSubstr pass of Lee et al. 2022
@@ -918,11 +919,24 @@ def exact_substring_dedupe_bytes(
     sorted offset array and ONE Arrow kernel rebuilds each document via
     the linear diff-array sweep (`rebuild_uncovered_bytes`).
 
+    Shuffle sizing at corpus scale: the digest never reaches the output
+    (it exists only for the count agg and the semi-join), so its width is
+    pure shuffle cost — ``digest="md5"`` (default) ships 16-byte binary
+    (unhex'd, half the hex-string form; 128 bits keeps the "precision is
+    exact" guarantee at any corpus size), ``digest="xxhash64"`` ships an
+    8-byte long for the 10^14-window run at the documented cost that
+    64-bit collisions (~n²/2^65 expected pairs) can over-remove a
+    colliding window's bytes — a few hundred k spurious windows at
+    10^14, zero at any test scale.
+
     Returns one row per input doc: (key, text, n_bytes_kept,
     n_bytes_dropped) — counts under the widened removal, so
     kept + dropped == octet_length(input).
     """
     import pandas as pd
+
+    if digest not in ("md5", "xxhash64"):
+        raise ValueError(f"digest must be 'md5' or 'xxhash64', got {digest!r}")
 
     src = docs.select(key_col, text_col)
     if spread_partitions is not None:
@@ -947,8 +961,18 @@ def exact_substring_dedupe_bytes(
         .select(
             key_col,
             "_off",
-            F.md5(
-                F.substring(F.col("_bytes"), F.col("_off") + 1, F.lit(k))
+            (
+                F.unhex(
+                    F.md5(
+                        F.substring(
+                            F.col("_bytes"), F.col("_off") + 1, F.lit(k)
+                        )
+                    )
+                )
+                if digest == "md5"
+                else F.xxhash64(
+                    F.substring(F.col("_bytes"), F.col("_off") + 1, F.lit(k))
+                )
             ).alias("_digest"),
         )
     )

@@ -155,6 +155,26 @@ class TestExactSubstringBytes:
             n_dropped_docs += dropped > 0
         assert n_dropped_docs > 0  # the fixture makes the pass load-bearing
 
+    def test_xxhash64_digest_path_agrees(self, spark, sf_dir):
+        """The 8-byte shuffle path (digest='xxhash64', for the 10^14-window
+        run) produces identical results to the exact 128-bit default at
+        test scale — collisions are a documented 2^-64-per-pair event, not
+        a behavior difference."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = {
+            r["doc_id"]: (r["text"], r["n_bytes_dropped"])
+            for r in exact_substring_dedupe_bytes(docs, k=K).collect()
+        }
+        b = {
+            r["doc_id"]: (r["text"], r["n_bytes_dropped"])
+            for r in exact_substring_dedupe_bytes(
+                docs, k=K, digest="xxhash64"
+            ).collect()
+        }
+        assert a == b
+        with pytest.raises(ValueError):
+            exact_substring_dedupe_bytes(docs, digest="sha1")
+
     def test_fixture_corpus_is_ascii(self, sf_dir):
         """The DuckDB oracle replays byte windows with CHARACTER substring;
         that is only valid while the fixture corpus is pure ASCII — pin it."""
