@@ -60,6 +60,20 @@ def main() -> int:
         app="oracle-check", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     con = duckdb.connect()
+    # the sf10 twins (500k docs) exceed RAM headroom when the Spark JVM is
+    # resident: an IN-MEMORY duckdb connection has no temp spill by default,
+    # so big string_agg/join twins die with bad_alloc instead of spilling.
+    # Give it a spill dir and a hard limit so the gate degrades to disk.
+    os.makedirs("/tmp/pdor_duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/pdor_duckdb_spill'")
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("CHECK_ORACLE_DUCKDB_MEM", "48GB")
+        + "'"
+    )
+    threads = os.environ.get("CHECK_ORACLE_DUCKDB_THREADS")
+    if threads:
+        con.execute(f"SET threads={int(threads)}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
