@@ -2451,6 +2451,57 @@ def q_snapshot_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T195 hidden partitioning (Iceberg partition transforms, round 5):
+    commit `documents` under the spec ``[identity(lang),
+    truncate[span/8](doc_id)]`` — partition tuples are DERIVED at write
+    time (the user never materializes a partition column; Iceberg's
+    "hidden" property), recorded per file self-described with the spec,
+    and pruned at plan time from manifest JSON alone
+    (sources/snapshots.py:_partition_prunes).  The read applies
+    ``lang == 'en' AND doc_id < lo + 0.6·span``: identity-pruning drops
+    every non-en partition, truncate-pruning drops the upper doc_id bins,
+    and the same predicate re-applies row-wise, so pruning changes cost,
+    never values (prune≡filter is also pytest-pinned with per-transform
+    unit cases in tests/test_hidden_partitioning.py).  Thresholds derive
+    from the doc_id VALUE range so selectivity is scale-stable.  DuckDB
+    twin: the plain filtered select with the same span arithmetic."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+    span = hi - lo
+    width = max(1, span // 8)
+    cut = lo + (6 * span) // 10
+    spec = [
+        {"source": "lang", "transform": "identity"},
+        {"source": "doc_id", "transform": f"truncate[{width}]"},
+    ]
+    root = f"/tmp/pdor_spark_hptable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 1
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs, root, partition_spec=spec)
+    return read_snapshot(
+        spark,
+        root,
+        snapshot_id=1,
+        filters=[("lang", "==", "en"), ("doc_id", "<", cut)],
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -6654,6 +6705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
+        "hidden_partition_scan": q_hidden_partition_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
@@ -10077,6 +10129,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 2 = 0
               AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
+        """,
+        "hidden_partition_scan": """
+            WITH rng AS (
+                SELECT min(doc_id) AS lo,
+                       max(doc_id) - min(doc_id) AS span
+                FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d, rng r
+            WHERE d.lang = 'en'
+              AND d.doc_id < r.lo + (6 * r.span) // 10
         """,
         "snapshot_mor_delete": """
             WITH rng AS (

@@ -186,37 +186,215 @@ def _file_column_stats(md) -> dict:
     return bounds
 
 
+# ---------------------------------------------------------------------
+# hidden partitioning (Iceberg partition transforms)
+#
+# A partition spec is a list of {"source": <column>, "transform": T} with
+# T in {"identity", "bucket[N]", "truncate[W]", "days"}.  Writers derive
+# the partition tuple per row (the user never materializes a partition
+# column — Iceberg's "hidden" property), the fanout writer groups rows by
+# tuple, and the manifest records each data file's tuple SELF-DESCRIBED
+# with the spec it was written under — so partition-spec evolution and
+# mixed partitioned/unpartitioned tables are safe by construction: every
+# file prunes under its own spec, files without a tuple are simply never
+# partition-pruned (conservative, like stats).
+#
+# Analogue liberty (documented divergence): Iceberg buckets with 32-bit
+# murmur3; this table buckets with crc32 over the value's canonical
+# decimal/UTF-8 string, because zlib.crc32 (planner side) and F.crc32
+# (writer side) are bit-identical without reimplementing murmur in two
+# languages.  The pruning CONTRACT is the same: bucket(literal) is
+# computable at plan time from manifest JSON alone.
+# ---------------------------------------------------------------------
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    if t == "identity" or t == "days":
+        return t, None
+    for kind in ("bucket", "truncate"):
+        if t.startswith(kind + "[") and t.endswith("]"):
+            n = int(t[len(kind) + 1 : -1])
+            if n < 1:
+                raise ValueError(f"{kind} width must be >= 1, got {n}")
+            return kind, n
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _bucket_py(value, n: int) -> int:
+    """Planner-side bucket twin of the writer expression (crc32 of the
+    canonical string form; ints use their decimal repr, matching Spark's
+    int→string cast)."""
+    import zlib
+
+    return zlib.crc32(str(value).encode("utf-8")) % n
+
+
+def _partition_write_col(entry: dict, df: DataFrame):
+    """The Spark Column computing one partition-tuple slot for *entry*."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    src, kind = entry["source"], _parse_transform(entry["transform"])
+    dt = df.schema[src].dataType
+    int_like = isinstance(dt, (IntegerType, LongType, ShortType))
+    if kind[0] == "identity":
+        if not (int_like or isinstance(dt, StringType)):
+            raise ValueError(f"identity partition needs int/string: {src}")
+        return F.col(src)
+    if kind[0] == "bucket":
+        if not (int_like or isinstance(dt, StringType)):
+            raise ValueError(f"bucket partition needs int/string: {src}")
+        return F.pmod(
+            F.crc32(F.col(src).cast("string").cast("binary")), F.lit(kind[1])
+        ).cast("int")
+    if kind[0] == "truncate":
+        if int_like:
+            return (F.col(src) - F.pmod(F.col(src), F.lit(kind[1]))).cast(
+                "long"
+            )
+        if isinstance(dt, StringType):
+            return F.substring(F.col(src), 1, kind[1])
+        raise ValueError(f"truncate partition needs int/string: {src}")
+    # days
+    if not isinstance(dt, (TimestampType, DateType)):
+        raise ValueError(f"days partition needs timestamp/date: {src}")
+    return F.date_format(F.col(src), "yyyy-MM-dd")
+
+
+def _decode_partition_value(entry: dict, raw: str):
+    """Typed partition value back from a hive-style ``_pK=<raw>`` dirname."""
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    kind, _w = _parse_transform(entry["transform"])
+    text = unquote(raw)
+    if kind == "bucket":
+        return int(text)
+    if kind in ("identity", "truncate"):
+        try:
+            return int(text)
+        except ValueError:
+            return text
+    return text  # days: "YYYY-MM-DD"
+
+
+def _day_of(value) -> str | None:
+    """Day string of a filter literal (datetime/date/ISO string)."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        return value.strftime("%Y-%m-%d")
+    if isinstance(value, _dt.date):
+        return value.isoformat()
+    if isinstance(value, str) and len(value) >= 10:
+        return value[:10]
+    return None
+
+
+def _partition_prunes(entry: dict, pval, op: str, val) -> bool:
+    """True iff NO row of a file whose tuple slot is *pval* can satisfy
+    ``col op val`` — every decision must be provable from the transform
+    alone, else keep the file (pruning is never optimistic)."""
+    if pval is None:
+        return False
+    kind, w = _parse_transform(entry["transform"])
+    if kind == "identity":
+        if type(pval) is not type(val) or isinstance(val, bool):
+            return False
+        return _PRUNE_OPS[op](pval, pval, val)
+    if kind == "bucket":
+        # only equality pins the bucket of matching rows
+        return op == "==" and _bucket_py(val, w) != pval
+    if kind == "truncate":
+        if isinstance(pval, int) and isinstance(val, int):
+            return _PRUNE_OPS[op](pval, pval + w - 1, val)
+        if isinstance(pval, str) and isinstance(val, str):
+            vprefix = val[:w]
+            if op == "==":
+                return pval != vprefix
+            if op in (">=", ">"):
+                return pval < vprefix
+            return pval > vprefix  # "<=", "<"
+        return False
+    # days: all rows lie within [pval 00:00, pval+1d)
+    vday = _day_of(val)
+    if vday is None:
+        return False
+    if op == "==":
+        return pval != vday
+    if op in (">=", ">"):
+        return pval < vday
+    return pval > vday  # "<=", "<"
+
+
 def _write_data_files(
-    df: DataFrame, root: str
-) -> tuple[list[str], int, str, dict]:
+    df: DataFrame, root: str, partition_spec: list[dict] | None = None
+) -> tuple[list[str], int, str, dict, dict]:
     """Write *df* once into immutable uniquely-named files under data/.
 
     Returns (relative file names, total rows, schema json, per-file column
-    stats).  Rows AND min/max bounds are read from the parquet footers
-    (driver-side metadata read — no second Spark job over the data).
+    stats, per-file partition tuples).  Rows AND min/max bounds are read
+    from the parquet footers (driver-side metadata read — no second Spark
+    job over the data).  With *partition_spec*, the fanout writer groups
+    rows by the derived partition tuple (``partitionBy`` on temp columns,
+    so partition keys never appear as data columns — hidden partitioning)
+    and each file's typed tuple is recorded for :func:`plan_scan`.
     """
     import pyarrow.parquet as pq
 
     commit_uuid = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f".staging-{commit_uuid}")
-    df.write.mode("overwrite").parquet(staging)
+    schema_json = df.schema.json()
+    spec = list(partition_spec or [])
+    tmp_cols = [f"_p{i}" for i in range(len(spec))]
+    if spec:
+        out = df
+        for name, entry in zip(tmp_cols, spec):
+            out = out.withColumn(name, _partition_write_col(entry, df))
+        out.write.mode("overwrite").partitionBy(*tmp_cols).parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
+    # collect (src_path, partition_values) pairs in deterministic order
+    found: list[tuple[str, list]] = []
+    for dirpath, _dirs, files in sorted(os.walk(staging)):
+        rel = os.path.relpath(dirpath, staging)
+        comps = [] if rel == "." else rel.split(os.sep)
+        values = None
+        if spec:
+            pairs = dict(c.split("=", 1) for c in comps if "=" in c)
+            if len(pairs) != len(spec):
+                continue  # not a leaf partition dir
+            values = [
+                _decode_partition_value(entry, pairs[name])
+                for name, entry in zip(tmp_cols, spec)
+            ]
+        for part in sorted(p for p in files if p.endswith(".parquet")):
+            found.append((os.path.join(dirpath, part), values))
     names: list[str] = []
     stats: dict[str, dict] = {}
+    partitions: dict[str, dict] = {}
     n_rows = 0
-    for i, part in enumerate(
-        sorted(p for p in os.listdir(staging) if p.endswith(".parquet"))
-    ):
+    for i, (src, values) in enumerate(found):
         name = f"{commit_uuid}-{i:05d}.parquet"
-        src = os.path.join(staging, part)
         md = pq.ParquetFile(src).metadata
         if md.num_rows == 0:
             continue  # empty shuffle parts are never committed (as Iceberg)
         n_rows += md.num_rows
         stats[name] = _file_column_stats(md)
+        if values is not None:
+            partitions[name] = {"spec": spec, "values": values}
         os.replace(src, os.path.join(_data_dir(root), name))
         names.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    return names, n_rows, df.schema.json(), stats
+    return names, n_rows, schema_json, stats, partitions
 
 
 def _commit(
@@ -230,6 +408,8 @@ def _commit(
     stats: dict | None = None,
     delete_files: dict[str, list[str]] | None = None,
     properties: dict | None = None,
+    partition_spec: list[dict] | None = None,
+    partitions: dict | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     manifest = {
@@ -239,6 +419,15 @@ def _commit(
         "ts": time.time(),
         "schema": json.loads(schema_json),
         "files": files,
+        # the table's CURRENT partition spec (new writes use it) and each
+        # file's tuple, self-described with the spec it was written under
+        # — spec evolution never invalidates old files' pruning
+        "partition_spec": partition_spec or [],
+        "partitions": {
+            f: (partitions or {}).get(f)
+            for f in files
+            if (partitions or {}).get(f)
+        },
         # per-file column bounds ({file: {col: [min, max]}}) — carried
         # files keep their bounds by name, so stats never require
         # re-reading a data file after its first commit
@@ -287,38 +476,61 @@ def _commit(
 
 
 def append_snapshot(
-    df: DataFrame, root: str, properties: dict | None = None
+    df: DataFrame,
+    root: str,
+    properties: dict | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> int:
     """Commit *df*'s rows as a new snapshot = parent's files + new files.
     *properties* lands in the manifest's summary (Iceberg's snapshot
-    summary map — the streaming sink records its batch id there)."""
+    summary map — the streaming sink records its batch id there).
+
+    *partition_spec* (``[{"source": col, "transform": ...}]``) sets or
+    evolves the table's hidden-partitioning spec; ``None`` inherits the
+    parent's current spec (Iceberg's default: writes use the table spec).
+    Inherited files keep their own recorded tuples — spec evolution never
+    invalidates old files' pruning."""
     init_table(root)
     parent = current_snapshot_id(root)
     if parent:
         pman = read_manifest(root, parent)
         inherited, pstats = pman["files"], pman.get("stats", {})
         pdels = pman.get("delete_files", {})
+        pparts = pman.get("partitions", {})
+        if partition_spec is None:
+            partition_spec = pman.get("partition_spec", [])
     else:
-        inherited, pstats, pdels = [], {}, {}
-    added, n_rows, schema_json, stats = _write_data_files(df, root)
+        inherited, pstats, pdels, pparts = [], {}, {}, {}
+    added, n_rows, schema_json, stats, parts = _write_data_files(
+        df, root, partition_spec
+    )
     return _commit(
         root, parent, inherited + added, added, n_rows, schema_json, "append",
         stats={**pstats, **stats},
         delete_files=pdels,  # inherited files keep their position masks
         properties=properties,
+        partition_spec=partition_spec,
+        partitions={**pparts, **parts},
     )
 
 
-def overwrite_snapshot(df: DataFrame, root: str) -> int:
+def overwrite_snapshot(
+    df: DataFrame, root: str, partition_spec: list[dict] | None = None
+) -> int:
     """Commit *df* as a new snapshot replacing ALL previous files (the
     Iceberg ``overwrite`` operation); old snapshots stay time-travelable
-    until expired."""
+    until expired.  *partition_spec* sets/evolves the hidden-partitioning
+    spec; ``None`` inherits the parent's."""
     init_table(root)
     parent = current_snapshot_id(root)
-    added, n_rows, schema_json, stats = _write_data_files(df, root)
+    if partition_spec is None and parent:
+        partition_spec = read_manifest(root, parent).get("partition_spec", [])
+    added, n_rows, schema_json, stats, parts = _write_data_files(
+        df, root, partition_spec
+    )
     return _commit(
         root, parent, added, added, n_rows, schema_json, "overwrite",
-        stats=stats,
+        stats=stats, partition_spec=partition_spec, partitions=parts,
     )
 
 
@@ -347,9 +559,12 @@ def plan_scan(
     """
     man = read_manifest(root, snapshot_id)
     stats = man.get("stats", {})
+    partitions = man.get("partitions", {})
     kept, skipped = [], []
     for f in man["files"]:
         bounds = stats.get(f, {})
+        part = partitions.get(f) or {}
+        slots = list(zip(part.get("spec", ()), part.get("values", ())))
         dead = False
         for col, op, val in filters or []:
             if op not in _PRUNE_OPS:
@@ -359,6 +574,15 @@ def plan_scan(
                 if _PRUNE_OPS[op](lo, hi, val):
                     dead = True
                     break
+            # hidden-partition pruning: each file prunes under the spec it
+            # was WRITTEN with (self-described tuple), so spec evolution
+            # and mixed partitioned/unpartitioned tables stay safe
+            if any(
+                entry["source"] == col and _partition_prunes(entry, pv, op, val)
+                for entry, pv in slots
+            ):
+                dead = True
+                break
         (skipped if dead else kept).append(f)
     return kept, skipped
 
@@ -606,6 +830,8 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
     return _commit(
         root, parent, man["files"], [], 0, json.dumps(man["schema"]),
         "delete", stats=man.get("stats", {}), delete_files=merged,
+        partition_spec=man.get("partition_spec", []),
+        partitions=man.get("partitions", {}),
     )
 
 
@@ -697,15 +923,21 @@ def merge_into(
         new_data = kept_rows.unionByName(source)
     else:
         new_data = source
-    added, n_rows, schema_json, stats = _write_data_files(new_data, root)
+    spec = man.get("partition_spec", [])
+    added, n_rows, schema_json, stats, parts = _write_data_files(
+        new_data, root, spec
+    )
     pstats = man.get("stats", {})
     pdels = man.get("delete_files", {})
+    pparts = man.get("partitions", {})
     return _commit(
         root, parent, untouched + added, added, n_rows, schema_json, "merge",
         stats={**pstats, **stats},
         # untouched files keep their position masks; rewritten files had
         # theirs applied during the delete-aware read above
         delete_files={f: pdels[f] for f in untouched if f in pdels},
+        partition_spec=spec,
+        partitions={**pparts, **parts},
     )
 
 
@@ -754,10 +986,11 @@ def rewrite_data_files(
         )
     else:
         df = df.coalesce(target_files)
-    added, n_rows, schema_json, stats = _write_data_files(df, root)
+    spec = read_manifest(root, parent).get("partition_spec", [])
+    added, n_rows, schema_json, stats, parts = _write_data_files(df, root, spec)
     return _commit(
         root, parent, added, added, n_rows, schema_json, "replace",
-        stats=stats,
+        stats=stats, partition_spec=spec, partitions=parts,
     )
 
 
