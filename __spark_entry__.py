@@ -2375,6 +2375,59 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T196 token-budget greedy corpus selection (round 5): every corpus
+    release ends with "keep the best B tokens", not "the best N rows"
+    (C4/FineWeb/DCLM publish token budgets).  Docs are ranked by an
+    exact-integer quality proxy (stopword hits per 1000 words — integer
+    `div`, so both engines order identically with doc_id as the
+    tiebreaker) and taken best-first while the INCLUSIVE running word
+    total stays within a 30%-of-corpus budget (count-derived → selectivity
+    is scale-stable).  The naive form is ``SUM(n_words) OVER (ORDER BY
+    score DESC, doc_id)`` — ONE task at corpus scale; this rides
+    operators/order.py:global_prefix_sums (range-repartition +
+    n_partitions driver scalars + one Arrow cumsum pass) and PRUNES every
+    range partition whose starting offset already meets the budget, so a
+    30% budget scans ~30% of the sorted corpus (operators/mixing.py:
+    token_budget_select).  All-integer output; the DuckDB twin replays
+    the window form."""
+    from pdf_drawing_ocr_recognition_spark.functions.text import (
+        LANG_MARKERS,
+        _marker_hits,
+        word_count,
+    )
+    from pdf_drawing_ocr_recognition_spark.operators.mixing import (
+        token_budget_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = (
+        docs.select(
+            "doc_id",
+            word_count(t).cast("long").alias("n_words"),
+            _marker_hits(t, LANG_MARKERS["en"]).alias("hits"),
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("n_words") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("(hits * 1000) div n_words")
+            ),
+        )
+        .drop("hits")
+    )
+    total = scored.agg(F.sum("n_words").alias("s")).collect()[0]["s"]
+    budget = (3 * int(total)) // 10
+    out = token_budget_select(
+        scored,
+        [F.col("score").desc(), F.col("doc_id")],
+        "n_words",
+        budget,
+        cum_col="cum_words",
+    )
+    return out.select("doc_id", "score", "n_words", "cum_words")
+
+
 def q_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T22 Iceberg-analogue time travel: commit the even-doc_id half of
     `documents` as snapshot 1, append the odd half as snapshot 2, then read
@@ -6703,6 +6756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "quota_sample": q_quota_sample,
         "snapshot_diff": q_snapshot_diff,
+        "token_budget_select": q_token_budget_select,
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "hidden_partition_scan": q_hidden_partition_scan,
@@ -10121,6 +10175,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM o_snap o FULL OUTER JOIN n_snap n ON o.doc_id = n.doc_id
             GROUP BY 1, 2
+        """,
+        "token_budget_select": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       CAST({wc} AS BIGINT) AS n_words,
+                       CAST(CASE WHEN {wc} = 0 THEN 0
+                            ELSE ({stop_hits} * 1000) // {wc} END
+                            AS BIGINT) AS score
+                FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                      FROM documents)
+            ),
+            tot AS (
+                SELECT (3 * CAST(sum(n_words) AS BIGINT)) // 10 AS budget
+                FROM scored
+            ),
+            run AS (
+                SELECT doc_id, score, n_words,
+                       sum(n_words) OVER (ORDER BY score DESC, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+                FROM scored
+            )
+            SELECT r.doc_id, r.score, r.n_words,
+                   CAST(r.cum AS BIGINT) AS cum_words
+            FROM run r, tot t
+            WHERE r.cum <= t.budget
         """,
         "snapshot_timetravel": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0

@@ -390,6 +390,42 @@ def per_group_percentiles(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    order_cols: list,
+    cost_col: str,
+    budget: int,
+    cum_col: str = "cum_cost",
+) -> DataFrame:
+    """Greedy budgeted corpus selection (T196): take rows in ``order_cols``
+    order (best-first) until the INCLUSIVE running ``cost_col`` total
+    exceeds *budget* — the "select the highest-quality B tokens" step every
+    training-data pipeline ends with (C4/FineWeb/DCLM pick a token budget,
+    not a row count).  Scalable twin of
+    ``WHERE SUM(cost) OVER (ORDER BY …) <= budget``: the unpartitioned
+    window is ONE task at corpus scale, while this rides
+    :func:`operators.order.global_prefix_sums` — range-repartition,
+    n_partitions driver scalars, one Arrow cumsum pass — AND prunes every
+    partition whose starting offset already meets the budget before that
+    pass runs (running totals are monotone, so a 30% budget scans ~30% of
+    the sorted corpus, not all of it).
+
+    ``cost_col`` must be integral, non-null, and non-negative;
+    ``order_cols`` must total-order (unique tiebreaker).  The boundary row
+    that would cross the budget is EXCLUDED (inclusive-sum ≤ budget) —
+    deterministic and replayable as plain SQL.
+    """
+    from pdf_drawing_ocr_recognition_spark.operators.order import (
+        global_prefix_sums,
+    )
+
+    budget = int(budget)
+    run = global_prefix_sums(
+        df, order_cols, cost_col, out_col=cum_col, max_total=budget
+    )
+    return run.filter(F.col(cum_col) <= F.lit(budget))
+
+
 def otsu_moments(
     df: DataFrame,
     bin_col: str,

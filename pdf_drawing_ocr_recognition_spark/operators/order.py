@@ -74,6 +74,94 @@ def global_row_numbers(
     return with_pid.mapInPandas(number, schema).drop("_pid")
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "running_total",
+    n_partitions: int | None = None,
+    max_total: int | None = None,
+) -> DataFrame:
+    """Inclusive running ``SUM(value_col)`` in ``order_cols`` order — the
+    scalable twin of ``SUM(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)``,
+    which on an unpartitioned window funnels the corpus through ONE task.
+    Same two-job range-sort shape as :func:`global_row_numbers`: the
+    per-partition SUMs come to the driver (n_partitions scalars), their
+    prefix gives each partition's starting offset, and one Arrow pass adds
+    ``offset + local cumsum``.
+
+    ``value_col`` MUST be integral and non-null: integer prefix sums are
+    exact and order-independent in the partials, so partition-sum + offset
+    reproduces the strictly-sequential fold bit-for-bit — a float column
+    would make the result depend on where range boundaries land.
+    ``order_cols`` MUST form a total order (unique tiebreaker).
+
+    With ``max_total`` set (values must also be NON-NEGATIVE — validated
+    driver-side from a per-partition MIN in the same scalars job, so the
+    check costs nothing and sees pruned partitions too), partitions whose
+    starting offset already reaches it are
+    dropped BEFORE the Arrow pass: running totals are monotone, so every
+    row there has ``cum > max_total`` provably.  That's the budgeted-
+    selection scale path — at a 30% token budget, ~70% of a sorted corpus
+    is never scanned by the numbering job.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, ShortType
+
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, (LongType, IntegerType, ShortType)):
+        raise ValueError(
+            f"global_prefix_sums needs an integral value column, "
+            f"got {value_col}: {dt.simpleString()}"
+        )
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    with_pid = part.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
+    count_rows = (
+        with_pid.groupBy("_pid")
+        .agg(
+            F.sum(F.col(value_col).cast("long")).alias("s"),
+            F.min(F.col(value_col)).alias("lo"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.col(value_col)).alias("nn"),
+        )
+        .collect()
+    )
+    for r in count_rows:
+        if r["n"] != r["nn"]:
+            raise ValueError(f"global_prefix_sums: null in {value_col}")
+        if max_total is not None and r["lo"] is not None and r["lo"] < 0:
+            raise ValueError(
+                "global_prefix_sums: max_total pruning requires "
+                f"non-negative {value_col} values"
+            )
+    sums = {r["_pid"]: int(r["s"]) for r in count_rows if r["s"] is not None}
+    offsets: dict[int, int] = {}
+    running = 0
+    for pid in sorted(sums):
+        offsets[pid] = running
+        running += sums[pid]
+    src = with_pid
+    if max_total is not None:
+        live = [pid for pid, off in offsets.items() if off < max_total]
+        src = with_pid.filter(F.col("_pid").isin(live) if live else F.lit(False))
+    schema = StructType(with_pid.schema.fields + [StructField(out_col, LongType())])
+
+    def accumulate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            vals = pdf[value_col].to_numpy().astype(np.int64)
+            cum = np.cumsum(vals)
+            pdf[out_col] = base + carry + cum
+            carry += int(cum[-1])
+            yield pdf
+
+    return src.mapInPandas(accumulate, schema).drop("_pid")
+
+
 def grouped_row_numbers(
     df: DataFrame,
     group_cols: list[str],

@@ -494,6 +494,23 @@ def main() -> int:
             "Window" not in sc_plan,
         )
     )
+    # token-budget selection (round 5): the running-total is the
+    # global_prefix_sums machinery (range repartition + Arrow cumsum) —
+    # NO unpartitioned Window (one task at corpus scale); budget-dead
+    # range partitions are pruned before the cumsum pass.
+    grab(
+        "token_budget_select",
+        em.q_token_budget_select(spark, sf),
+        "MapInPandas",
+    )
+    tb_plan = sections[-1][1]
+    checks.append(
+        (
+            "token_budget_select",
+            "no unpartitioned Window (prefix-sum offsets instead)",
+            "Window" not in tb_plan,
+        )
+    )
     # classifier inference: broadcast 256-row weight dim, partial agg
     grab(
         "quality_classifier_scores",
