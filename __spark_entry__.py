@@ -2555,6 +2555,66 @@ def q_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T197 schema evolution with field-id column mapping (round 5): build
+    a snapshot table through the FULL evolution gauntlet — append the even
+    docs as (doc_id, flag int, score int, lang), then three metadata-only
+    commits (rename lang→language + widen score int→long; drop flag;
+    re-add flag int + add tokens long), then append the odd docs already
+    at the evolved shape — and read the final table.  A hash match proves
+    all four resolutions at once: the renamed column resolves in pre-rename
+    files BY FIELD ID (not name), the widened column casts int files up to
+    long, the re-added flag reads NULL for even docs although their data
+    files physically CONTAIN the dropped flag values (no-resurrection — a
+    by-name reader would leak 0/1 back), and the added tokens is NULL
+    exactly on pre-evolution rows.  No data file is rewritten at any step
+    (sources/snapshots.py:evolve_schema is metadata-only; pytest pins the
+    file list).  DuckDB twin: the two-branch union with NULLs on the even
+    branch."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        evolve_schema,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_evotable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 5
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        even = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            (F.col("doc_id") % 5).cast("int").alias("flag"),
+            F.col("n_chars").cast("int").alias("score"),
+            "lang",
+        )
+        append_snapshot(even.repartition(4), root)  # snap 1
+        evolve_schema(
+            root, rename={"lang": "language"}, widen={"score": "long"}
+        )  # snap 2
+        evolve_schema(root, drop=["flag"])  # snap 3
+        evolve_schema(
+            root, add=[("flag", "int"), ("tokens", "long")]
+        )  # snap 4
+        odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("score"),
+            F.col("lang").alias("language"),
+            (F.col("doc_id") % 7).cast("int").alias("flag"),
+            (F.col("n_chars") * 2).cast("long").alias("tokens"),
+        )
+        append_snapshot(odd.repartition(4), root)  # snap 5
+    return read_snapshot(spark, root).select(
+        "doc_id", "score", "language", "flag", "tokens"
+    )
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -6760,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_timetravel": q_snapshot_timetravel,
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "hidden_partition_scan": q_hidden_partition_scan,
+        "schema_evolution_scan": q_schema_evolution_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
@@ -10219,6 +10280,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d, rng r
             WHERE d.lang = 'en'
               AND d.doc_id < r.lo + (6 * r.span) // 10
+        """,
+        "schema_evolution_scan": """
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS score,
+                   lang AS language,
+                   CAST(NULL AS INTEGER) AS flag,
+                   CAST(NULL AS BIGINT) AS tokens
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS score,
+                   lang AS language,
+                   CAST(doc_id % 7 AS INTEGER) AS flag,
+                   CAST(n_chars * 2 AS BIGINT) AS tokens
+            FROM documents WHERE doc_id % 2 = 1
         """,
         "snapshot_mor_delete": """
             WITH rng AS (

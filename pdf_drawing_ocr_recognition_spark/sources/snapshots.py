@@ -140,6 +140,186 @@ def snapshot_log(root: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution — Iceberg's field-id column mapping (round 5, 3rd sitting).
+#
+# Every column owns a permanent integer FIELD ID, assigned once and never
+# reused.  Manifests carry a schema log (``schemas``: id → field list), the
+# logical read schema (``current_schema_id``), and each data file's PHYSICAL
+# schema (``file_schemas``: file → schema id — the shape the file was
+# actually written with).  Reads resolve columns per file BY ID, never by
+# name or position, which is exactly what makes the Iceberg guarantees hold:
+#
+# * rename is metadata-only — old files still resolve (the id is unchanged);
+# * drop + re-add the same NAME yields a NEW id, so rows written before the
+#   drop read NULL — the old values can never resurrect;
+# * int→long / float→double widening casts per file group at read time, so
+#   pre-widen files stay valid without rewrite.
+#
+# Manifests written before this feature carry only the legacy ``schema``
+# key; ids are synthesized positionally (Iceberg's own rule when importing
+# id-less files) and every file maps to that one schema — byte-identical
+# behavior to the pre-feature reader.
+# ---------------------------------------------------------------------------
+
+# safe type promotions (narrow → wide), as Iceberg's primitive widening
+_SAFE_WIDEN = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
+
+
+def _widens_to(narrow, wide) -> bool:
+    return (
+        isinstance(narrow, str)
+        and isinstance(wide, str)
+        and (narrow, wide) in _SAFE_WIDEN
+    )
+
+
+def _norm_field(sf: dict, field_id: int) -> dict:
+    """A stored schema-log field: id + name + type json, nullability
+    normalized to True (files mix nullable flags freely across writes;
+    the logical schema is always nullable, as evolution can introduce
+    NULLs into any column's history)."""
+    return {
+        "id": field_id,
+        "name": sf["name"],
+        "type": sf["type"],
+        "nullable": True,
+        "metadata": {},
+    }
+
+
+def _struct_of(fields: list[dict]) -> StructType:
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {k: v for k, v in f.items() if k != "id"} for f in fields
+            ],
+        }
+    )
+
+
+def _schema_meta(
+    man: dict,
+) -> tuple[dict[int, list[dict]], int, dict[str, int], int]:
+    """The manifest's schema log as (schemas, current_schema_id,
+    file_schemas, last_field_id), synthesizing positional ids for legacy
+    manifests that predate field-id support."""
+    if "schemas" in man:
+        return (
+            {int(k): v for k, v in man["schemas"].items()},
+            int(man["current_schema_id"]),
+            dict(man.get("file_schemas", {})),
+            int(man["last_field_id"]),
+        )
+    fields = [
+        _norm_field(f, i + 1) for i, f in enumerate(man["schema"]["fields"])
+    ]
+    return {0: fields}, 0, {f: 0 for f in man["files"]}, len(fields)
+
+
+def _intern_schema(schemas: dict[int, list[dict]], fields: list[dict]) -> int:
+    """Return the id of *fields* in the log, appending it if new."""
+    for sid, fl in schemas.items():
+        if fl == fields:
+            return sid
+    sid = max(schemas) + 1 if schemas else 0
+    schemas[sid] = fields
+    return sid
+
+
+def _merge_write_schema(
+    schemas: dict[int, list[dict]],
+    cur_id: int,
+    last_id: int,
+    df_schema: StructType,
+) -> tuple[dict[int, list[dict]], int, int, int]:
+    """Reconcile an incoming write's schema with the table's current one
+    (Iceberg's implicit by-name evolution, like Spark's mergeSchema):
+
+    * same name, same type → field keeps its id;
+    * same name, write NARROWER → allowed; the file records its narrow
+      physical type, reads cast up to the logical type;
+    * same name, write WIDER → the logical type widens (int→long,
+      float→double); earlier files keep their physical type, cast on read;
+    * new name → new field id appended to the logical schema (earlier
+      files read NULL for it);
+    * logical column absent from the write → stays logical (this write's
+      rows read NULL for it);
+    * same name, incompatible type → error.
+
+    Returns (schemas, current_schema_id, file_schema_id, last_field_id).
+    """
+    cur_fields = schemas[cur_id]
+    by_name = {f["name"]: f for f in cur_fields}
+    logical = [dict(f) for f in cur_fields]
+    file_fields: list[dict] = []
+    for sf in json.loads(df_schema.json())["fields"]:
+        name, wtype = sf["name"], sf["type"]
+        cf = by_name.get(name)
+        if cf is None:
+            last_id += 1
+            file_fields.append(_norm_field(sf, last_id))
+            logical.append(_norm_field(sf, last_id))
+        elif cf["type"] == wtype or _widens_to(wtype, cf["type"]):
+            file_fields.append(_norm_field(sf, cf["id"]))
+        elif _widens_to(cf["type"], wtype):
+            file_fields.append(_norm_field(sf, cf["id"]))
+            for lf in logical:
+                if lf["id"] == cf["id"]:
+                    lf["type"] = wtype
+        else:
+            raise ValueError(
+                f"column {name!r}: write type {wtype!r} is incompatible "
+                f"with table type {cf['type']!r} (only int→long / "
+                f"float→double widening is supported)"
+            )
+    schemas = dict(schemas)
+    new_cur = cur_id if logical == cur_fields else _intern_schema(
+        schemas, logical
+    )
+    file_sid = _intern_schema(schemas, file_fields)
+    return schemas, new_cur, file_sid, last_id
+
+
+def _project_group(df: DataFrame, cur_fields, file_fields, extra_cols=()):
+    """Project one file group's physical columns onto the logical schema:
+    resolve by field id, cast widened types, NULL-fill fields the group's
+    files predate.  A group already at the logical schema projects to bare
+    column references — the plan stays a plain pruned scan."""
+    from pyspark.sql import functions as F
+
+    by_id = {f["id"]: f for f in file_fields}
+    cols = []
+    for lf in cur_fields:
+        dt = _struct_of([lf]).fields[0].dataType
+        pf = by_id.get(lf["id"])
+        if pf is None:
+            cols.append(F.lit(None).cast(dt).alias(lf["name"]))
+        elif pf["name"] == lf["name"] and pf["type"] == lf["type"]:
+            cols.append(F.col(lf["name"]))
+        else:
+            cols.append(F.col(pf["name"]).cast(dt).alias(lf["name"]))
+    cols.extend(F.col(c) for c in extra_cols)
+    return df.select(*cols)
+
+
+def _file_projection(man: dict, fname: str) -> list[tuple[str | None, str]]:
+    """Per-file (physical_name | None, logical_name) pairs for the Arrow
+    merge-read path — the same id-based resolution as :func:`_project_group`
+    but serializable into a task tuple."""
+    schemas, cur_id, file_schemas, _ = _schema_meta(man)
+    by_id = {
+        f["id"]: f["name"] for f in schemas[file_schemas.get(fname, cur_id)]
+    }
+    return [(by_id.get(lf["id"]), lf["name"]) for lf in schemas[cur_id]]
+
+
 # manifest column stats: strings above this length are not recorded (a
 # truncated max is not a valid upper bound; Iceberg truncates+increments,
 # we simply skip — pruning on long text columns is not a real workload)
@@ -410,8 +590,26 @@ def _commit(
     properties: dict | None = None,
     partition_spec: list[dict] | None = None,
     partitions: dict | None = None,
+    schemas: dict[int, list[dict]] | None = None,
+    current_schema_id: int | None = None,
+    file_schemas: dict[str, int] | None = None,
+    last_field_id: int | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
+    schema_meta = {}
+    if schemas is not None:
+        # field-id schema log: full log (ids are permanent, never reused),
+        # the logical read schema, and each file's PHYSICAL write schema
+        schema_meta = {
+            "schemas": {str(k): v for k, v in schemas.items()},
+            "current_schema_id": current_schema_id,
+            "file_schemas": {
+                f: (file_schemas or {}).get(f)
+                for f in files
+                if (file_schemas or {}).get(f) is not None
+            },
+            "last_field_id": last_field_id,
+        }
     manifest = {
         "snapshot_id": new_id,
         "parent_id": parent,
@@ -445,6 +643,7 @@ def _commit(
                     # snapshot summary properties (Iceberg's summary map) —
                     # e.g. the streaming sink's exactly-once batch id
                     **({"properties": properties} if properties else {})},
+        **schema_meta,
     }
     path = _manifest_path(root, new_id)
     # write the COMPLETE manifest to a temp name, fsync, then hardlink to
@@ -499,18 +698,32 @@ def append_snapshot(
         pparts = pman.get("partitions", {})
         if partition_spec is None:
             partition_spec = pman.get("partition_spec", [])
+        schemas, cur_sid, file_sids, last_fid = _schema_meta(pman)
+        schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+            schemas, cur_sid, last_fid, df.schema
+        )
     else:
         inherited, pstats, pdels, pparts = [], {}, {}, {}
-    added, n_rows, schema_json, stats, parts = _write_data_files(
+        fields = [
+            _norm_field(f, i + 1)
+            for i, f in enumerate(json.loads(df.schema.json())["fields"])
+        ]
+        schemas, cur_sid, file_sids = {0: fields}, 0, {}
+        file_sid, last_fid = 0, len(fields)
+    added, n_rows, _schema_json, stats, parts = _write_data_files(
         df, root, partition_spec
     )
+    file_sids.update({f: file_sid for f in added})
     return _commit(
-        root, parent, inherited + added, added, n_rows, schema_json, "append",
+        root, parent, inherited + added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "append",
         stats={**pstats, **stats},
         delete_files=pdels,  # inherited files keep their position masks
         properties=properties,
         partition_spec=partition_spec,
         partitions={**pparts, **parts},
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
     )
 
 
@@ -523,14 +736,150 @@ def overwrite_snapshot(
     spec; ``None`` inherits the parent's."""
     init_table(root)
     parent = current_snapshot_id(root)
-    if partition_spec is None and parent:
-        partition_spec = read_manifest(root, parent).get("partition_spec", [])
-    added, n_rows, schema_json, stats, parts = _write_data_files(
+    if parent:
+        pman = read_manifest(root, parent)
+        if partition_spec is None:
+            partition_spec = pman.get("partition_spec", [])
+        schemas, pcur, _fs, last_fid = _schema_meta(pman)
+        # overwrite REPLACES the logical schema with the write's: same-name
+        # compatible columns keep their field id (renames/widens survive a
+        # replace), anything else is a brand-new field
+        by_name = {f["name"]: f for f in schemas[pcur]}
+        fields = []
+        for sf in json.loads(df.schema.json())["fields"]:
+            cf = by_name.get(sf["name"])
+            if cf is not None and (
+                cf["type"] == sf["type"]
+                or _widens_to(sf["type"], cf["type"])
+                or _widens_to(cf["type"], sf["type"])
+            ):
+                fields.append(_norm_field(sf, cf["id"]))
+            else:
+                last_fid += 1
+                fields.append(_norm_field(sf, last_fid))
+        schemas = dict(schemas)
+        cur_sid = _intern_schema(schemas, fields)
+    else:
+        fields = [
+            _norm_field(f, i + 1)
+            for i, f in enumerate(json.loads(df.schema.json())["fields"])
+        ]
+        schemas, cur_sid, last_fid = {0: fields}, 0, len(fields)
+    added, n_rows, _schema_json, stats, parts = _write_data_files(
         df, root, partition_spec
     )
     return _commit(
-        root, parent, added, added, n_rows, schema_json, "overwrite",
+        root, parent, added, added, n_rows,
+        json.dumps(_struct_of(fields).jsonValue()), "overwrite",
         stats=stats, partition_spec=partition_spec, partitions=parts,
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas={f: cur_sid for f in added}, last_field_id=last_fid,
+    )
+
+
+def table_schema(root: str, snapshot_id: int | None = None) -> list[dict]:
+    """The logical schema as of *snapshot_id* (default current): a list of
+    ``{"id", "name", "type", ...}`` fields — ids are Iceberg field ids,
+    permanent and never reused."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+    if sid is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, sid)
+    schemas, cur_sid, _fs, _last = _schema_meta(man)
+    return [dict(f) for f in schemas[cur_sid]]
+
+
+def evolve_schema(
+    root: str,
+    *,
+    add: list[tuple[str, str]] = (),
+    drop: list[str] = (),
+    rename: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
+) -> int:
+    """Iceberg schema evolution (``ALTER TABLE``) as a METADATA-ONLY commit
+    — no data file is read or rewritten, at any table size.
+
+    Operations apply in the order rename → widen → drop → add, each
+    resolving names against the schema as the previous step left it:
+
+    * ``rename={"old": "new"}`` — the field keeps its id, so every
+      existing file still resolves (reads are by id, never by name);
+    * ``widen={"col": "long"}`` — int→long / float→double (and byte/short
+      upward); old files keep their physical type and cast at read time;
+    * ``drop=["col"]`` — the field id is retired, NEVER reused;
+    * ``add=[("col", "type")]`` — a NEW field id; existing rows read NULL.
+      Re-adding a dropped column's name therefore can never resurrect the
+      old values (the old id stays dropped) — Iceberg's core evolution
+      guarantee, pinned in tests/test_schema_evolution.py.
+
+    A rename also rewrites the CURRENT hidden-partition spec's source
+    names (per-file tuples keep their self-described write-time spec, and
+    pruning translates through the field id).  Returns the new snapshot id
+    (operation ``alter-schema``); a no-op call returns the parent id.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    fields = [dict(f) for f in schemas[cur_sid]]
+
+    def find(name: str) -> dict:
+        for f in fields:
+            if f["name"] == name:
+                return f
+        raise ValueError(f"no column {name!r} in the current schema")
+
+    for old, new in (rename or {}).items():
+        f = find(old)
+        if any(g["name"] == new and g is not f for g in fields):
+            raise ValueError(f"rename target {new!r} already exists")
+        f["name"] = new
+    for name, t in (widen or {}).items():
+        f = find(name)
+        tj = _parse_datatype_string(t).jsonValue()
+        if f["type"] == tj:
+            continue
+        if not _widens_to(f["type"], tj):
+            raise ValueError(
+                f"cannot widen {name!r} from {f['type']!r} to {tj!r} — only "
+                f"int→long / float→double (and byte/short upward) promote"
+            )
+        f["type"] = tj
+    for name in drop:
+        find(name)
+        fields = [f for f in fields if f["name"] != name]
+    if not fields:
+        raise ValueError("cannot drop every column")
+    for name, t in add:
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        last_fid += 1
+        fields.append(
+            _norm_field(
+                {"name": name, "type": _parse_datatype_string(t).jsonValue()},
+                last_fid,
+            )
+        )
+    if fields == schemas[cur_sid]:
+        return parent  # no-op evolution commits nothing (as Iceberg)
+    schemas = dict(schemas)
+    new_cur = _intern_schema(schemas, fields)
+    spec = [dict(e) for e in man.get("partition_spec", [])]
+    for e in spec:
+        e["source"] = (rename or {}).get(e["source"], e["source"])
+    return _commit(
+        root, parent, man["files"], [], 0,
+        json.dumps(_struct_of(fields).jsonValue()), "alter-schema",
+        stats=man.get("stats", {}),
+        delete_files=man.get("delete_files", {}),
+        partition_spec=spec,
+        partitions=man.get("partitions", {}),
+        schemas=schemas, current_schema_id=new_cur,
+        file_schemas=file_sids, last_field_id=last_fid,
     )
 
 
@@ -560,17 +909,32 @@ def plan_scan(
     man = read_manifest(root, snapshot_id)
     stats = man.get("stats", {})
     partitions = man.get("partitions", {})
+    schemas, cur_sid, file_sids, _ = _schema_meta(man)
+    cur_ids = {f["name"]: f["id"] for f in schemas[cur_sid]}
     kept, skipped = [], []
     for f in man["files"]:
         bounds = stats.get(f, {})
         part = partitions.get(f) or {}
         slots = list(zip(part.get("spec", ()), part.get("values", ())))
+        # stats and partition tuples are recorded under the file's
+        # WRITE-TIME column names; resolve today's filter names through
+        # the field id to the name this file was written with (rename-safe)
+        by_id = {
+            fd["id"]: fd["name"] for fd in schemas[file_sids.get(f, cur_sid)]
+        }
         dead = False
         for col, op, val in filters or []:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
-            if col in bounds:
-                lo, hi = bounds[col]
+            fid = cur_ids.get(col)
+            pname = by_id.get(fid, col) if fid is not None else col
+            if fid is not None and fid not in by_id:
+                # the file predates the column: every row reads NULL and
+                # NULL satisfies no comparison — provably dead
+                dead = True
+                break
+            if pname in bounds:
+                lo, hi = bounds[pname]
                 if _PRUNE_OPS[op](lo, hi, val):
                     dead = True
                     break
@@ -578,7 +942,8 @@ def plan_scan(
             # was WRITTEN with (self-described tuple), so spec evolution
             # and mixed partitioned/unpartitioned tables stay safe
             if any(
-                entry["source"] == col and _partition_prunes(entry, pv, op, val)
+                entry["source"] == pname
+                and _partition_prunes(entry, pv, op, val)
                 for entry, pv in slots
             ):
                 dead = True
@@ -611,44 +976,64 @@ def _merge_read(
     files: list[str],
     dels: dict[str, list[str]],
     file_col: str | None = None,
+    projs: dict[str, list] | None = None,
 ) -> DataFrame:
     """Arrow merge-read for data files carrying position deletes: each task
     opens ITS data file (executor-side, as Iceberg readers do), masks the
     deleted positions, and emits the surviving rows.  Work is distributed
     over the FILE list — driver traffic is file names only.  Files without
-    deletes never take this path (they keep the vectorized parquet scan)."""
+    deletes never take this path (they keep the vectorized parquet scan).
+
+    *projs* carries each file's field-id projection (physical name → the
+    logical schema; None = the file predates the field and reads NULL), so
+    schema evolution — rename/widen/add — resolves identically on this path
+    and the vectorized one."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
     data_dir = _data_dir(root)
-    tasks = [(f, json.dumps(dels[f])) for f in files]
-    n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
-    plan = spark.createDataFrame(tasks, "file string, dels string").repartition(
-        n_parts, "file"
-    )
     names = [f.name for f in schema.fields]
+    projs = projs or {}
+    tasks = [
+        (
+            f,
+            json.dumps(dels[f]),
+            json.dumps(projs.get(f, [(n, n) for n in names])),
+        )
+        for f in files
+    ]
+    n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    plan = spark.createDataFrame(
+        tasks, "file string, dels string, proj string"
+    ).repartition(n_parts, "file")
     out_schema = StructType(list(schema.fields))
     if file_col is not None:
         out_schema = out_schema.add(file_col, StringType())
 
     def scan(batches):
         import numpy as np
+        import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         for pdf in batches:
-            for fname, dels_json in zip(pdf["file"], pdf["dels"]):
-                tab = pq.read_table(os.path.join(data_dir, fname))
+            for fname, dels_json, proj_json in zip(
+                pdf["file"], pdf["dels"], pdf["proj"]
+            ):
+                proj = json.loads(proj_json)
+                phys = [pn for pn, _ln in proj if pn is not None]
+                tab = pq.read_table(
+                    os.path.join(data_dir, fname), columns=phys
+                )
                 dead = _deleted_positions(data_dir, json.loads(dels_json))
                 if dead.size:
                     keep = np.ones(tab.num_rows, dtype=bool)
                     keep[dead[dead < tab.num_rows]] = False
                     tab = tab.filter(pa.array(keep))
-                out = tab.to_pandas()
-                for name in names:
-                    if name not in out.columns:
-                        out[name] = None
-                out = out[names]
+                raw = tab.to_pandas()
+                out = pd.DataFrame(index=raw.index)
+                for pn, ln in proj:
+                    out[ln] = raw[pn] if pn is not None else None
                 if file_col is not None:
                     out[file_col] = fname
                 yield out
@@ -699,17 +1084,36 @@ def read_snapshot(
     dels = man.get("delete_files", {})
     clean = [f for f in files if f not in dels]
     dirty = [f for f in files if f in dels]
+    schemas, cur_sid, file_sids, _ = _schema_meta(man)
+    cur_fields = schemas[cur_sid]
     parts: list[DataFrame] = []
     if clean:
-        paths = [os.path.join(_data_dir(root), f) for f in clean]
-        df = spark.read.schema(schema).parquet(*paths)
-        if _file_col is not None:
-            df = df.withColumn(
-                _file_col, F.element_at(F.split(F.input_file_name(), "/"), -1)
-            )
-        parts.append(df)
+        # group files by their PHYSICAL write schema; each group scans with
+        # its own parquet schema and projects onto the logical one by field
+        # id (rename/widen/add resolve here) — a group already at the
+        # logical schema projects to bare column refs, keeping the plain
+        # vectorized scan
+        groups: dict[int, list[str]] = {}
+        for f in clean:
+            groups.setdefault(file_sids.get(f, cur_sid), []).append(f)
+        for sid in sorted(groups):
+            paths = [os.path.join(_data_dir(root), f) for f in groups[sid]]
+            df = spark.read.schema(_struct_of(schemas[sid])).parquet(*paths)
+            extra = ()
+            if _file_col is not None:
+                df = df.withColumn(
+                    _file_col,
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                extra = (_file_col,)
+            parts.append(_project_group(df, cur_fields, schemas[sid], extra))
     if dirty:
-        parts.append(_merge_read(spark, root, schema, dirty, dels, _file_col))
+        parts.append(
+            _merge_read(
+                spark, root, schema, dirty, dels, _file_col,
+                projs={f: _file_projection(man, f) for f in dirty},
+            )
+        )
     if not parts:
         out_schema = StructType(list(schema.fields))
         if _file_col is not None:
@@ -764,17 +1168,31 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
     new_dels: dict[str, list[str]] = {}
     if candidates:
         data_dir = _data_dir(root)
+        # resolve each candidate file's PHYSICAL names for the filtered
+        # columns through the field ids (rename-safe); plan_scan already
+        # dropped files that predate a filtered column (NULL never matches)
+        schemas, cur_sid, file_sids, _ = _schema_meta(man)
+        cur_ids = {f["name"]: f["id"] for f in schemas[cur_sid]}
+        filter_cols = sorted({c for c, _o, _v in filters})
+
+        def colmap(fname: str) -> dict[str, str]:
+            by_id = {
+                fd["id"]: fd["name"]
+                for fd in schemas[file_sids.get(fname, cur_sid)]
+            }
+            return {c: by_id[cur_ids[c]] for c in filter_cols}
+
         tasks = [
-            (f, json.dumps(existing.get(f, []))) for f in sorted(candidates)
+            (f, json.dumps(existing.get(f, [])), json.dumps(colmap(f)))
+            for f in sorted(candidates)
         ]
         n_parts = max(
             1, min(len(tasks), spark.sparkContext.defaultParallelism)
         )
         plan = spark.createDataFrame(
-            tasks, "file string, dels string"
+            tasks, "file string, dels string, cols string"
         ).repartition(n_parts, "file")
         flt = list(filters)
-        filter_cols = sorted({c for c, _o, _v in flt})
 
         def find_positions(batches):
             import numpy as np
@@ -790,14 +1208,18 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
                 "<": lambda s, v: s < v,
             }
             for pdf in batches:
-                for fname, dels_json in zip(pdf["file"], pdf["dels"]):
+                for fname, dels_json, cols_json in zip(
+                    pdf["file"], pdf["dels"], pdf["cols"]
+                ):
+                    cmap = json.loads(cols_json)
                     tab = pq.read_table(
-                        os.path.join(data_dir, fname), columns=filter_cols
+                        os.path.join(data_dir, fname),
+                        columns=sorted(set(cmap.values())),
                     )
                     frame = tab.to_pandas()
                     mask = np.ones(len(frame), dtype=bool)
                     for c, op, v in flt:
-                        mask &= ops[op](frame[c], v).to_numpy(dtype=bool)
+                        mask &= ops[op](frame[cmap[c]], v).to_numpy(dtype=bool)
                     pos = np.flatnonzero(mask).astype(np.int64)
                     dead = _deleted_positions(data_dir, json.loads(dels_json))
                     if dead.size:
@@ -827,11 +1249,14 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
         f: existing.get(f, []) + new_dels.get(f, [])
         for f in set(existing) | set(new_dels)
     }
+    pschemas, pcur, pfsids, plast = _schema_meta(man)
     return _commit(
         root, parent, man["files"], [], 0, json.dumps(man["schema"]),
         "delete", stats=man.get("stats", {}), delete_files=merged,
         partition_spec=man.get("partition_spec", []),
         partitions=man.get("partitions", {}),
+        schemas=pschemas, current_schema_id=pcur,
+        file_schemas=pfsids, last_field_id=plast,
     )
 
 
@@ -857,7 +1282,9 @@ def read_appends_between(
     sid = to_id
     while sid > from_id:
         man = read_manifest(root, sid)
-        if man["operation"] != "append":
+        # metadata-only schema commits add no files, so an appends-only
+        # range may cross them (Iceberg's incremental read does the same)
+        if man["operation"] not in ("append", "alter-schema"):
             raise ValueError(
                 f"snapshot {sid} is '{man['operation']}' — incremental "
                 f"append reads are only defined across append commits"
@@ -870,8 +1297,22 @@ def read_appends_between(
     schema = StructType.fromJson(man_to["schema"])
     if not new_files:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(_data_dir(root), f) for f in new_files]
-    return spark.read.schema(schema).parquet(*paths)
+    # group by physical write schema and project by field id, exactly as
+    # read_snapshot's clean path — an incremental consumer sees the delta
+    # under *to_id*'s logical schema even across renames/widens
+    schemas, cur_sid, file_sids, _ = _schema_meta(man_to)
+    groups: dict[int, list[str]] = {}
+    for f in new_files:
+        groups.setdefault(file_sids.get(f, cur_sid), []).append(f)
+    parts = []
+    for sid in sorted(groups):
+        paths = [os.path.join(_data_dir(root), f) for f in groups[sid]]
+        df = spark.read.schema(_struct_of(schemas[sid])).parquet(*paths)
+        parts.append(_project_group(df, schemas[cur_sid], schemas[sid]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def merge_into(
@@ -924,20 +1365,32 @@ def merge_into(
     else:
         new_data = source
     spec = man.get("partition_spec", [])
-    added, n_rows, schema_json, stats, parts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts = _write_data_files(
         new_data, root, spec
     )
     pstats = man.get("stats", {})
     pdels = man.get("delete_files", {})
     pparts = man.get("partitions", {})
+    # rewritten rows came through the logical projection, so added files
+    # are physically AT the logical schema (modulo union type coercion,
+    # reconciled by id through the usual write-schema merge)
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+        schemas, cur_sid, last_fid, new_data.schema
+    )
+    file_sids = {f: file_sids[f] for f in untouched if f in file_sids}
+    file_sids.update({f: file_sid for f in added})
     return _commit(
-        root, parent, untouched + added, added, n_rows, schema_json, "merge",
+        root, parent, untouched + added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "merge",
         stats={**pstats, **stats},
         # untouched files keep their position masks; rewritten files had
         # theirs applied during the delete-aware read above
         delete_files={f: pdels[f] for f in untouched if f in pdels},
         partition_spec=spec,
         partitions={**pparts, **parts},
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
     )
 
 
@@ -986,11 +1439,21 @@ def rewrite_data_files(
         )
     else:
         df = df.coalesce(target_files)
-    spec = read_manifest(root, parent).get("partition_spec", [])
-    added, n_rows, schema_json, stats, parts = _write_data_files(df, root, spec)
+    pman = read_manifest(root, parent)
+    spec = pman.get("partition_spec", [])
+    added, n_rows, _schema_json, stats, parts = _write_data_files(
+        df, root, spec
+    )
+    schemas, cur_sid, _fs, last_fid = _schema_meta(pman)
+    schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+        schemas, cur_sid, last_fid, df.schema
+    )
     return _commit(
-        root, parent, added, added, n_rows, schema_json, "replace",
+        root, parent, added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "replace",
         stats=stats, partition_spec=spec, partitions=parts,
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas={f: file_sid for f in added}, last_field_id=last_fid,
     )
 
 
