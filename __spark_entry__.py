@@ -2615,6 +2615,93 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T198 metadata tables (Iceberg's inspection surface, round 5): build
+    a three-commit table — append the even docs, append the odd docs, one
+    metadata-only alter — and read its ``snapshots`` METADATA table
+    (sources/metadata_tables.py): per-commit operation, added_rows, and
+    total_data_rows (the running sum of per-file record counts, which the
+    manifests now carry Iceberg-style — harvested from the same parquet
+    footer read as the column bounds, inherited by name, never re-read).
+    Everything comes from manifest JSON alone: no data file is opened to
+    answer this query at ANY table size (the 10⁶-file property).  The
+    DuckDB twin replays the three commit counters from doc_id parity.
+    added_files/timestamps are excluded (shuffle- and clock-dependent);
+    they are pytest-pinned instead (tests/test_metadata_consumers.py)."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.metadata_tables import (
+        metadata_snapshots,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        evolve_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = f"/tmp/pdor_spark_metatable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 3
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+        evolve_schema(root, add=[("quality", "double")])
+    return metadata_snapshots(spark, root).select(
+        "snapshot_id", "operation", "added_rows", "total_data_rows"
+    )
+
+
+def q_consumer_tail_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T199 consumer-group offsets (tail-the-table, round 5): a named
+    consumer bootstraps on a one-append table (acking snapshot 1 = the
+    even docs), then two more appends land (odd docs split at the doc_id
+    midpoint) and an alter-schema commit; the consumer's next_appends
+    returns EXACTLY the rows of snapshots 2-3 — planned from manifest JSON
+    (the delta scan reads only the added files), projected onto the
+    current logical schema, offset untouched until ack (at-least-once; the
+    query calls next_appends twice and returns the SECOND result to prove
+    the unacked replay is byte-identical).  DuckDB twin: the odd docs."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.consumer_offsets import (
+        ack,
+        next_appends,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        evolve_schema,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    mid = (int(rng["lo"]) + int(rng["hi"])) // 2
+    root = f"/tmp/pdor_spark_tailtable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 4
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+        _f, to_id, _df = next_appends(spark, root, "tailer")
+        ack(root, "tailer", to_id)  # bootstrap consumed the even docs
+        append_snapshot(odd.filter(F.col("doc_id") <= mid), root)
+        append_snapshot(odd.filter(F.col("doc_id") > mid), root)
+        evolve_schema(root, add=[("quality", "double")])
+    first = next_appends(spark, root, "tailer")
+    assert first is not None and first[0] == 1 and first[1] == 4
+    _from_id, _to_id, delta = next_appends(spark, root, "tailer")
+    return delta.select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -6821,6 +6908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_scan": q_snapshot_pruned_scan,
         "hidden_partition_scan": q_hidden_partition_scan,
         "schema_evolution_scan": q_schema_evolution_scan,
+        "snapshot_metadata_audit": q_snapshot_metadata_audit,
+        "consumer_tail_delta": q_consumer_tail_delta,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
@@ -10295,6 +10384,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 7 AS INTEGER) AS flag,
                    CAST(n_chars * 2 AS BIGINT) AS tokens
             FROM documents WHERE doc_id % 2 = 1
+        """,
+        "snapshot_metadata_audit": """
+            WITH c AS (
+                SELECT count(*) FILTER (WHERE doc_id % 2 = 0) AS ce,
+                       count(*) FILTER (WHERE doc_id % 2 = 1) AS co
+                FROM documents
+            )
+            SELECT CAST(1 AS BIGINT) AS snapshot_id,
+                   'append' AS operation,
+                   CAST(ce AS BIGINT) AS added_rows,
+                   CAST(ce AS BIGINT) AS total_data_rows
+            FROM c
+            UNION ALL
+            SELECT 2, 'append', CAST(co AS BIGINT), CAST(ce + co AS BIGINT)
+            FROM c
+            UNION ALL
+            SELECT 3, 'alter-schema', 0, CAST(ce + co AS BIGINT)
+            FROM c
+        """,
+        "consumer_tail_delta": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE doc_id % 2 = 1
         """,
         "snapshot_mor_delete": """
             WITH rng AS (

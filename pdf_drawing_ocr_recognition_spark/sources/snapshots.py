@@ -517,11 +517,12 @@ def _partition_prunes(entry: dict, pval, op: str, val) -> bool:
 
 def _write_data_files(
     df: DataFrame, root: str, partition_spec: list[dict] | None = None
-) -> tuple[list[str], int, str, dict, dict]:
+) -> tuple[list[str], int, str, dict, dict, dict]:
     """Write *df* once into immutable uniquely-named files under data/.
 
     Returns (relative file names, total rows, schema json, per-file column
-    stats, per-file partition tuples).  Rows AND min/max bounds are read
+    stats, per-file partition tuples, per-file row counts).  Rows AND
+    min/max bounds are read
     from the parquet footers (driver-side metadata read — no second Spark
     job over the data).  With *partition_spec*, the fanout writer groups
     rows by the derived partition tuple (``partitionBy`` on temp columns,
@@ -561,6 +562,7 @@ def _write_data_files(
     names: list[str] = []
     stats: dict[str, dict] = {}
     partitions: dict[str, dict] = {}
+    row_counts: dict[str, int] = {}
     n_rows = 0
     for i, (src, values) in enumerate(found):
         name = f"{commit_uuid}-{i:05d}.parquet"
@@ -569,12 +571,13 @@ def _write_data_files(
             continue  # empty shuffle parts are never committed (as Iceberg)
         n_rows += md.num_rows
         stats[name] = _file_column_stats(md)
+        row_counts[name] = md.num_rows
         if values is not None:
             partitions[name] = {"spec": spec, "values": values}
         os.replace(src, os.path.join(_data_dir(root), name))
         names.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    return names, n_rows, schema_json, stats, partitions
+    return names, n_rows, schema_json, stats, partitions, row_counts
 
 
 def _commit(
@@ -594,6 +597,7 @@ def _commit(
     current_schema_id: int | None = None,
     file_schemas: dict[str, int] | None = None,
     last_field_id: int | None = None,
+    row_counts: dict[str, int] | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     schema_meta = {}
@@ -630,6 +634,14 @@ def _commit(
         # files keep their bounds by name, so stats never require
         # re-reading a data file after its first commit
         "stats": {f: (stats or {}).get(f, {}) for f in files},
+        # per-file row counts (Iceberg's record_count), harvested from the
+        # same footer read as the bounds and carried by name like them —
+        # the files metadata table and consumer planning read these
+        "row_counts": {
+            f: (row_counts or {}).get(f)
+            for f in files
+            if (row_counts or {}).get(f) is not None
+        },
         # merge-on-read position deletes ({data_file: [delete_file, ...]});
         # only entries for files still in this snapshot are carried — a
         # rewritten/dropped data file takes its masks with it
@@ -696,6 +708,7 @@ def append_snapshot(
         inherited, pstats = pman["files"], pman.get("stats", {})
         pdels = pman.get("delete_files", {})
         pparts = pman.get("partitions", {})
+        prows = pman.get("row_counts", {})
         if partition_spec is None:
             partition_spec = pman.get("partition_spec", [])
         schemas, cur_sid, file_sids, last_fid = _schema_meta(pman)
@@ -703,14 +716,14 @@ def append_snapshot(
             schemas, cur_sid, last_fid, df.schema
         )
     else:
-        inherited, pstats, pdels, pparts = [], {}, {}, {}
+        inherited, pstats, pdels, pparts, prows = [], {}, {}, {}, {}
         fields = [
             _norm_field(f, i + 1)
             for i, f in enumerate(json.loads(df.schema.json())["fields"])
         ]
         schemas, cur_sid, file_sids = {0: fields}, 0, {}
         file_sid, last_fid = 0, len(fields)
-    added, n_rows, _schema_json, stats, parts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
         df, root, partition_spec
     )
     file_sids.update({f: file_sid for f in added})
@@ -724,6 +737,7 @@ def append_snapshot(
         partitions={**pparts, **parts},
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas=file_sids, last_field_id=last_fid,
+        row_counts={**prows, **rcounts},
     )
 
 
@@ -765,7 +779,7 @@ def overwrite_snapshot(
             for i, f in enumerate(json.loads(df.schema.json())["fields"])
         ]
         schemas, cur_sid, last_fid = {0: fields}, 0, len(fields)
-    added, n_rows, _schema_json, stats, parts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
         df, root, partition_spec
     )
     return _commit(
@@ -774,6 +788,7 @@ def overwrite_snapshot(
         stats=stats, partition_spec=partition_spec, partitions=parts,
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas={f: cur_sid for f in added}, last_field_id=last_fid,
+        row_counts=rcounts,
     )
 
 
@@ -880,6 +895,7 @@ def evolve_schema(
         partitions=man.get("partitions", {}),
         schemas=schemas, current_schema_id=new_cur,
         file_schemas=file_sids, last_field_id=last_fid,
+        row_counts=man.get("row_counts", {}),
     )
 
 
@@ -1257,6 +1273,7 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
         partitions=man.get("partitions", {}),
         schemas=pschemas, current_schema_id=pcur,
         file_schemas=pfsids, last_field_id=plast,
+        row_counts=man.get("row_counts", {}),
     )
 
 
@@ -1294,15 +1311,22 @@ def read_appends_between(
             raise ValueError(f"snapshot {from_id} is not an ancestor of {to_id}")
     old_files = set(read_manifest(root, from_id)["files"])
     new_files = [f for f in man_to["files"] if f not in old_files]
-    schema = StructType.fromJson(man_to["schema"])
-    if not new_files:
+    return read_files_projected(spark, root, man_to, new_files)
+
+
+def read_files_projected(
+    spark: SparkSession, root: str, man: dict, files: list[str]
+) -> DataFrame:
+    """Read *files* projected onto *man*'s logical schema — grouped by
+    physical write schema and resolved by field id, exactly as
+    read_snapshot's clean path — so incremental consumers see deltas under
+    the manifest's logical schema even across renames/widens."""
+    schema = StructType.fromJson(man["schema"])
+    if not files:
         return spark.createDataFrame([], schema)
-    # group by physical write schema and project by field id, exactly as
-    # read_snapshot's clean path — an incremental consumer sees the delta
-    # under *to_id*'s logical schema even across renames/widens
-    schemas, cur_sid, file_sids, _ = _schema_meta(man_to)
+    schemas, cur_sid, file_sids, _ = _schema_meta(man)
     groups: dict[int, list[str]] = {}
-    for f in new_files:
+    for f in files:
         groups.setdefault(file_sids.get(f, cur_sid), []).append(f)
     parts = []
     for sid in sorted(groups):
@@ -1365,7 +1389,7 @@ def merge_into(
     else:
         new_data = source
     spec = man.get("partition_spec", [])
-    added, n_rows, _schema_json, stats, parts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
         new_data, root, spec
     )
     pstats = man.get("stats", {})
@@ -1391,6 +1415,7 @@ def merge_into(
         partitions={**pparts, **parts},
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas=file_sids, last_field_id=last_fid,
+        row_counts={**man.get("row_counts", {}), **rcounts},
     )
 
 
@@ -1441,7 +1466,7 @@ def rewrite_data_files(
         df = df.coalesce(target_files)
     pman = read_manifest(root, parent)
     spec = pman.get("partition_spec", [])
-    added, n_rows, _schema_json, stats, parts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
         df, root, spec
     )
     schemas, cur_sid, _fs, last_fid = _schema_meta(pman)
@@ -1454,6 +1479,7 @@ def rewrite_data_files(
         stats=stats, partition_spec=spec, partitions=parts,
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas={f: file_sid for f in added}, last_field_id=last_fid,
+        row_counts=rcounts,
     )
 
 
