@@ -2702,6 +2702,58 @@ def q_consumer_tail_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta.select("doc_id", "lang", "n_chars")
 
 
+def q_bucket_local_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T200 storage-partitioned join (round 5): `documents` and the
+    embeddings labels, BOTH committed under `bucket[8](doc_id)` hidden
+    partitioning, joined bucket-locally (operators/spj.py) — planning is
+    manifest JSON (bucket → file lists per side), execution is ONE narrow
+    Arrow stage over the 8 bucket pairs, and NO table data crosses a
+    shuffle: the only exchange in the plan moves 8 task-descriptor rows
+    (pytest asserts no SortMergeJoin/BroadcastHashJoin/FileScan in the
+    executed plan).  This is the join strategy bucket-partitioned Iceberg
+    tables buy at 100 TB — the fact-fact join whose shuffle would dominate
+    the cluster runs shuffle-free because co-location was established at
+    write time.  DuckDB twin: the plain inner join on doc_id = vec_id."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.spj import (
+        bucket_local_join,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+    )
+
+    spec = [{"source": "doc_id", "transform": "bucket[8]"}]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    ra = f"/tmp/pdor_spark_spjdocs_{base}"
+    rb = f"/tmp/pdor_spark_spjlabels_{base}"
+    try:
+        ok = (
+            current_snapshot_id(ra) == 1 and current_snapshot_id(rb) == 1
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(ra, ignore_errors=True)
+        shutil.rmtree(rb, ignore_errors=True)
+        append_snapshot(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+            ra,
+            partition_spec=spec,
+        )
+        append_snapshot(
+            _t(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "label"
+            ),
+            rb,
+            partition_spec=spec,
+        )
+    return bucket_local_join(spark, ra, rb, "doc_id").select(
+        "doc_id", "lang", "n_chars", "label"
+    )
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -6910,6 +6962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_scan": q_schema_evolution_scan,
         "snapshot_metadata_audit": q_snapshot_metadata_audit,
         "consumer_tail_delta": q_consumer_tail_delta,
+        "bucket_local_join": q_bucket_local_join,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
@@ -10407,6 +10460,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars
             FROM documents
             WHERE doc_id % 2 = 1
+        """,
+        "bucket_local_join": """
+            SELECT d.doc_id, d.lang, d.n_chars, e.label
+            FROM documents d
+            JOIN embeddings e ON d.doc_id = e.vec_id
         """,
         "snapshot_mor_delete": """
             WITH rng AS (
