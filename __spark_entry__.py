@@ -2754,6 +2754,91 @@ def q_bucket_local_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_rollback_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T201 rollback (round 5): append the even docs (snap 1), append the
+    odd docs (snap 2), ROLL BACK to snap 1 (snap 3 — a metadata-only
+    commit whose lineage parent is the target, abandoning snap 2 without
+    touching a file), then append the doc_id%4==1 slice (snap 4).  The
+    current read must show evens ∪ (%4==1): the rolled-back odd rows are
+    gone from the line, the post-rollback append lands on the restored
+    state, and snap 2 stays time-travelable until expiry
+    (metadata_history flags it is_current_ancestor=False —
+    tests/test_rollback_compaction.py).  DuckDB twin: the parity union."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        rollback_to,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = f"/tmp/pdor_spark_rbtable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 4
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 0), root)
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+        rollback_to(root, 1)
+        append_snapshot(docs.filter(F.col("doc_id") % 4 == 1), root)
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        read_snapshot,
+    )
+
+    return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
+
+
+def q_partial_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T202 binpack partial compaction (round 5): one large append (the
+    doc_id%3>0 docs, single file) plus four small appends (the %3==0 docs
+    split by %12), then a MOR delete of the bottom doc_id decile, then
+    `rewrite_small_files` — which reads ONLY the small/masked input files
+    (manifest byte sizes, one JSON read), applies + purges the delete
+    masks, and rewrites into target-sized files while a right-sized file
+    would be carried by name (that partial behavior is pytest-pinned with
+    an unmasked big file; here the delete masks it, so everything
+    legitimately compacts).  A hash match pins value identity THROUGH the
+    mask purge: lost or double-applied masks would change rows.  DuckDB
+    twin: documents above the delete cut."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        read_snapshot,
+        rewrite_small_files,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    cut = int(rng["lo"]) + (int(rng["hi"]) - int(rng["lo"])) // 10
+    root = f"/tmp/pdor_spark_pctable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 7
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 3 > 0).coalesce(1), root
+        )
+        for r in (0, 3, 6, 9):
+            append_snapshot(
+                docs.filter(F.col("doc_id") % 12 == r).coalesce(1), root
+            )
+        delete_from(spark, root, [("doc_id", "<", cut)])
+        rewrite_small_files(
+            spark, root, target_bytes=1 << 26, min_input_files=1
+        )
+    return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -6963,6 +7048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_metadata_audit": q_snapshot_metadata_audit,
         "consumer_tail_delta": q_consumer_tail_delta,
         "bucket_local_join": q_bucket_local_join,
+        "snapshot_rollback_read": q_snapshot_rollback_read,
+        "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
@@ -10465,6 +10552,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars, e.label
             FROM documents d
             JOIN embeddings e ON d.doc_id = e.vec_id
+        """,
+        "snapshot_rollback_read": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+        """,
+        "partial_compaction_scan": """
+            WITH rng AS (
+                SELECT min(doc_id) AS lo,
+                       (max(doc_id) - min(doc_id)) // 10 AS tenth
+                FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d, rng r
+            WHERE d.doc_id >= r.lo + r.tenth
         """,
         "snapshot_mor_delete": """
             WITH rng AS (

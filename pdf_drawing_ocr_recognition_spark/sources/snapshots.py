@@ -521,8 +521,8 @@ def _write_data_files(
     """Write *df* once into immutable uniquely-named files under data/.
 
     Returns (relative file names, total rows, schema json, per-file column
-    stats, per-file partition tuples, per-file row counts).  Rows AND
-    min/max bounds are read
+    stats, per-file partition tuples, per-file row counts, per-file byte
+    sizes).  Rows AND min/max bounds are read
     from the parquet footers (driver-side metadata read — no second Spark
     job over the data).  With *partition_spec*, the fanout writer groups
     rows by the derived partition tuple (``partitionBy`` on temp columns,
@@ -563,6 +563,7 @@ def _write_data_files(
     stats: dict[str, dict] = {}
     partitions: dict[str, dict] = {}
     row_counts: dict[str, int] = {}
+    file_sizes: dict[str, int] = {}
     n_rows = 0
     for i, (src, values) in enumerate(found):
         name = f"{commit_uuid}-{i:05d}.parquet"
@@ -572,12 +573,13 @@ def _write_data_files(
         n_rows += md.num_rows
         stats[name] = _file_column_stats(md)
         row_counts[name] = md.num_rows
+        file_sizes[name] = os.stat(src).st_size
         if values is not None:
             partitions[name] = {"spec": spec, "values": values}
         os.replace(src, os.path.join(_data_dir(root), name))
         names.append(name)
     shutil.rmtree(staging, ignore_errors=True)
-    return names, n_rows, schema_json, stats, partitions, row_counts
+    return names, n_rows, schema_json, stats, partitions, row_counts, file_sizes
 
 
 def _commit(
@@ -598,6 +600,8 @@ def _commit(
     file_schemas: dict[str, int] | None = None,
     last_field_id: int | None = None,
     row_counts: dict[str, int] | None = None,
+    file_sizes: dict[str, int] | None = None,
+    parent_for_lineage: int | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     schema_meta = {}
@@ -616,7 +620,10 @@ def _commit(
         }
     manifest = {
         "snapshot_id": new_id,
-        "parent_id": parent,
+        # lineage parent may differ from the id-allocation parent: a
+        # ROLLBACK commit allocates current+1 but descends from the target,
+        # abandoning the in-between commits (metadata_history flags them)
+        "parent_id": parent if parent_for_lineage is None else parent_for_lineage,
         "operation": operation,
         "ts": time.time(),
         "schema": json.loads(schema_json),
@@ -641,6 +648,14 @@ def _commit(
             f: (row_counts or {}).get(f)
             for f in files
             if (row_counts or {}).get(f) is not None
+        },
+        # per-file byte sizes (Iceberg's file_size_in_bytes), harvested at
+        # write time and carried by name — partial compaction plans its
+        # input set from these, never from filesystem stats (10^6 HEADs)
+        "file_sizes": {
+            f: (file_sizes or {}).get(f)
+            for f in files
+            if (file_sizes or {}).get(f) is not None
         },
         # merge-on-read position deletes ({data_file: [delete_file, ...]});
         # only entries for files still in this snapshot are carried — a
@@ -709,6 +724,7 @@ def append_snapshot(
         pdels = pman.get("delete_files", {})
         pparts = pman.get("partitions", {})
         prows = pman.get("row_counts", {})
+        psizes = pman.get("file_sizes", {})
         if partition_spec is None:
             partition_spec = pman.get("partition_spec", [])
         schemas, cur_sid, file_sids, last_fid = _schema_meta(pman)
@@ -716,14 +732,14 @@ def append_snapshot(
             schemas, cur_sid, last_fid, df.schema
         )
     else:
-        inherited, pstats, pdels, pparts, prows = [], {}, {}, {}, {}
+        inherited, pstats, pdels, pparts, prows, psizes = [], {}, {}, {}, {}, {}
         fields = [
             _norm_field(f, i + 1)
             for i, f in enumerate(json.loads(df.schema.json())["fields"])
         ]
         schemas, cur_sid, file_sids = {0: fields}, 0, {}
         file_sid, last_fid = 0, len(fields)
-    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
         df, root, partition_spec
     )
     file_sids.update({f: file_sid for f in added})
@@ -738,6 +754,7 @@ def append_snapshot(
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts={**prows, **rcounts},
+        file_sizes={**psizes, **fsizes},
     )
 
 
@@ -779,7 +796,7 @@ def overwrite_snapshot(
             for i, f in enumerate(json.loads(df.schema.json())["fields"])
         ]
         schemas, cur_sid, last_fid = {0: fields}, 0, len(fields)
-    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
         df, root, partition_spec
     )
     return _commit(
@@ -788,7 +805,7 @@ def overwrite_snapshot(
         stats=stats, partition_spec=partition_spec, partitions=parts,
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas={f: cur_sid for f in added}, last_field_id=last_fid,
-        row_counts=rcounts,
+        row_counts=rcounts, file_sizes=fsizes,
     )
 
 
@@ -896,6 +913,7 @@ def evolve_schema(
         schemas=schemas, current_schema_id=new_cur,
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts=man.get("row_counts", {}),
+        file_sizes=man.get("file_sizes", {}),
     )
 
 
@@ -1057,6 +1075,65 @@ def _merge_read(
     return plan.mapInPandas(scan, schema=out_schema)
 
 
+def _read_file_set(
+    spark: SparkSession,
+    root: str,
+    man: dict,
+    files: list[str],
+    file_col: str | None = None,
+) -> DataFrame:
+    """Scan *files* under *man*'s logical schema with delete masks applied
+    — the body of read_snapshot, reusable on a file SUBSET (partial
+    compaction reads only its input files through this)."""
+    from pyspark.sql import functions as F
+
+    schema = StructType.fromJson(man["schema"])
+    dels = man.get("delete_files", {})
+    clean = [f for f in files if f not in dels]
+    dirty = [f for f in files if f in dels]
+    schemas, cur_sid, file_sids, _ = _schema_meta(man)
+    cur_fields = schemas[cur_sid]
+    parts: list[DataFrame] = []
+    if clean:
+        # group files by their PHYSICAL write schema; each group scans with
+        # its own parquet schema and projects onto the logical one by field
+        # id (rename/widen/add resolve here) — a group already at the
+        # logical schema projects to bare column refs, keeping the plain
+        # vectorized scan
+        groups: dict[int, list[str]] = {}
+        for f in clean:
+            groups.setdefault(file_sids.get(f, cur_sid), []).append(f)
+        for sid in sorted(groups):
+            paths = [os.path.join(_data_dir(root), f) for f in groups[sid]]
+            df = spark.read.schema(_struct_of(schemas[sid])).parquet(*paths)
+            extra = ()
+            if file_col is not None:
+                df = df.withColumn(
+                    file_col,
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+                extra = (file_col,)
+            parts.append(_project_group(df, cur_fields, schemas[sid], extra))
+    if dirty:
+        parts.append(
+            _merge_read(
+                spark, root, schema, dirty, dels, file_col,
+                projs={f: _file_projection(man, f) for f in dirty},
+            )
+        )
+    if not parts:
+        out_schema = StructType(list(schema.fields))
+        if file_col is not None:
+            from pyspark.sql.types import StringType
+
+            out_schema = out_schema.add(file_col, StringType())
+        return spark.createDataFrame([], out_schema)
+    df = parts[0]
+    for extra in parts[1:]:
+        df = df.unionByName(extra)
+    return df
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
@@ -1092,54 +1169,11 @@ def read_snapshot(
     if sid is None:
         raise ValueError(f"table at {root} has no committed snapshot")
     man = read_manifest(root, sid)
-    schema = StructType.fromJson(man["schema"])
     if filters:
         files, _ = plan_scan(root, sid, filters)
     else:
         files = man["files"]
-    dels = man.get("delete_files", {})
-    clean = [f for f in files if f not in dels]
-    dirty = [f for f in files if f in dels]
-    schemas, cur_sid, file_sids, _ = _schema_meta(man)
-    cur_fields = schemas[cur_sid]
-    parts: list[DataFrame] = []
-    if clean:
-        # group files by their PHYSICAL write schema; each group scans with
-        # its own parquet schema and projects onto the logical one by field
-        # id (rename/widen/add resolve here) — a group already at the
-        # logical schema projects to bare column refs, keeping the plain
-        # vectorized scan
-        groups: dict[int, list[str]] = {}
-        for f in clean:
-            groups.setdefault(file_sids.get(f, cur_sid), []).append(f)
-        for sid in sorted(groups):
-            paths = [os.path.join(_data_dir(root), f) for f in groups[sid]]
-            df = spark.read.schema(_struct_of(schemas[sid])).parquet(*paths)
-            extra = ()
-            if _file_col is not None:
-                df = df.withColumn(
-                    _file_col,
-                    F.element_at(F.split(F.input_file_name(), "/"), -1),
-                )
-                extra = (_file_col,)
-            parts.append(_project_group(df, cur_fields, schemas[sid], extra))
-    if dirty:
-        parts.append(
-            _merge_read(
-                spark, root, schema, dirty, dels, _file_col,
-                projs={f: _file_projection(man, f) for f in dirty},
-            )
-        )
-    if not parts:
-        out_schema = StructType(list(schema.fields))
-        if _file_col is not None:
-            from pyspark.sql.types import StringType
-
-            out_schema = out_schema.add(_file_col, StringType())
-        return spark.createDataFrame([], out_schema)
-    df = parts[0]
-    for extra in parts[1:]:
-        df = df.unionByName(extra)
+    df = _read_file_set(spark, root, man, files, _file_col)
     for col, op, val in filters or []:
         c = F.col(col)
         df = df.filter(
@@ -1274,6 +1308,7 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
         schemas=pschemas, current_schema_id=pcur,
         file_schemas=pfsids, last_field_id=plast,
         row_counts=man.get("row_counts", {}),
+        file_sizes=man.get("file_sizes", {}),
     )
 
 
@@ -1389,7 +1424,7 @@ def merge_into(
     else:
         new_data = source
     spec = man.get("partition_spec", [])
-    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
         new_data, root, spec
     )
     pstats = man.get("stats", {})
@@ -1416,6 +1451,7 @@ def merge_into(
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts={**man.get("row_counts", {}), **rcounts},
+        file_sizes={**man.get("file_sizes", {}), **fsizes},
     )
 
 
@@ -1466,7 +1502,7 @@ def rewrite_data_files(
         df = df.coalesce(target_files)
     pman = read_manifest(root, parent)
     spec = pman.get("partition_spec", [])
-    added, n_rows, _schema_json, stats, parts, rcounts = _write_data_files(
+    added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
         df, root, spec
     )
     schemas, cur_sid, _fs, last_fid = _schema_meta(pman)
@@ -1479,7 +1515,116 @@ def rewrite_data_files(
         stats=stats, partition_spec=spec, partitions=parts,
         schemas=schemas, current_schema_id=cur_sid,
         file_schemas={f: file_sid for f in added}, last_field_id=last_fid,
-        row_counts=rcounts,
+        row_counts=rcounts, file_sizes=fsizes,
+    )
+
+
+def rollback_to(root: str, snapshot_id: int) -> int:
+    """Iceberg's ``rollback_to_snapshot``: make the table read as it did at
+    *snapshot_id* by committing a NEW snapshot whose content is the
+    target's manifest verbatim — metadata-only, no data file touched.
+
+    The rollback commit's lineage parent is the TARGET, so the commits
+    between target and rollback become non-ancestors of the new current:
+    they stay time-travelable until expired, and
+    :func:`metadata_tables.metadata_history` flags them
+    ``is_current_ancestor = False`` (exactly Iceberg's history table after
+    a rollback).  A rollback never "deletes" anything — expiry does, later,
+    under the usual retention/ref rules."""
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    if snapshot_id == parent:
+        return parent  # already there — no-op, as Iceberg
+    man = read_manifest(root, snapshot_id)  # raises if the target is gone
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    return _commit(
+        root, parent, man["files"], [], 0, json.dumps(man["schema"]),
+        "rollback",
+        stats=man.get("stats", {}),
+        delete_files=man.get("delete_files", {}),
+        partition_spec=man.get("partition_spec", []),
+        partitions=man.get("partitions", {}),
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
+        row_counts=man.get("row_counts", {}),
+        file_sizes=man.get("file_sizes", {}),
+        parent_for_lineage=snapshot_id,
+        properties={"rolled_back_from": parent},
+    )
+
+
+def rewrite_small_files(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> int:
+    """Iceberg's BINPACK partial compaction: rewrite ONLY the data files
+    smaller than *target_bytes* into ~target-sized files, carrying every
+    already-right-sized file into the new snapshot untouched (by name,
+    with its stats/tuples/masks/counts — never re-read).
+
+    This is the compaction a streaming-append table actually runs: daily
+    micro-batches land small files; :func:`rewrite_data_files` rewrites
+    the WHOLE table (O(table) — right for z-ordering, wrong for routine
+    maintenance), while this rewrites O(small files) no matter how large
+    the table has grown.  Input selection reads the manifest's per-file
+    byte sizes (one JSON read; files from pre-size manifests fall back to
+    one filesystem stat each).  Outstanding position deletes on the
+    rewritten files are applied and purged; untouched files keep theirs.
+    Rewritten rows land under the table's current partition spec and
+    logical schema.  Returns the parent id unchanged when fewer than
+    *min_input_files* qualify (no empty commits, as Iceberg)."""
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    sizes = man.get("file_sizes", {})
+    data_dir = _data_dir(root)
+
+    def size_of(f: str) -> int:
+        if f in sizes:
+            return sizes[f]
+        return os.stat(os.path.join(data_dir, f)).st_size
+
+    small = [f for f in man["files"] if size_of(f) < target_bytes]
+    # a masked file must compact regardless of size — purging delete
+    # masks is the other half of what compaction is FOR
+    dels = man.get("delete_files", {})
+    small = sorted(set(small) | set(dels))
+    if len(small) < min_input_files:
+        return parent
+    untouched = [f for f in man["files"] if f not in set(small)]
+    df = _read_file_set(spark, root, man, small)
+    total = sum(size_of(f) for f in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    spec = man.get("partition_spec", [])
+    if not spec:
+        df = df.coalesce(n_out)
+    # (with a spec, the fanout writer groups by partition tuple; coalesce
+    # beforehand would fight the fanout for no gain)
+    added, n_rows, _schema_json, stats, parts, rcounts, fsizes = (
+        _write_data_files(df, root, spec)
+    )
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+        schemas, cur_sid, last_fid, df.schema
+    )
+    keep_sids = {f: file_sids[f] for f in untouched if f in file_sids}
+    keep_sids.update({f: file_sid for f in added})
+    return _commit(
+        root, parent, untouched + added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "replace",
+        stats={**man.get("stats", {}), **stats},
+        # untouched files keep their masks; the rewritten ones were applied
+        delete_files={f: dels[f] for f in untouched if f in dels},
+        partition_spec=spec,
+        partitions={**man.get("partitions", {}), **parts},
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=keep_sids, last_field_id=last_fid,
+        row_counts={**man.get("row_counts", {}), **rcounts},
+        file_sizes={**sizes, **fsizes},
     )
 
 

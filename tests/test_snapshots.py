@@ -97,7 +97,7 @@ class TestCrashSemantics:
         # durable — readers roll forward over the stale hint
         root = str(tmp_path / "t")
         append_snapshot(_docs(spark, 0, 10), root)
-        files, n, schema_json, _st, _pt, _rc = _write_data_files(_docs(spark, 10, 20), root)
+        files, n, schema_json, _st, _pt, _rc, _fz = _write_data_files(_docs(spark, 10, 20), root)
         prior = read_manifest(root, 1)["files"]
         _commit(root, 1, prior + files, files, n, schema_json, "append")
         # simulate the crash: reset the hint to the stale value
@@ -111,8 +111,8 @@ class TestCrashSemantics:
         root = str(tmp_path / "t")
         append_snapshot(_docs(spark, 0, 10), root)
         # two writers prepared against parent=1; the second to commit loses
-        f_a, n_a, sj, _sa, _pa, _ra = _write_data_files(_docs(spark, 10, 20), root)
-        f_b, n_b, _, _sb, _pb, _rb = _write_data_files(_docs(spark, 20, 30), root)
+        f_a, n_a, sj, _sa, _pa, _ra, _fa = _write_data_files(_docs(spark, 10, 20), root)
+        f_b, n_b, _, _sb, _pb, _rb, _fb = _write_data_files(_docs(spark, 20, 30), root)
         prior = read_manifest(root, 1)["files"]
         _commit(root, 1, prior + f_a, f_a, n_a, sj, "append")
         with pytest.raises(CommitConflictError):
