@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "duplication_rate",
     # round 5 (cont.): byte-granular ExactSubstr (exact Lee et al. semantics)
     "exact_substring_bytes",
+    # round 5 (3rd sitting): field-id schema evolution + shuffle-free SPJ
+    # (warm number = the evolved-table / bucket-local-join READ; the /tmp
+    # table builds are cold-run cost only, cached across samples)
+    "schema_evolution_scan",
+    "bucket_local_join",
 ]
 
 

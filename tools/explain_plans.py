@@ -1214,6 +1214,32 @@ def main() -> int:
         )
     )
 
+    # T200 storage-partitioned join: the executed plan must contain NO join
+    # operator and NO FileScan — table data enters through the per-bucket
+    # Arrow kernel; the only exchange moves the N task-descriptor rows
+    grab("bucket_local_join", em.q_bucket_local_join(spark, sf), "MapInPandas")
+    spj_plan = sections[-1][1]
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "FileScan"):
+        checks.append(("bucket_local_join", f"no {op}", op not in spj_plan))
+
+    # T197 schema evolution: the evolved-table read projects per file group
+    # with PLAIN column refs / casts — no Python stage, no window, and the
+    # scan stays a vectorized parquet scan (ColumnarToRow under codegen)
+    grab(
+        "schema_evolution_scan",
+        em.q_schema_evolution_scan(spark, sf),
+        "Scan parquet",
+    )
+    evo_plan = sections[-1][1]
+    checks.append(
+        ("schema_evolution_scan", "no Python stage",
+         "MapInPandas" not in evo_plan and "BatchEvalPython" not in evo_plan)
+    )
+    checks.append(
+        ("schema_evolution_scan", "no Window operator", "Window" not in evo_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
