@@ -2839,6 +2839,48 @@ def q_partial_compaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
 
 
+def q_streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T203 exactly-once streaming UPSERT sink (round 5): two CDC-style
+    micro-batches drive `snapshot_upsert_batch` (the same body
+    foreachBatch runs) — batch 0 inserts every doc with val = n_chars,
+    batch 1 upserts the doc_id%3==0 third with val = n_chars·10 AND is
+    replayed once (the crash-between-table-commit-and-checkpoint case:
+    the in-manifest (stream_id, batch_id) guard must skip it, or the
+    replay would re-merge and the file-granular MERGE would rewrite files
+    twice).  The final state is one MERGE's worth of updates over the
+    bootstrap append; a hash match pins upsert semantics + replay
+    idempotence in values.  DuckDB twin: CASE on doc_id%3."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        current_snapshot_id,
+        read_snapshot,
+    )
+    from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+        snapshot_upsert_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_upserttable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        b0 = docs.select(
+            "doc_id", "lang", F.col("n_chars").alias("val")
+        )
+        b1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "lang", (F.col("n_chars") * 10).alias("val")
+        )
+        assert snapshot_upsert_batch(b0, 0, root, "doc_id", "cdc") == 1
+        assert snapshot_upsert_batch(b1, 1, root, "doc_id", "cdc") == 2
+        # replay after a crash between table commit and checkpoint commit
+        assert snapshot_upsert_batch(b1, 1, root, "doc_id", "cdc") is None
+    return read_snapshot(spark, root).select("doc_id", "lang", "val")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -7049,6 +7091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consumer_tail_delta": q_consumer_tail_delta,
         "bucket_local_join": q_bucket_local_join,
         "snapshot_rollback_read": q_snapshot_rollback_read,
+        "streaming_upsert_state": q_streaming_upsert_state,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
@@ -10556,6 +10599,12 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_rollback_read": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+        """,
+        "streaming_upsert_state": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
+                        ELSE n_chars END AS val
+            FROM documents
         """,
         "partial_compaction_scan": """
             WITH rng AS (

@@ -1375,7 +1375,11 @@ def read_files_projected(
 
 
 def merge_into(
-    spark: SparkSession, root: str, source: DataFrame, key_col: str
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+    properties: dict | None = None,
 ) -> int:
     """Iceberg's copy-on-write ``MERGE INTO`` (WHEN MATCHED UPDATE SET *,
     WHEN NOT MATCHED INSERT *), at FILE granularity: only data files that
@@ -1442,6 +1446,7 @@ def merge_into(
     return _commit(
         root, parent, untouched + added, added, n_rows,
         json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "merge",
+        properties=properties,
         stats={**pstats, **stats},
         # untouched files keep their position masks; rewritten files had
         # theirs applied during the delete-aware read above

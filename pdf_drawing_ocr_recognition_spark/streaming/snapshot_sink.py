@@ -76,3 +76,88 @@ def snapshot_sink(root: str, stream_id: str = "default"):
         snapshot_append_batch(batch_df, batch_id, root, stream_id)
 
     return _sink
+
+
+def snapshot_upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str,
+    stream_id: str = "default",
+    order_col: str | None = None,
+) -> int | None:
+    """``foreachBatch`` body for a CDC-style UPSERT stream (T203): each
+    micro-batch MERGEs into the table by *key_col* — matched keys update,
+    new keys insert — exactly once per (stream_id, batch_id), with the
+    same in-manifest replay guard as the append sink.
+
+    A CDC micro-batch often carries SEVERAL versions of one key; pass
+    *order_col* (an event-time / LSN column) to keep only the latest
+    version per key before merging (``max_by`` over the whole row — one
+    map-combinable aggregation, no window).  Without it, source keys must
+    be unique and the batch fails loudly otherwise — silently merging
+    duplicate keys would write BOTH rows and corrupt the upsert contract.
+
+    The first batch on an empty table bootstraps with an append (MERGE
+    needs a parent); replayed batches return None; a concurrent writer's
+    CommitConflictError propagates so the streaming query retries.  The
+    100-TB property is merge_into's: a batch touching 0.1% of keys
+    rewrites ~0.1% of files, never the table."""
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import current_snapshot_id, merge_into
+
+    if batch_id in committed_batch_ids(root, stream_id):
+        return None
+    props = {"streaming_batch_id": int(batch_id), "stream_id": stream_id}
+    if order_col is not None:
+        # latest version per key as ONE map-combinable aggregation, no
+        # window: max over a struct ordered (order_col, remaining cols) —
+        # a TOTAL order, so ties on order_col break deterministically by
+        # the remaining columns (max_by would pick arbitrarily on ties);
+        # the version column stays in the table (CDC consumers audit it)
+        rest = [c for c in batch_df.columns if c not in (key_col, order_col)]
+        latest = batch_df.groupBy(key_col).agg(
+            F.max(F.struct(order_col, *rest)).alias("_row")
+        )
+        batch_df = latest.select(
+            key_col,
+            *[F.col(f"_row.{c}").alias(c) for c in batch_df.columns
+              if c != key_col],
+        )
+    else:
+        dup = (
+            batch_df.groupBy(key_col).count().filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                f"batch {batch_id} has duplicate {key_col!r} values and no "
+                f"order_col — an upsert needs one row per key (pass "
+                f"order_col to keep the latest version per key)"
+            )
+    try:
+        cur = current_snapshot_id(root)
+    except Exception:
+        cur = None
+    if cur is None:
+        return append_snapshot(batch_df, root, properties=props)
+    return merge_into(
+        batch_df.sparkSession, root, batch_df, key_col, properties=props
+    )
+
+
+def snapshot_upsert_sink(
+    root: str,
+    key_col: str,
+    stream_id: str = "default",
+    order_col: str | None = None,
+):
+    """The ``foreachBatch`` callable for the upsert sink:
+    ``writeStream.foreachBatch(snapshot_upsert_sink(root, "doc_id"))``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_upsert_batch(
+            batch_df, batch_id, root, key_col, stream_id, order_col
+        )
+
+    return _sink

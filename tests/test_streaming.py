@@ -689,3 +689,104 @@ class TestSnapshotStreamingSink:
         b1 = spark.range(10, 20).selectExpr("id AS doc_id")
         assert snapshot_append_batch(b1, 0, root, "s2") == 2
         assert read_snapshot(spark, root).count() == 20
+
+
+class TestSnapshotUpsertSink:
+    """T203: exactly-once CDC upsert stream into the snapshot table — one
+    MERGE per micro-batch, in-batch last-wins by order_col (deterministic
+    total order), in-manifest replay guard shared with the append sink."""
+
+    def test_stream_upserts_equal_batch_merge(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+            snapshot_log,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_sink,
+        )
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "table")
+        # 4 files -> 4 micro-batches; doc_id 0..19 written TWICE with
+        # increasing versions: the final table must hold the latest only
+        df = spark.range(40).selectExpr(
+            "id % 20 AS doc_id",
+            "id AS version",
+            "concat('v', id) AS text",
+        )
+        df.orderBy("version").coalesce(1).write.parquet(src)
+        q = (
+            spark.readStream.schema("doc_id LONG, version LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                snapshot_upsert_sink(root, "doc_id", order_col="version")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r["doc_id"]: (r["version"], r["text"])
+            for r in read_snapshot(spark, root).collect()
+        }
+        assert len(rows) == 20
+        assert rows == {i: (i + 20, f"v{i + 20}") for i in range(20)}
+        ops = [m["operation"] for m in snapshot_log(root)]
+        assert ops[0] == "append" and all(o == "merge" for o in ops[1:])
+
+    def test_replay_and_duplicate_key_guards(self, spark, tmp_path):
+        import pytest
+
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            current_snapshot_id,
+            read_snapshot,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_batch,
+        )
+
+        root = str(tmp_path / "table")
+        b0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        assert snapshot_upsert_batch(b0, 0, root, "doc_id") == 1
+        # crash between table commit and checkpoint commit -> replay skipped
+        assert snapshot_upsert_batch(b0, 0, root, "doc_id") is None
+        assert current_snapshot_id(root) == 1
+        b1 = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "doc_id long, text string"
+        )
+        assert snapshot_upsert_batch(b1, 1, root, "doc_id") == 2
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in read_snapshot(spark, root).collect()
+        }
+        assert rows == {1: "a", 2: "B", 3: "c"}
+        # duplicate keys without order_col fail loudly, commit nothing
+        dup = spark.createDataFrame(
+            [(5, "x"), (5, "y")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            snapshot_upsert_batch(dup, 2, root, "doc_id")
+        assert current_snapshot_id(root) == 2
+
+    def test_order_col_ties_break_deterministically(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_snapshot,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_batch,
+        )
+
+        root = str(tmp_path / "table")
+        tied = spark.createDataFrame(
+            [(1, 7, "aa"), (1, 7, "zz"), (1, 3, "newer-looking-but-older")],
+            "doc_id long, version long, text string",
+        )
+        snapshot_upsert_batch(tied, 0, root, "doc_id", order_col="version")
+        row = read_snapshot(spark, root).collect()[0]
+        # total order (version, text): the tie at version 7 resolves to the
+        # lexicographically larger text, bit-stable across retries
+        assert (row["version"], row["text"]) == (7, "zz")
