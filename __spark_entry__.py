@@ -2881,6 +2881,46 @@ def q_streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "val")
 
 
+def q_delete_mask_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T204 position-delete compaction (round 5): three overlapping MOR
+    DELETEs stack up to three masks on the low-range files (the
+    <10%·span and <20%·span cuts overlap — union semantics), then
+    `rewrite_position_deletes` merges every multi-mask data file's masks
+    into ONE sorted-unique delete file WITHOUT touching any data file
+    (pytest pins the file list by name).  The read after compaction must
+    be byte-identical to before — a hash match pins mask-union
+    correctness through the rewrite.  DuckDB twin: the middle slice
+    [20%, 90%) of the doc_id value range."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        read_snapshot,
+        rewrite_position_deletes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    lo, span = int(rng["lo"]), int(rng["hi"]) - int(rng["lo"])
+    root = f"/tmp/pdor_spark_delcmp_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 5
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(4, "doc_id"), root)
+        delete_from(spark, root, [("doc_id", "<", lo + span // 10)])
+        delete_from(spark, root, [("doc_id", ">=", lo + (9 * span) // 10)])
+        delete_from(spark, root, [("doc_id", "<", lo + (2 * span) // 10)])
+        rewrite_position_deletes(spark, root)
+    return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -7092,6 +7132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_local_join": q_bucket_local_join,
         "snapshot_rollback_read": q_snapshot_rollback_read,
         "streaming_upsert_state": q_streaming_upsert_state,
+        "delete_mask_compaction": q_delete_mask_compaction,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
@@ -10605,6 +10646,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
                         ELSE n_chars END AS val
             FROM documents
+        """,
+        "delete_mask_compaction": """
+            WITH rng AS (
+                SELECT min(doc_id) AS lo,
+                       max(doc_id) - min(doc_id) AS span
+                FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d, rng r
+            WHERE d.doc_id >= r.lo + (2 * r.span) // 10
+              AND d.doc_id < r.lo + (9 * r.span) // 10
         """,
         "partial_compaction_scan": """
             WITH rng AS (

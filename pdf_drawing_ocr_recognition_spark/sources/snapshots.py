@@ -1524,6 +1524,75 @@ def rewrite_data_files(
     )
 
 
+def rewrite_position_deletes(spark: SparkSession, root: str) -> int:
+    """Iceberg's ``rewrite_position_delete_files``: merge each data file's
+    accumulated position-delete files into ONE, touching NO data file.
+
+    Repeated DELETEs stack masks (`delete_files` lists grow per commit) and
+    every masked read unions them; this maintenance action rewrites each
+    multi-mask list into a single sorted-unique delete file, executor-side
+    (one task per affected data file, driver traffic = file names).  Reads
+    before/after are byte-identical; the superseded delete files become
+    unreferenced once pre-rewrite snapshots expire, and
+    ``remove_orphan_files`` reclaims them.  Returns the parent id when no
+    data file carries more than one mask (no empty commits)."""
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    dels = man.get("delete_files", {})
+    targets = {f: lst for f, lst in dels.items() if len(lst) > 1}
+    if not targets:
+        return parent
+    data_dir = _data_dir(root)
+    tasks = [(f, json.dumps(lst)) for f, lst in sorted(targets.items())]
+    n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    plan = spark.createDataFrame(
+        tasks, "file string, dels string"
+    ).repartition(n_parts, "file")
+
+    def compact(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for fname, dels_json in zip(pdf["file"], pdf["dels"]):
+                pos = _deleted_positions(data_dir, json.loads(dels_json))
+                dname = f"del-{uuid.uuid4().hex[:12]}.parquet"
+                tmp = os.path.join(data_dir, f".{dname}.tmp")
+                pq.write_table(
+                    pa.table({"pos": pa.array(pos, type=pa.int64())}), tmp
+                )
+                os.replace(tmp, os.path.join(data_dir, dname))
+                yield pd.DataFrame(
+                    {"data_file": [str(fname)], "delete_file": [dname]}
+                )
+
+    merged = {
+        r["data_file"]: [r["delete_file"]]
+        for r in plan.mapInPandas(
+            compact, schema="data_file string, delete_file string"
+        ).collect()  # bounded by the multi-mask file count, never rows
+    }
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    return _commit(
+        root, parent, man["files"], [], 0, json.dumps(man["schema"]),
+        "replace",
+        stats=man.get("stats", {}),
+        delete_files={**dels, **merged},
+        partition_spec=man.get("partition_spec", []),
+        partitions=man.get("partitions", {}),
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
+        row_counts=man.get("row_counts", {}),
+        file_sizes=man.get("file_sizes", {}),
+        properties={"rewritten_delete_files": sum(
+            len(v) for v in targets.values()
+        )},
+    )
+
+
 def rollback_to(root: str, snapshot_id: int) -> int:
     """Iceberg's ``rollback_to_snapshot``: make the table read as it did at
     *snapshot_id* by committing a NEW snapshot whose content is the

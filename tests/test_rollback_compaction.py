@@ -164,3 +164,48 @@ class TestPartialCompaction:
         sid = rewrite_small_files(spark, root, target_bytes=10**9)
         assert sid == 3
         assert _ids(spark, root) == list(range(20))
+
+
+class TestPositionDeleteCompaction:
+    def test_masks_merge_to_one_per_file(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            rewrite_position_deletes,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 100).coalesce(1), root)
+        delete_from(spark, root, [("doc_id", "<", 5)])
+        delete_from(spark, root, [("doc_id", ">=", 95)])
+        delete_from(spark, root, [("doc_id", "==", 50)])
+        man = read_manifest(root, current_snapshot_id(root))
+        (data_file,) = man["files"]
+        assert len(man["delete_files"][data_file]) == 3
+        before = _ids(spark, root)
+        sid = rewrite_position_deletes(spark, root)
+        man2 = read_manifest(root, sid)
+        assert man2["files"] == man["files"]  # data files untouched
+        assert len(man2["delete_files"][data_file]) == 1
+        assert _ids(spark, root) == before
+        assert man2["summary"]["properties"]["rewritten_delete_files"] == 3
+        # no multi-mask files left -> no-op
+        assert rewrite_position_deletes(spark, root) == sid
+
+    def test_superseded_masks_reclaimed_after_expiry(self, spark, tmp_path):
+        import os
+
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            remove_orphan_files,
+            rewrite_position_deletes,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_docs(spark, 0, 100).coalesce(1), root)
+        delete_from(spark, root, [("doc_id", "<", 5)])
+        delete_from(spark, root, [("doc_id", ">=", 95)])
+        rewrite_position_deletes(spark, root)
+        out = expire_snapshots(root, keep_last=1)
+        # the two superseded del-files were referenced ONLY by the expired
+        # snapshots — expiry itself reclaims them (orphan sweep for debris)
+        assert out["deleted_files"] >= 2
+        remove_orphan_files(root, older_than_s=0.0)
+        assert _ids(spark, root) == list(range(5, 95))
