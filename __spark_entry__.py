@@ -2921,6 +2921,47 @@ def q_delete_mask_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
 
 
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T205 exact distributed ROC-AUC (round 5): the release-gate number
+    for a quality classifier, as an EXACT rational — planted label
+    (doc_id%7<2) and integer score ((doc_id·37)%1000 + 100·label, so the
+    classes overlap but separate).  Midrank tie handling equals
+    scikit-learn's roc_auc_score; the distributed shape is one map-
+    combinable score histogram + T196's global_prefix_sums over it (NO
+    single-task `SUM() OVER (ORDER BY score)` window — the histogram
+    cumulative distributes at any distinct-score cardinality) + a 1-row
+    final agg.  All-integer output, so the hash pins the statistic to the
+    bit.  DuckDB twin replays the midrank identity with a window over the
+    histogram."""
+    from pdf_drawing_ocr_recognition_spark.operators.evals import exact_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 37) % 1000
+         + F.when(F.col("doc_id") % 7 < 2, 100).otherwise(0)
+         ).cast("long").alias("score"),
+        F.when(F.col("doc_id") % 7 < 2, 1).otherwise(0).alias("y"),
+    )
+    return exact_auc(docs, "score", "y")
+
+
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T205 reliability (calibration) table (round 5): the same planted
+    classifier binned at width 100 — per bin (n, n_pos, sum_score), all
+    exact integers; the caller derives accuracy/confidence/ECE at report
+    time.  One map-combinable aggregation, no window."""
+    from pdf_drawing_ocr_recognition_spark.operators.evals import (
+        reliability_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 37) % 1000
+         + F.when(F.col("doc_id") % 7 < 2, 100).otherwise(0)
+         ).cast("long").alias("score"),
+        F.when(F.col("doc_id") % 7 < 2, 1).otherwise(0).alias("y"),
+    )
+    return reliability_table(docs, "score", "y", 100)
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -7133,6 +7174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_rollback_read": q_snapshot_rollback_read,
         "streaming_upsert_state": q_streaming_upsert_state,
         "delete_mask_compaction": q_delete_mask_compaction,
+        "auc_exact": q_auc_exact,
+        "reliability_bins": q_reliability_bins,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "snapshot_tag_read": q_snapshot_tag_read,
@@ -10646,6 +10689,46 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
                         ELSE n_chars END AS val
             FROM documents
+        """,
+        "auc_exact": """
+            WITH scored AS (
+                SELECT (doc_id * 37) % 1000
+                       + (CASE WHEN doc_id % 7 < 2 THEN 100 ELSE 0 END) AS s,
+                       CASE WHEN doc_id % 7 < 2 THEN 1 ELSE 0 END AS y
+                FROM documents
+            ),
+            hist AS (
+                SELECT s, count(*) AS cnt, sum(y) AS pos
+                FROM scored GROUP BY s
+            ),
+            cum AS (
+                SELECT s, cnt, pos,
+                       sum(cnt) OVER (ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM hist
+            )
+            SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+                   CAST(sum(pos * (2 * cum - cnt + 1))
+                        - sum(pos) * (sum(pos) + 1) AS BIGINT) AS auc_num,
+                   CAST(2 * sum(pos) * (sum(cnt) - sum(pos)) AS BIGINT)
+                       AS auc_den
+            FROM cum
+        """,
+        "reliability_bins": """
+            WITH scored AS (
+                SELECT (doc_id * 37) % 1000
+                       + (CASE WHEN doc_id % 7 < 2 THEN 100 ELSE 0 END) AS s,
+                       CASE WHEN doc_id % 7 < 2 THEN 1 ELSE 0 END AS y
+                FROM documents
+            )
+            SELECT CAST(s // 100 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(s) AS BIGINT) AS sum_score
+            FROM scored
+            GROUP BY 1
+            ORDER BY 1
         """,
         "delete_mask_compaction": """
             WITH rng AS (
