@@ -2962,6 +2962,50 @@ def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reliability_table(docs, "score", "y", 100)
 
 
+def q_merge_when_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T206 MERGE WHEN clauses + TIMESTAMP AS OF (round 5): the table
+    holds the EVEN docs; the source carries every doc_id%4<2 doc with
+    val = n_chars·10; `merge_into(when_matched="delete",
+    when_not_matched="insert")` then (a) DELETES the matched evens
+    (doc_id%4==0 — their source rows are discarded too) and (b) INSERTS
+    the unmatched odds (doc_id%4==1, at source values), leaving the
+    %4==2 evens untouched at original values.  Source classification
+    joins only against the AFFECTED files' keys (bounded by the rewritten
+    slice); file granularity is pytest-pinned.  DuckDB twin: the CASE
+    union over doc_id%4 ∈ {1, 2}."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        merge_into,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = f"/tmp/pdor_spark_mwctable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang", F.col("n_chars").alias("val"))
+            .repartition(4),
+            root,
+        )
+        src = docs.filter(F.col("doc_id") % 4 < 2).select(
+            "doc_id", "lang", (F.col("n_chars") * 10).alias("val")
+        )
+        merge_into(
+            spark, root, src, "doc_id",
+            when_matched="delete", when_not_matched="insert",
+        )
+    return read_snapshot(spark, root).select("doc_id", "lang", "val")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -7175,6 +7219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_state": q_streaming_upsert_state,
         "delete_mask_compaction": q_delete_mask_compaction,
         "auc_exact": q_auc_exact,
+        "merge_when_clauses": q_merge_when_clauses,
         "reliability_bins": q_reliability_bins,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
@@ -10689,6 +10734,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
                         ELSE n_chars END AS val
             FROM documents
+        """,
+        "merge_when_clauses": """
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 4 = 1 THEN n_chars * 10
+                        ELSE n_chars END AS val
+            FROM documents
+            WHERE doc_id % 4 IN (1, 2)
         """,
         "auc_exact": """
             WITH scored AS (

@@ -5,6 +5,12 @@ job a lakehouse operator schedules nightly over every Iceberg-style table
     → retention DELETE (T173): merge-on-read position-delete commit for
       rows matching --delete-where (GDPR/TTL purges: masks land in
       del-*.parquet, data files are NEVER rewritten at delete time)
+    → delete-mask compaction (T204, --compact-masks): merge each data
+      file's stacked position-delete files into one, touching no data file
+    → binpack partial compaction (T202, --small-file-bytes B): rewrite
+      ONLY files under B bytes (plus masked files) — O(small files)
+      routine maintenance for streaming-append tables, where the z-order
+      rewrite below is the O(table) major compaction
     → z-order compaction (T174, --cluster-by a,b): rewrite into
       --target-files files along the Morton curve, applying + purging all
       outstanding delete masks (Iceberg's major compaction) and making
@@ -62,6 +68,12 @@ def main(argv=None, spark=None) -> int:
                         help="snapshot-table root (init_table layout)")
     parser.add_argument("--delete-where", default=None,
                         help="ANDed conjuncts col<op>lit joined by '&'")
+    parser.add_argument("--compact-masks", action="store_true",
+                        help="merge stacked position-delete files (one per "
+                        "data file) without touching data files")
+    parser.add_argument("--small-file-bytes", type=int, default=None,
+                        help="binpack-compact only data files under this "
+                        "many bytes (partial compaction)")
     parser.add_argument("--cluster-by", default=None,
                         help="comma-separated numeric columns to z-order by")
     parser.add_argument("--target-files", type=int, default=None,
@@ -83,6 +95,8 @@ def main(argv=None, spark=None) -> int:
         read_manifest,
         remove_orphan_files,
         rewrite_data_files,
+        rewrite_position_deletes,
+        rewrite_small_files,
     )
 
     own_session = spark is None
@@ -104,6 +118,24 @@ def main(argv=None, spark=None) -> int:
         summary["masked_files_after_delete"] = len(
             read_manifest(args.table, sid).get("delete_files", {})
         )
+
+    if args.compact_masks:
+        sid = rewrite_position_deletes(spark, args.table)
+        summary["mask_compaction_snapshot"] = sid
+        summary["masks_after_mask_compaction"] = sum(
+            len(v)
+            for v in read_manifest(args.table, sid)
+            .get("delete_files", {})
+            .values()
+        )
+
+    if args.small_file_bytes:
+        sid = rewrite_small_files(
+            spark, args.table, target_bytes=args.small_file_bytes
+        )
+        man = read_manifest(args.table, sid)
+        summary["partial_compaction_snapshot"] = sid
+        summary["files_after_partial_compaction"] = len(man["files"])
 
     cluster_by = (
         [c.strip() for c in args.cluster_by.split(",") if c.strip()]

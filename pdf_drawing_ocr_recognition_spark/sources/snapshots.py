@@ -1134,6 +1134,25 @@ def _read_file_set(
     return df
 
 
+def snapshot_as_of(root: str, ts: float) -> int:
+    """Iceberg's ``TIMESTAMP AS OF``: the snapshot that was current at
+    wall-clock *ts* — the latest commit whose timestamp is <= ts (every
+    commit became current the moment it landed; a later rollback re-
+    publishes the old content as a NEW commit, so resolution stays a
+    simple scan of the made-current log).  Raises if the table has no
+    commit that old (either never existed yet, or expiry dropped it —
+    time travel only reaches retained history)."""
+    best = None
+    for man in snapshot_log(root):
+        if man["ts"] <= ts and (best is None or man["ts"] > best[1]):
+            best = (man["snapshot_id"], man["ts"])
+    if best is None:
+        raise ValueError(
+            f"no retained snapshot at or before ts={ts} in {root}"
+        )
+    return best[0]
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
@@ -1141,6 +1160,7 @@ def read_snapshot(
     filters: list[tuple] | None = None,
     _file_col: str | None = None,
     ref: str | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """The table as of *snapshot_id* (default: current) — Iceberg's
     ``VERSION AS OF``.  Returns an empty, correctly-typed frame for an
@@ -1161,10 +1181,12 @@ def read_snapshot(
     file-granular over a table with outstanding deletes."""
     from pyspark.sql import functions as F
 
+    if sum(x is not None for x in (snapshot_id, ref, as_of_ts)) > 1:
+        raise ValueError("pass at most one of snapshot_id / ref / as_of_ts")
     if ref is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = resolve_ref(root, ref)
+    elif as_of_ts is not None:
+        snapshot_id = snapshot_as_of(root, as_of_ts)
     sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
     if sid is None:
         raise ValueError(f"table at {root} has no committed snapshot")
@@ -1380,11 +1402,27 @@ def merge_into(
     source: DataFrame,
     key_col: str,
     properties: dict | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
 ) -> int:
-    """Iceberg's copy-on-write ``MERGE INTO`` (WHEN MATCHED UPDATE SET *,
-    WHEN NOT MATCHED INSERT *), at FILE granularity: only data files that
-    contain a matched key are rewritten; every untouched file is carried
-    into the new snapshot BY NAME, never re-read or re-written.
+    """Iceberg's copy-on-write ``MERGE INTO`` at FILE granularity: only
+    data files that contain a matched key are rewritten; every untouched
+    file is carried into the new snapshot BY NAME, never re-read or
+    re-written.
+
+    The WHEN clauses mirror Iceberg's MERGE grammar:
+
+    * ``when_matched="update"`` (default) — matched target rows are
+      replaced by their source rows; ``"delete"`` — matched target rows
+      are removed and their source rows discarded;
+    * ``when_not_matched="insert"`` (default) — unmatched source rows are
+      inserted; ``"ignore"`` — they are dropped.
+
+    The default pair is the upsert fast path (kept rows ∪ source, no key
+    classification needed); other pairs classify the source against the
+    AFFECTED files' keys only — a matched key by definition lives in an
+    affected file, so the classification join is bounded by the rewritten
+    slice, never the table.
 
     That file granularity is the 100-TB property: a merge touching 0.1% of
     keys rewrites ~0.1% of files (plus the source), not the table.  The
@@ -1393,6 +1431,12 @@ def merge_into(
     bounded by the file count, never row count.  History stays
     time-travelable; commit conflicts surface as CommitConflictError.
     """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete: {when_matched}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore: {when_not_matched}"
+        )
     parent = current_snapshot_id(root)
     if parent is None:
         raise ValueError(f"table at {root} has no committed snapshot")
@@ -1418,15 +1462,41 @@ def merge_into(
         .collect()
     }
     untouched = [f for f in man["files"] if f not in affected]
+    if when_matched == "update" and when_not_matched == "insert":
+        src_part = source  # upsert fast path: semi ∪ anti = all of source
+    else:
+        # classify source rows against the affected files' keys only —
+        # every matched key lives in an affected file by construction
+        aff_keys = (
+            cur.filter(
+                F.col("_file").isin(*affected) if affected else F.lit(False)
+            )
+            .select(key_col)
+            .distinct()
+        )
+        parts = []
+        if when_matched == "update":
+            parts.append(source.join(aff_keys, key_col, "left_semi"))
+        if when_not_matched == "insert":
+            parts.append(source.join(aff_keys, key_col, "left_anti"))
+        src_part = None
+        for p in parts:
+            src_part = p if src_part is None else src_part.unionByName(p)
     if affected:
         kept_rows = (
             cur.filter(F.col("_file").isin(*affected))
             .drop("_file")
             .join(keys, key_col, "left_anti")
         )
-        new_data = kept_rows.unionByName(source)
+        new_data = (
+            kept_rows
+            if src_part is None
+            else kept_rows.unionByName(src_part)
+        )
+    elif src_part is None:
+        new_data = spark.createDataFrame([], schema)
     else:
-        new_data = source
+        new_data = src_part
     spec = man.get("partition_spec", [])
     added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
         new_data, root, spec

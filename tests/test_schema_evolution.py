@@ -309,3 +309,72 @@ class TestLegacyManifests:
         cur = read_snapshot(spark, root)
         assert "language" in cur.columns
         assert {r["language"] for r in cur.collect()} == {"en"}
+
+
+class TestMergeWhenClauses:
+    """T206: Iceberg MERGE WHEN-clause variants + TIMESTAMP AS OF."""
+
+    def _table(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        append_snapshot(_base(spark, 0, 10), root)
+        src = spark.createDataFrame(
+            [(8, 0, 800, "fr"), (9, 0, 900, "fr"),
+             (20, 0, 2000, "fr"), (21, 0, 2100, "fr")],
+            "doc_id long, flag int, score int, lang string",
+        )
+        return root, src
+
+    def test_matched_delete_unmatched_insert(self, spark, tmp_path):
+        root, src = self._table(spark, tmp_path)
+        merge_into(spark, root, src, "doc_id",
+                   when_matched="delete", when_not_matched="insert")
+        rows = {r["doc_id"]: r["lang"]
+                for r in read_snapshot(spark, root).collect()}
+        assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6, 7, 20, 21]
+        assert rows[20] == "fr" and rows[0] == "en"
+
+    def test_matched_update_unmatched_ignore(self, spark, tmp_path):
+        root, src = self._table(spark, tmp_path)
+        merge_into(spark, root, src, "doc_id",
+                   when_matched="update", when_not_matched="ignore")
+        rows = {r["doc_id"]: (r["score"], r["lang"])
+                for r in read_snapshot(spark, root).collect()}
+        assert sorted(rows) == list(range(10))
+        assert rows[8] == (800, "fr") and rows[7] == (7, "en")
+
+    def test_matched_delete_unmatched_ignore(self, spark, tmp_path):
+        root, src = self._table(spark, tmp_path)
+        merge_into(spark, root, src, "doc_id",
+                   when_matched="delete", when_not_matched="ignore")
+        assert sorted(
+            r["doc_id"] for r in read_snapshot(spark, root).collect()
+        ) == list(range(8))
+
+    def test_clause_validation(self, spark, tmp_path):
+        root, src = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="when_matched"):
+            merge_into(spark, root, src, "doc_id", when_matched="upsert")
+        with pytest.raises(ValueError, match="when_not_matched"):
+            merge_into(spark, root, src, "doc_id", when_not_matched="skip")
+
+    def test_timestamp_as_of(self, spark, tmp_path):
+        import time as _time
+
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_manifest,
+        )
+
+        root = str(tmp_path / "t")
+        append_snapshot(_base(spark, 0, 5), root)
+        append_snapshot(_base(spark, 5, 8), root)
+        t1 = read_manifest(root, 1)["ts"]
+        t2 = read_manifest(root, 2)["ts"]
+        mid = (t1 + t2) / 2
+        assert read_snapshot(spark, root, as_of_ts=mid).count() == 5
+        assert read_snapshot(
+            spark, root, as_of_ts=_time.time()
+        ).count() == 8
+        with pytest.raises(ValueError, match="no retained snapshot"):
+            read_snapshot(spark, root, as_of_ts=t1 - 10)
+        with pytest.raises(ValueError, match="at most one"):
+            read_snapshot(spark, root, snapshot_id=1, as_of_ts=mid)

@@ -107,3 +107,56 @@ class TestTableMaintenanceJob:
         assert summary["snapshot_after"] == 1
         assert summary["masked_files_before"] == 0
         assert summary["files_before"] >= 1
+
+
+class TestRoutineMaintenanceModes:
+    """T202/T204 in the job: mask compaction + partial binpack, composed."""
+
+    def test_compact_masks_and_small_files(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from jobs.run_table_maintenance import main
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            append_snapshot,
+            current_snapshot_id,
+            delete_from,
+            read_manifest,
+            read_snapshot,
+        )
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "t")
+        docs = spark.range(0, 20000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+        append_snapshot(docs.coalesce(1), root)  # one big file
+        for i in range(3):  # streaming-style small appends
+            append_snapshot(
+                spark.range(20000 + 3 * i, 20003 + 3 * i).select(
+                    F.col("id").alias("doc_id"), F.lit("de").alias("lang")
+                ).coalesce(1),
+                root,
+            )
+        delete_from(spark, root, [("doc_id", "<", 3)])
+        delete_from(spark, root, [("doc_id", "==", 7)])  # stacked masks
+        before = sorted(
+            r["doc_id"] for r in read_snapshot(spark, root).collect()
+        )
+        rc = main(
+            ["--table", root, "--compact-masks", "--small-file-bytes",
+             "50000", "--keep-last", "2", "--orphans-older-than", "0"],
+            spark=spark,
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        summary = _json.loads(out.split("table maintenance complete: ")[1])
+        assert summary["masks_after_mask_compaction"] <= 1
+        man = read_manifest(root, current_snapshot_id(root))
+        # small files binpacked; the big (masked→compacted) rewrite is fine
+        assert summary["files_after_partial_compaction"] < summary[
+            "files_before"
+        ]
+        assert sorted(
+            r["doc_id"] for r in read_snapshot(spark, root).collect()
+        ) == before
+        assert not man.get("delete_files")
