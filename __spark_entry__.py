@@ -3006,6 +3006,56 @@ def q_merge_when_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "val")
 
 
+def q_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T207 per-file bloom filters (round 5): documents committed with a
+    synthetic url key hash-distributed over 8 files — every file spans the
+    full url range, so manifest min/max bounds prune NOTHING for a point
+    lookup (the 10⁶-file problem: finding one url scans the table).
+    `compute_file_blooms` (one executor task per file, Puffin-style
+    blm-*.bin sidecars, field-id keyed) then lets plan_scan answer
+    "might this file contain v?" in O(k) bit probes: the lookup keeps ~1
+    of 8 files (pytest pins the skip counts; no false negatives, so
+    pruning stays provable-only and the row-wise re-filter guarantees
+    prune≡filter).  The query returns the min-doc_id row by URL equality
+    — a hash match proves lookup correctness THROUGH the bloom path.
+    DuckDB twin: the same point lookup without any bloom."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.file_blooms import (
+        compute_file_blooms,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        read_snapshot,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lo = docs.agg(F.min("doc_id").alias("lo")).collect()[0]["lo"]
+    root = f"/tmp/pdor_spark_bloomtable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.concat(F.lit("https://ex.org/"), F.col("doc_id")).alias(
+                    "url"
+                ),
+            ).repartition(8),
+            root,
+        )
+        compute_file_blooms(spark, root, "url", fp_rate=0.01)
+    return read_snapshot(
+        spark, root, filters=[("url", "==", f"https://ex.org/{int(lo)}")]
+    ).select("doc_id", "lang", "n_chars", "url")
+
+
 def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T173 Iceberg v2 merge-on-read DELETE (round 5 closing): commit
     `documents` range-partitioned into 8 files, then TWO position-delete
@@ -7220,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_mask_compaction": q_delete_mask_compaction,
         "auc_exact": q_auc_exact,
         "merge_when_clauses": q_merge_when_clauses,
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,
         "reliability_bins": q_reliability_bins,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
@@ -10734,6 +10785,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 = 0 THEN n_chars * 10
                         ELSE n_chars END AS val
             FROM documents
+        """,
+        "bloom_pruned_lookup": """
+            SELECT doc_id, lang, n_chars,
+                   'https://ex.org/' || doc_id AS url
+            FROM documents
+            WHERE doc_id = (SELECT min(doc_id) FROM documents)
         """,
         "merge_when_clauses": """
             SELECT doc_id, lang,

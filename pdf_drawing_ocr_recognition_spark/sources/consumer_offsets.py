@@ -127,7 +127,7 @@ def next_appends(
                 {f: v for f, v in man.get("file_schemas", {}).items()
                  if f in set(added)}
             )
-        elif op in ("alter-schema", "delete"):
+        elif op in ("alter-schema", "compute-stats", "delete"):
             # metadata-only / position-delete commits add no data rows (a
             # delete's del-*.parquet never enters the file list).  A
             # delete still needs the opt-in: rows it masked may already

@@ -602,6 +602,7 @@ def _commit(
     row_counts: dict[str, int] | None = None,
     file_sizes: dict[str, int] | None = None,
     parent_for_lineage: int | None = None,
+    blooms: dict[str, dict] | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
     schema_meta = {}
@@ -656,6 +657,13 @@ def _commit(
             f: (file_sizes or {}).get(f)
             for f in files
             if (file_sizes or {}).get(f) is not None
+        },
+        # per-file bloom sidecars ({file: {field_id: {ref, m, k}}}),
+        # carried by name like stats — see compute_file_blooms (T207)
+        "blooms": {
+            f: (blooms or {}).get(f)
+            for f in files
+            if (blooms or {}).get(f)
         },
         # merge-on-read position deletes ({data_file: [delete_file, ...]});
         # only entries for files still in this snapshot are carried — a
@@ -725,6 +733,7 @@ def append_snapshot(
         pparts = pman.get("partitions", {})
         prows = pman.get("row_counts", {})
         psizes = pman.get("file_sizes", {})
+        pblooms = pman.get("blooms", {})
         if partition_spec is None:
             partition_spec = pman.get("partition_spec", [])
         schemas, cur_sid, file_sids, last_fid = _schema_meta(pman)
@@ -733,6 +742,7 @@ def append_snapshot(
         )
     else:
         inherited, pstats, pdels, pparts, prows, psizes = [], {}, {}, {}, {}, {}
+        pblooms = {}
         fields = [
             _norm_field(f, i + 1)
             for i, f in enumerate(json.loads(df.schema.json())["fields"])
@@ -755,6 +765,7 @@ def append_snapshot(
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts={**prows, **rcounts},
         file_sizes={**psizes, **fsizes},
+        blooms=pblooms,
     )
 
 
@@ -914,7 +925,50 @@ def evolve_schema(
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
+        blooms=man.get("blooms", {}),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-file bloom filters (T207) — Iceberg-Puffin-style secondary stats for
+# POINT lookups on high-cardinality columns, where min/max bounds prune
+# nothing (a hash-distributed url/id column spans the full value range in
+# every file).  Bitmaps live in sidecar ``blm-*.bin`` files under data/
+# (sharing the expiry/orphan lifecycle); the manifest records, per data
+# file and FIELD ID (rename-proof), {ref, m, k}.  Build and probe share
+# one deterministic hash (md5 → Kirsch-Mitzenmacher double hashing over
+# the value's canonical string form, the same canonicalization as bucket
+# transforms), so a planner probe can never disagree with the build.
+# Blooms have no false negatives ⇒ pruning stays provable-only; a false
+# positive just keeps a file the row-wise re-filter empties.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(value, m_bits: int, k: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _bloom_might_contain(root: str, meta: dict, val, _cache: dict) -> bool:
+    """Probe one file's sidecar bloom; True = the file may contain *val*
+    (missing/unreadable sidecars read as True — never optimistic)."""
+    ref = meta["ref"]
+    bits = _cache.get(ref)
+    if bits is None:
+        try:
+            with open(os.path.join(_data_dir(root), ref), "rb") as f:
+                bits = f.read()
+        except OSError:
+            return True
+        _cache[ref] = bits
+    for p in _bloom_positions(val, int(meta["m"]), int(meta["k"])):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
 
 
 # predicate ops understood by the manifest pruner; a file is skipped when
@@ -943,6 +997,8 @@ def plan_scan(
     man = read_manifest(root, snapshot_id)
     stats = man.get("stats", {})
     partitions = man.get("partitions", {})
+    blooms = man.get("blooms", {})
+    bloom_cache: dict[str, bytes] = {}
     schemas, cur_sid, file_sids, _ = _schema_meta(man)
     cur_ids = {f["name"]: f["id"] for f in schemas[cur_sid]}
     kept, skipped = [], []
@@ -979,6 +1035,17 @@ def plan_scan(
                 entry["source"] == pname
                 and _partition_prunes(entry, pv, op, val)
                 for entry, pv in slots
+            ):
+                dead = True
+                break
+            # per-file bloom (point lookups only — blooms answer
+            # membership, so == is the only provable op); sidecars load
+            # lazily and only for files the cheaper checks kept
+            bmeta = blooms.get(f, {}).get(str(fid)) if fid else None
+            if (
+                op == "=="
+                and bmeta
+                and not _bloom_might_contain(root, bmeta, val, bloom_cache)
             ):
                 dead = True
                 break
@@ -1331,6 +1398,7 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
         file_schemas=pfsids, last_field_id=plast,
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
+        blooms=man.get("blooms", {}),
     )
 
 
@@ -1356,9 +1424,9 @@ def read_appends_between(
     sid = to_id
     while sid > from_id:
         man = read_manifest(root, sid)
-        # metadata-only schema commits add no files, so an appends-only
-        # range may cross them (Iceberg's incremental read does the same)
-        if man["operation"] not in ("append", "alter-schema"):
+        # metadata-only commits (schema changes, stats) add no files, so
+        # an appends-only range crosses them (as Iceberg's incremental read)
+        if man["operation"] not in ("append", "alter-schema", "compute-stats"):
             raise ValueError(
                 f"snapshot {sid} is '{man['operation']}' — incremental "
                 f"append reads are only defined across append commits"
@@ -1527,6 +1595,7 @@ def merge_into(
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts={**man.get("row_counts", {}), **rcounts},
         file_sizes={**man.get("file_sizes", {}), **fsizes},
+        blooms=man.get("blooms", {}),
     )
 
 
@@ -1657,6 +1726,7 @@ def rewrite_position_deletes(spark: SparkSession, root: str) -> int:
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
+        blooms=man.get("blooms", {}),
         properties={"rewritten_delete_files": sum(
             len(v) for v in targets.values()
         )},
@@ -1693,6 +1763,7 @@ def rollback_to(root: str, snapshot_id: int) -> int:
         file_schemas=file_sids, last_field_id=last_fid,
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
+        blooms=man.get("blooms", {}),
         parent_for_lineage=snapshot_id,
         properties={"rolled_back_from": parent},
     )
@@ -1769,6 +1840,7 @@ def rewrite_small_files(
         file_schemas=keep_sids, last_field_id=last_fid,
         row_counts={**man.get("row_counts", {}), **rcounts},
         file_sizes={**sizes, **fsizes},
+        blooms=man.get("blooms", {}),
     )
 
 
@@ -1841,11 +1913,18 @@ def resolve_ref(root: str, name: str) -> int:
 
 
 def _manifest_all_files(man: dict) -> list[str]:
-    """Every file a manifest references: data files AND position-delete
-    files (both live under data/ and share the expiry/orphan lifecycle)."""
-    return man["files"] + [
-        d for ds in man.get("delete_files", {}).values() for d in ds
-    ]
+    """Every file a manifest references: data files, position-delete
+    files, AND bloom sidecars (all live under data/ and share the
+    expiry/orphan lifecycle)."""
+    return (
+        man["files"]
+        + [d for ds in man.get("delete_files", {}).values() for d in ds]
+        + [
+            meta["ref"]
+            for per_file in man.get("blooms", {}).values()
+            for meta in per_file.values()
+        ]
+    )
 
 
 def expire_snapshots(root: str, keep_last: int) -> dict:
