@@ -11,6 +11,8 @@ job a lakehouse operator schedules nightly over every Iceberg-style table
       ONLY files under B bytes (plus masked files) — O(small files)
       routine maintenance for streaming-append tables, where the z-order
       rewrite below is the O(table) major compaction
+    → bloom compute (T207, --bloom-col url): Puffin-style per-file bloom
+      sidecars for point-lookup file skipping, one task per missing file
     → z-order compaction (T174, --cluster-by a,b): rewrite into
       --target-files files along the Morton curve, applying + purging all
       outstanding delete masks (Iceberg's major compaction) and making
@@ -74,6 +76,9 @@ def main(argv=None, spark=None) -> int:
     parser.add_argument("--small-file-bytes", type=int, default=None,
                         help="binpack-compact only data files under this "
                         "many bytes (partial compaction)")
+    parser.add_argument("--bloom-col", default=None,
+                        help="build per-file bloom sidecars for this column "
+                        "(point-lookup file skipping)")
     parser.add_argument("--cluster-by", default=None,
                         help="comma-separated numeric columns to z-order by")
     parser.add_argument("--target-files", type=int, default=None,
@@ -151,6 +156,17 @@ def main(argv=None, spark=None) -> int:
         summary["compaction_snapshot"] = sid
         summary["files_after_compaction"] = len(man["files"])
         summary["masks_after_compaction"] = len(man.get("delete_files", {}))
+
+    if args.bloom_col:
+        from pdf_drawing_ocr_recognition_spark.sources.file_blooms import (
+            compute_file_blooms,
+        )
+
+        sid = compute_file_blooms(spark, args.table, args.bloom_col)
+        summary["bloom_snapshot"] = sid
+        summary["bloom_files"] = len(
+            read_manifest(args.table, sid).get("blooms", {})
+        )
 
     if args.keep_last:
         summary["expiry"] = expire_snapshots(args.table, args.keep_last)
