@@ -738,7 +738,7 @@ class TestRefs:
         with pytest.raises(ValueError, match="unknown ref"):
             drop_ref(root, "nope")
         set_ref(root, "x", 1)
-        with pytest.raises(ValueError, match="not both"):
+        with pytest.raises(ValueError, match="at most one"):
             read_snapshot(spark, root, snapshot_id=1, ref="x")
         drop_ref(root, "x")
         with pytest.raises(ValueError, match="unknown ref"):
