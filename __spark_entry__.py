@@ -3106,6 +3106,61 @@ def q_snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
 
 
+def q_eq_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T208 Iceberg v2 equality deletes + one-commit upsert (round 5,
+    fourth sitting): commit `documents`, then (2) an EQUALITY DELETE of
+    the doc_id % 10 == 3 keys — O(keys) commit, only ``eqdel-*.parquet``
+    key files written, NO data file scanned or rewritten at delete time
+    (the anti-join is deferred to read, pytest pins the file list) — then
+    (3) a Flink-style UPSERT of new versions of the doc_id % 10 == 7 rows
+    (n_chars + 1,000,000) as ONE commit whose equality-delete half and
+    data files share a sequence number, and (4) a plain re-append of
+    doc_id % 100 == 3 rows (n_chars + 5,000,000).  The final read proves
+    all three v2 semantics at once: the %10==3 originals are gone, the
+    %10==7 rows show exactly the upserted version (old hidden, new
+    visible — strict seq< scoping within one commit), and the re-appended
+    %100==3 rows survive BOTH earlier delete entries because their files
+    are newer (Iceberg's data_sequence_number rule).  The DuckDB twin is
+    the three-branch union."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_where_eq,
+        read_snapshot,
+        upsert_eq,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = f"/tmp/pdor_spark_eqtable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 4
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(8, "doc_id"), root)
+        delete_where_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        )
+        upsert_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 7).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(1000000)
+            ),
+            ["doc_id"],
+        )
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 100 == 3).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(5000000)
+            ),
+            root,
+        )
+    return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7274,6 +7329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reliability_bins": q_reliability_bins,
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
+        "eq_delete_upsert": q_eq_delete_upsert,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -10721,6 +10777,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 2 = 0
               AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
+        """,
+        "eq_delete_upsert": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 NOT IN (3, 7)
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+            FROM documents WHERE doc_id % 10 = 7
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 5000000 AS n_chars
+            FROM documents WHERE doc_id % 100 = 3
         """,
         "hidden_partition_scan": """
             WITH rng AS (

@@ -127,16 +127,34 @@ def next_appends(
                 {f: v for f, v in man.get("file_schemas", {}).items()
                  if f in set(added)}
             )
-        elif op in ("alter-schema", "compute-stats", "delete"):
-            # metadata-only / position-delete commits add no data rows (a
-            # delete's del-*.parquet never enters the file list).  A
-            # delete still needs the opt-in: rows it masked may already
+        elif op in ("alter-schema", "compute-stats", "delete", "eq-delete"):
+            # metadata-only / delete commits add no data rows (a delete's
+            # del-*.parquet / eqdel-*.parquet never enters the file list).
+            # A delete still needs the opt-in: rows it masked may already
             # have been delivered, and tailing semantics won't retract.
-            if op == "delete" and not skip_non_appends:
+            if op in ("delete", "eq-delete") and not skip_non_appends:
                 raise ValueError(
-                    f"snapshot {sid} is 'delete' — pass "
+                    f"snapshot {sid} is {op!r} — pass "
                     f"skip_non_appends=True to tail across it"
                 )
+        elif op == "upsert":
+            # an upsert's added files are genuinely NEW row versions, never
+            # rewrites of already-delivered rows — deliver them; the
+            # retraction of the superseded versions (its equality-delete
+            # half) is what the opt-in acknowledges, exactly as for
+            # 'delete'/'eq-delete' above.
+            if not skip_non_appends:
+                raise ValueError(
+                    f"snapshot {sid} is 'upsert' — its equality-delete "
+                    f"half retracts rows tailing semantics won't; pass "
+                    f"skip_non_appends=True to receive its new row "
+                    f"versions anyway"
+                )
+            delta_files.extend(added)
+            file_sids.update(
+                {f: v for f, v in man.get("file_schemas", {}).items()
+                 if f in set(added)}
+            )
         elif skip_non_appends:
             continue  # replace/overwrite/merge: rewritten rows, skipped
         else:

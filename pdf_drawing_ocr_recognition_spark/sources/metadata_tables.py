@@ -80,6 +80,8 @@ def metadata_files(
     parts = man.get("partitions", {})
     dels = man.get("delete_files", {})
     stats = man.get("stats", {})
+    seqs = man.get("seqs", {})
+    eq = man.get("eq_deletes", [])
     rows = [
         (
             f,
@@ -87,6 +89,10 @@ def metadata_files(
             file_sids.get(f, cur_sid),
             json.dumps(parts.get(f), sort_keys=True) if parts.get(f) else None,
             len(dels.get(f, ())),
+            # Iceberg v2's data_sequence_number (0 = predates sequencing)
+            int(seqs.get(f, 0)),
+            # equality-delete entries scoped to this file (seq-strict)
+            sum(1 for e in eq if int(seqs.get(f, 0)) < int(e["seq"])),
             json.dumps(stats.get(f, {}), sort_keys=True),
         )
         for f in man["files"]
@@ -94,7 +100,8 @@ def metadata_files(
     return spark.createDataFrame(
         rows,
         "file string, record_count long, schema_id long, partition string, "
-        "n_delete_files long, bounds string",
+        "n_delete_files long, data_sequence_number long, "
+        "n_eq_deletes long, bounds string",
     )
 
 

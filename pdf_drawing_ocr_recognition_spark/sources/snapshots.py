@@ -603,8 +603,36 @@ def _commit(
     file_sizes: dict[str, int] | None = None,
     parent_for_lineage: int | None = None,
     blooms: dict[str, dict] | None = None,
+    seqs: dict[str, int] | None = None,
+    eq_deletes: list[dict] | None = None,
 ) -> int:
     new_id = (parent or 0) + 1
+    # data sequence numbers (Iceberg v2): every data file records the
+    # commit that ADDED it; equality deletes apply only to files with a
+    # strictly smaller sequence.  None = inherit the parent manifest's
+    # (the common case — only rollback passes them explicitly, because its
+    # files belong to the TARGET manifest, not the allocation parent);
+    # legacy files default to 0 = "written before any delete".
+    if (seqs is None or eq_deletes is None) and parent:
+        _pman = read_manifest(root, parent)
+        if seqs is None:
+            seqs = _pman.get("seqs", {})
+        if eq_deletes is None:
+            eq_deletes = _pman.get("eq_deletes", [])
+    seqs, eq_deletes = seqs or {}, eq_deletes or []
+    added_set = set(added)
+    final_seqs = {
+        f: (new_id if f in added_set else int(seqs.get(f, 0))) for f in files
+    }
+    # an equality-delete entry is live iff some file in THIS snapshot was
+    # written before it; rewrites stamp new sequences, so a full compaction
+    # (or overwrite) purges every entry automatically — the files the dead
+    # entries reference stay on disk until the snapshots that carried them
+    # expire (time travel still sees them applied)
+    live_eq = [
+        e for e in eq_deletes
+        if any(final_seqs[f] < e["seq"] for f in files)
+    ]
     schema_meta = {}
     if schemas is not None:
         # field-id schema log: full log (ids are permanent, never reused),
@@ -665,6 +693,12 @@ def _commit(
             for f in files
             if (blooms or {}).get(f)
         },
+        # per-file data sequence numbers (Iceberg v2's data_sequence_number)
+        # and the live equality-delete entries
+        # ([{refs, seq, field_ids, n_rows}]) they scope — an entry deletes
+        # rows BY KEY VALUE from every data file with seq < entry seq
+        "seqs": final_seqs,
+        "eq_deletes": live_eq,
         # merge-on-read position deletes ({data_file: [delete_file, ...]});
         # only entries for files still in this snapshot are carried — a
         # rewritten/dropped data file takes its masks with it
@@ -1142,16 +1176,17 @@ def _merge_read(
     return plan.mapInPandas(scan, schema=out_schema)
 
 
-def _read_file_set(
+def _read_file_set_raw(
     spark: SparkSession,
     root: str,
     man: dict,
     files: list[str],
     file_col: str | None = None,
 ) -> DataFrame:
-    """Scan *files* under *man*'s logical schema with delete masks applied
-    — the body of read_snapshot, reusable on a file SUBSET (partial
-    compaction reads only its input files through this)."""
+    """Scan *files* under *man*'s logical schema with position-delete
+    masks applied — the physical body of read_snapshot.  Equality deletes
+    are applied by the :func:`_read_file_set` wrapper (they scope by
+    sequence number across files; masks scope per file)."""
     from pyspark.sql import functions as F
 
     schema = StructType.fromJson(man["schema"])
@@ -1199,6 +1234,111 @@ def _read_file_set(
     for extra in parts[1:]:
         df = df.unionByName(extra)
     return df
+
+
+def _eq_entry_keys(
+    spark: SparkSession, root: str, man: dict, entries: list[dict]
+) -> DataFrame:
+    """One deduplicated key frame for same-keyset *entries*: the recorded
+    key tuples, resolved to the CURRENT logical names by field id
+    (rename-proof — each entry stores the names it wrote under in
+    ``cols[field_id]``) and cast to the current logical types (so a column
+    widened after the delete still matches; widening casts are exact)."""
+    from pyspark.sql import functions as F
+
+    schemas, cur_sid, _fs, _last = _schema_meta(man)
+    by_id = {f["id"]: f for f in schemas[cur_sid]}
+    fids = sorted(int(i) for i in entries[0]["field_ids"])
+    parts = []
+    for e in entries:
+        paths = [os.path.join(_data_dir(root), r) for r in e["refs"]]
+        df = spark.read.parquet(*paths)
+        cols = []
+        for fid in fids:
+            lf = by_id[fid]
+            dt = _struct_of([lf]).fields[0].dataType
+            cols.append(F.col(e["cols"][str(fid)]).cast(dt).alias(lf["name"]))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _apply_eq_deletes(
+    spark: SparkSession, root: str, man: dict, df: DataFrame,
+    entries: list[dict],
+) -> DataFrame:
+    """Drop from *df* every row matching any of *entries*' key tuples —
+    one broadcast LEFT ANTI join per distinct keyset (entries sharing a
+    keyset union their keys first).  Matching is null-safe (IS NOT
+    DISTINCT FROM), as the Iceberg spec requires for equality deletes."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    schemas, cur_sid, _fs, _last = _schema_meta(man)
+    by_id = {f["id"]: f for f in schemas[cur_sid]}
+    groups: dict[tuple, list[dict]] = defaultdict(list)
+    for e in entries:
+        groups[tuple(sorted(int(i) for i in e["field_ids"]))].append(e)
+    for fids in sorted(groups):
+        keys = _eq_entry_keys(spark, root, man, groups[fids])
+        names = [by_id[fid]["name"] for fid in fids]
+        k = keys.select(
+            *[F.col(n).alias(f"__eqk_{i}") for i, n in enumerate(names)]
+        )
+        cond = None
+        for i, n in enumerate(names):
+            c = F.col(n).eqNullSafe(F.col(f"__eqk_{i}"))
+            cond = c if cond is None else (cond & c)
+        df = df.join(F.broadcast(k), cond, "left_anti")
+    return df
+
+
+def _read_file_set(
+    spark: SparkSession,
+    root: str,
+    man: dict,
+    files: list[str],
+    file_col: str | None = None,
+) -> DataFrame:
+    """Scan *files* under *man*'s logical schema with ALL deletes applied
+    — the body of read_snapshot, reusable on a file SUBSET (partial
+    compaction reads only its input files through this; applying equality
+    deletes HERE is what keeps a partial rewrite from resurrecting
+    deleted rows under a fresh sequence number).
+
+    Equality deletes (v2) scope at PLAN time by data sequence number: an
+    entry deletes rows only from files written STRICTLY BEFORE it, so the
+    file list partitions into groups by applicable-entry set — files no
+    entry applies to (everything written after the last delete, or any
+    table that never saw one) keep the untouched vectorized path."""
+    eq = man.get("eq_deletes", [])
+    if not eq:
+        return _read_file_set_raw(spark, root, man, files, file_col)
+    seqs = man.get("seqs", {})
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(
+            i for i, e in enumerate(eq)
+            if int(seqs.get(f, 0)) < int(e["seq"])
+        )
+        groups.setdefault(key, []).append(f)
+    if not groups:
+        return _read_file_set_raw(spark, root, man, [], file_col)
+    parts = []
+    for key in sorted(groups):
+        df = _read_file_set_raw(spark, root, man, groups[key], file_col)
+        if key:
+            df = _apply_eq_deletes(
+                spark, root, man, df, [eq[i] for i in key]
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def snapshot_as_of(root: str, ts: float) -> int:
@@ -1399,6 +1539,195 @@ def delete_from(spark: SparkSession, root: str, filters: list[tuple]) -> int:
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
         blooms=man.get("blooms", {}),
+    )
+
+
+def _write_eq_delete_files(keys: DataFrame, root: str) -> tuple[list[str], int]:
+    """Write *keys* (assumed already distinct) as ``eqdel-*.parquet``
+    under data/ — one Spark write, empty shuffle parts skipped.  Returns
+    (relative names, n_keys); n_keys == 0 writes nothing."""
+    import pyarrow.parquet as pq
+
+    commit_uuid = uuid.uuid4().hex[:12]
+    staging = os.path.join(root, f".staging-eqdel-{commit_uuid}")
+    keys.write.mode("overwrite").parquet(staging)
+    names: list[str] = []
+    n_keys = 0
+    parts = sorted(
+        p for p in os.listdir(staging) if p.endswith(".parquet")
+    )
+    for i, part in enumerate(parts):
+        src = os.path.join(staging, part)
+        md = pq.ParquetFile(src).metadata
+        if md.num_rows == 0:
+            continue
+        name = f"eqdel-{commit_uuid}-{i:05d}.parquet"
+        os.replace(src, os.path.join(_data_dir(root), name))
+        names.append(name)
+        n_keys += md.num_rows
+    shutil.rmtree(staging, ignore_errors=True)
+    return names, n_keys
+
+
+def _eq_key_fields(man: dict, key_schema: StructType) -> list[dict]:
+    """Validate an equality-delete key schema against *man*'s current
+    logical schema and return the matched logical fields.  Keys resolve by
+    name at WRITE time but are recorded by field id (rename-proof after).
+    A key column must exist, and its type must equal the logical type or
+    widen exactly into it (int keys on a long column match after the cast;
+    long keys on an int column could overflow-wrap — refused)."""
+    schemas, cur_sid, _fs, _last = _schema_meta(man)
+    by_name = {f["name"]: f for f in schemas[cur_sid]}
+    out = []
+    for sf in json.loads(key_schema.json())["fields"]:
+        lf = by_name.get(sf["name"])
+        if lf is None:
+            raise ValueError(
+                f"unknown key column {sf['name']!r} in equality delete"
+            )
+        if not (sf["type"] == lf["type"] or _widens_to(sf["type"], lf["type"])):
+            raise ValueError(
+                f"key column {sf['name']!r}: type {sf['type']!r} does not "
+                f"match table type {lf['type']!r} (exact or widening only)"
+            )
+        out.append(lf)
+    if not out:
+        raise ValueError("equality delete needs at least one key column")
+    return out
+
+
+def delete_where_eq(spark: SparkSession, root: str, keys: DataFrame) -> int:
+    """Iceberg v2 EQUALITY DELETE: delete every row whose key columns
+    match a row of *keys* — committing ONLY the key values
+    (``eqdel-*.parquet``), never scanning or rewriting a data file.
+
+    This is the CDC/streaming delete: commit cost is O(|keys|) no matter
+    how large the table is.  :func:`delete_from` (position deletes) scans
+    the matched files at delete time to find row positions; an equality
+    delete defers that work to read time, where it is a broadcast
+    anti-join.  Scoping is by *data sequence number* (Iceberg v2's
+    ``data_sequence_number`` rule): the entry applies only to files
+    written STRICTLY BEFORE it, so a later append of the same key is
+    visible — :func:`upsert_eq` relies on exactly this to delete+insert in
+    one commit.  Matching is null-safe (IS NOT DISTINCT FROM, per the
+    Iceberg spec).  Files newer than every entry keep the untouched
+    vectorized scan; a major compaction / overwrite re-sequences every
+    file, so the commit path purges dead entries automatically and their
+    key files age out with snapshot expiry.
+
+    Key columns resolve by name now but are recorded by FIELD ID, so the
+    entry keeps applying across renames and widens (like column stats).
+    An empty *keys* frame, or a table with no data files, commits nothing
+    and returns the parent id (no empty commits, as Iceberg)."""
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, parent)
+    key_fields = _eq_key_fields(man, keys.schema)
+    if not man["files"]:
+        return parent  # nothing older than the entry could ever exist
+    names, n_keys = _write_eq_delete_files(keys.distinct(), root)
+    if n_keys == 0:
+        return parent
+    entry = {
+        "refs": names,
+        "seq": parent + 1,
+        "field_ids": [lf["id"] for lf in key_fields],
+        "cols": {str(lf["id"]): lf["name"] for lf in key_fields},
+        "n_rows": n_keys,
+    }
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    return _commit(
+        root, parent, man["files"], [], 0, json.dumps(man["schema"]),
+        "eq-delete",
+        stats=man.get("stats", {}),
+        delete_files=man.get("delete_files", {}),
+        partition_spec=man.get("partition_spec", []),
+        partitions=man.get("partitions", {}),
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
+        row_counts=man.get("row_counts", {}),
+        file_sizes=man.get("file_sizes", {}),
+        blooms=man.get("blooms", {}),
+        eq_deletes=man.get("eq_deletes", []) + [entry],
+        properties={"eq_delete_keys": n_keys},
+    )
+
+
+def upsert_eq(
+    spark: SparkSession, root: str, rows: DataFrame, key_cols: list[str]
+) -> int:
+    """Flink-style Iceberg v2 UPSERT in ONE commit: an equality-delete
+    entry on *key_cols* plus the appended *rows*, both at the new
+    snapshot's sequence number.  The strict ``seq <`` rule makes the entry
+    delete every OLDER version of the batch's keys while leaving the
+    batch's own rows (same sequence) visible — the classical
+    changelog-to-table sink.
+
+    Cost is O(|batch|) regardless of table size: :func:`merge_into` (COW)
+    reads the affected slice and rewrites every affected data file; this
+    writes only the batch and its key values.  The price moves to read
+    time (the anti-join) until compaction re-sequences the table.
+    Duplicate keys WITHIN the batch fail loudly — two versions of one key
+    in one commit would BOTH survive (neither is older than the other);
+    resolve order upstream, e.g. with the T203 last-wins reduction.
+    On an empty table this is a plain append."""
+    from pyspark.sql import functions as F
+
+    for c in key_cols:
+        if c not in rows.columns:
+            raise ValueError(f"key column {c!r} not in the upsert batch")
+    init_table(root)
+    parent = current_snapshot_id(root)
+    if parent is None:
+        return append_snapshot(rows, root)
+    dup = (
+        rows.groupBy(*[F.col(c) for c in key_cols])
+        .count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        key_repr = {c: dup[0][c] for c in key_cols}
+        raise ValueError(
+            f"duplicate key in upsert batch: {key_repr} — both versions "
+            f"would survive one commit; reduce to one row per key first"
+        )
+    man = read_manifest(root, parent)
+    key_fields = _eq_key_fields(man, rows.select(*key_cols).schema)
+    spec = man.get("partition_spec", [])
+    schemas, cur_sid, file_sids, last_fid = _schema_meta(man)
+    schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+        schemas, cur_sid, last_fid, rows.schema
+    )
+    added, n_rows, _sj, stats, parts, rcounts, fsizes = _write_data_files(
+        rows, root, spec
+    )
+    file_sids.update({f: file_sid for f in added})
+    eq_entries = man.get("eq_deletes", [])
+    if man["files"]:  # entry on an empty table would be dead on arrival
+        names, n_keys = _write_eq_delete_files(
+            rows.select(*key_cols).distinct(), root
+        )
+        if n_keys:
+            eq_entries = eq_entries + [{
+                "refs": names,
+                "seq": parent + 1,
+                "field_ids": [lf["id"] for lf in key_fields],
+                "cols": {str(lf["id"]): lf["name"] for lf in key_fields},
+                "n_rows": n_keys,
+            }]
+    return _commit(
+        root, parent, man["files"] + added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "upsert",
+        stats={**man.get("stats", {}), **stats},
+        delete_files=man.get("delete_files", {}),
+        partition_spec=spec,
+        partitions={**man.get("partitions", {}), **parts},
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
+        row_counts={**man.get("row_counts", {}), **rcounts},
+        file_sizes={**man.get("file_sizes", {}), **fsizes},
+        blooms=man.get("blooms", {}),
+        eq_deletes=eq_entries,
     )
 
 
@@ -1764,6 +2093,10 @@ def rollback_to(root: str, snapshot_id: int) -> int:
         row_counts=man.get("row_counts", {}),
         file_sizes=man.get("file_sizes", {}),
         blooms=man.get("blooms", {}),
+        # the files belong to the TARGET manifest — inherit ITS sequence
+        # numbers and equality deletes, not the allocation parent's
+        seqs=man.get("seqs", {}),
+        eq_deletes=man.get("eq_deletes", []),
         parent_for_lineage=snapshot_id,
         properties={"rolled_back_from": parent},
     )
@@ -1914,11 +2247,12 @@ def resolve_ref(root: str, name: str) -> int:
 
 def _manifest_all_files(man: dict) -> list[str]:
     """Every file a manifest references: data files, position-delete
-    files, AND bloom sidecars (all live under data/ and share the
-    expiry/orphan lifecycle)."""
+    files, equality-delete files, AND bloom sidecars (all live under
+    data/ and share the expiry/orphan lifecycle)."""
     return (
         man["files"]
         + [d for ds in man.get("delete_files", {}).values() for d in ds]
+        + [r for e in man.get("eq_deletes", []) for r in e["refs"]]
         + [
             meta["ref"]
             for per_file in man.get("blooms", {}).values()
