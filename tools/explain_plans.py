@@ -1240,6 +1240,27 @@ def main() -> int:
         ("schema_evolution_scan", "no Window operator", "Window" not in evo_plan)
     )
 
+    # T208 equality deletes: the read-time cost is a BROADCAST null-safe
+    # LEFT ANTI join — never a shuffle/sort of the data side — and files
+    # newer than every entry keep the plain vectorized scan (the Union's
+    # other branch)
+    grab(
+        "eq_delete_upsert",
+        em.q_eq_delete_upsert(spark, sf),
+        "BroadcastHashJoin",
+        "LeftAnti",
+        "Union",
+    )
+    eqd_plan = sections[-1][1]
+    checks.append(
+        ("eq_delete_upsert", "no SortMergeJoin (anti stays broadcast)",
+         "SortMergeJoin" not in eqd_plan)
+    )
+    checks.append(
+        ("eq_delete_upsert", "no Python stage (pure scans + anti-joins)",
+         "MapInPandas" not in eqd_plan and "BatchEvalPython" not in eqd_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
