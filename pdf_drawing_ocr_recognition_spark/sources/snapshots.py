@@ -1655,7 +1655,11 @@ def delete_where_eq(spark: SparkSession, root: str, keys: DataFrame) -> int:
 
 
 def upsert_eq(
-    spark: SparkSession, root: str, rows: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    root: str,
+    rows: DataFrame,
+    key_cols: list[str],
+    properties: dict | None = None,
 ) -> int:
     """Flink-style Iceberg v2 UPSERT in ONE commit: an equality-delete
     entry on *key_cols* plus the appended *rows*, both at the new
@@ -1680,7 +1684,7 @@ def upsert_eq(
     init_table(root)
     parent = current_snapshot_id(root)
     if parent is None:
-        return append_snapshot(rows, root)
+        return append_snapshot(rows, root, properties=properties)
     dup = (
         rows.groupBy(*[F.col(c) for c in key_cols])
         .count().filter(F.col("count") > 1).limit(1).collect()
@@ -1719,6 +1723,7 @@ def upsert_eq(
         root, parent, man["files"] + added, added, n_rows,
         json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), "upsert",
         stats={**man.get("stats", {}), **stats},
+        properties=properties,
         delete_files=man.get("delete_files", {}),
         partition_spec=spec,
         partitions={**man.get("partitions", {}), **parts},

@@ -78,6 +78,40 @@ def snapshot_sink(root: str, stream_id: str = "default"):
     return _sink
 
 
+def _one_row_per_key(
+    batch_df: DataFrame, batch_id: int, key_col: str, order_col: str | None
+) -> DataFrame:
+    """Reduce a CDC micro-batch to one row per key.  With *order_col* (an
+    event-time / LSN column): the latest version per key as ONE
+    map-combinable aggregation, no window — max over a struct ordered
+    (order_col, remaining cols), a TOTAL order, so ties on order_col break
+    deterministically by the remaining columns (max_by would pick
+    arbitrarily on ties); the version column stays in the table (CDC
+    consumers audit it).  Without it, source keys must be unique and the
+    batch fails loudly otherwise — silently merging duplicate keys would
+    write BOTH rows and corrupt the upsert contract."""
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        rest = [c for c in batch_df.columns if c not in (key_col, order_col)]
+        latest = batch_df.groupBy(key_col).agg(
+            F.max(F.struct(order_col, *rest)).alias("_row")
+        )
+        return latest.select(
+            key_col,
+            *[F.col(f"_row.{c}").alias(c) for c in batch_df.columns
+              if c != key_col],
+        )
+    dup = batch_df.groupBy(key_col).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(
+            f"batch {batch_id} has duplicate {key_col!r} values and no "
+            f"order_col — an upsert needs one row per key (pass "
+            f"order_col to keep the latest version per key)"
+        )
+    return batch_df
+
+
 def snapshot_upsert_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -110,31 +144,7 @@ def snapshot_upsert_batch(
     if batch_id in committed_batch_ids(root, stream_id):
         return None
     props = {"streaming_batch_id": int(batch_id), "stream_id": stream_id}
-    if order_col is not None:
-        # latest version per key as ONE map-combinable aggregation, no
-        # window: max over a struct ordered (order_col, remaining cols) —
-        # a TOTAL order, so ties on order_col break deterministically by
-        # the remaining columns (max_by would pick arbitrarily on ties);
-        # the version column stays in the table (CDC consumers audit it)
-        rest = [c for c in batch_df.columns if c not in (key_col, order_col)]
-        latest = batch_df.groupBy(key_col).agg(
-            F.max(F.struct(order_col, *rest)).alias("_row")
-        )
-        batch_df = latest.select(
-            key_col,
-            *[F.col(f"_row.{c}").alias(c) for c in batch_df.columns
-              if c != key_col],
-        )
-    else:
-        dup = (
-            batch_df.groupBy(key_col).count().filter(F.col("count") > 1)
-        )
-        if dup.limit(1).count() > 0:
-            raise ValueError(
-                f"batch {batch_id} has duplicate {key_col!r} values and no "
-                f"order_col — an upsert needs one row per key (pass "
-                f"order_col to keep the latest version per key)"
-            )
+    batch_df = _one_row_per_key(batch_df, batch_id, key_col, order_col)
     try:
         cur = current_snapshot_id(root)
     except Exception:
@@ -144,6 +154,62 @@ def snapshot_upsert_batch(
     return merge_into(
         batch_df.sparkSession, root, batch_df, key_col, properties=props
     )
+
+
+def snapshot_upsert_eq_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str,
+    stream_id: str = "default",
+    order_col: str | None = None,
+) -> int | None:
+    """``foreachBatch`` body for the MERGE-ON-READ CDC upsert sink
+    (T209): each micro-batch lands via :func:`~..sources.snapshots.
+    upsert_eq` as ONE equality-delete + append commit.
+
+    This is the Flink→Iceberg v2 upsert topology, and the one that
+    actually survives a steady update stream at 10¹²-doc scale: the COW
+    sink (:func:`snapshot_upsert_batch` / merge_into) rewrites every data
+    file a batch's keys touch — a uniform key stream eventually rewrites
+    the whole table every few hours — while this sink's write cost is
+    O(batch) FOREVER (only the batch's data files and an eqdel key file),
+    deferring reconciliation to read-time broadcast anti-joins and the
+    routine compaction that re-sequences files and purges the entries.
+    Pair it with :func:`~..sources.snapshots.rewrite_data_files` (or the
+    table-maintenance job) on the cadence that keeps read amplification
+    acceptable — exactly Iceberg's documented v2 operating model.
+
+    Same exactly-once in-manifest replay guard and the same one-row-per-
+    key reduction (*order_col* keeps the latest version) as the COW sink;
+    replayed batches return None; CommitConflictError propagates so the
+    streaming query retries."""
+    from ..sources.snapshots import upsert_eq
+
+    if batch_id in committed_batch_ids(root, stream_id):
+        return None
+    props = {"streaming_batch_id": int(batch_id), "stream_id": stream_id}
+    batch_df = _one_row_per_key(batch_df, batch_id, key_col, order_col)
+    return upsert_eq(
+        batch_df.sparkSession, root, batch_df, [key_col], properties=props
+    )
+
+
+def snapshot_upsert_eq_sink(
+    root: str,
+    key_col: str,
+    stream_id: str = "default",
+    order_col: str | None = None,
+):
+    """The ``foreachBatch`` callable for the merge-on-read upsert sink:
+    ``writeStream.foreachBatch(snapshot_upsert_eq_sink(root, "doc_id"))``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_upsert_eq_batch(
+            batch_df, batch_id, root, key_col, stream_id, order_col
+        )
+
+    return _sink
 
 
 def snapshot_upsert_sink(

@@ -790,3 +790,110 @@ class TestSnapshotUpsertSink:
         # total order (version, text): the tie at version 7 resolves to the
         # lexicographically larger text, bit-stable across retries
         assert (row["version"], row["text"]) == (7, "zz")
+
+
+class TestSnapshotUpsertEqSink:
+    """T209: the merge-on-read CDC upsert stream — one equality-delete +
+    append commit per micro-batch (upsert_eq), O(batch) write cost at any
+    table size; same replay guard and last-wins reduction as the COW sink."""
+
+    def test_stream_equals_cow_sink_and_never_rewrites(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            read_manifest,
+            read_snapshot,
+            snapshot_log,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_eq_sink,
+        )
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "table")
+        df = spark.range(40).selectExpr(
+            "id % 20 AS doc_id",
+            "id AS version",
+            "concat('v', id) AS text",
+        )
+        df.orderBy("version").coalesce(1).write.parquet(src)
+        q = (
+            spark.readStream.schema("doc_id LONG, version LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                snapshot_upsert_eq_sink(root, "doc_id", order_col="version")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {
+            r["doc_id"]: (r["version"], r["text"])
+            for r in read_snapshot(spark, root).collect()
+        }
+        # identical final content to the COW sink's test
+        assert rows == {i: (i + 20, f"v{i + 20}") for i in range(20)}
+        log = snapshot_log(root)
+        ops = [m["operation"] for m in log]
+        assert ops[0] == "append" and all(o == "upsert" for o in ops[1:])
+        # THE scale property: no batch ever rewrote an existing data file —
+        # every snapshot's file list is a superset of its parent's
+        for prev, cur in zip(log, log[1:]):
+            assert set(prev["files"]) <= set(cur["files"])
+
+    def test_replay_guard(self, spark, tmp_path):
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            current_snapshot_id,
+            read_snapshot,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_eq_batch,
+        )
+
+        root = str(tmp_path / "table")
+        b0 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        assert snapshot_upsert_eq_batch(b0, 0, root, "doc_id") == 1
+        assert snapshot_upsert_eq_batch(b0, 0, root, "doc_id") is None
+        assert current_snapshot_id(root) == 1
+        b1 = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "doc_id long, text string"
+        )
+        assert snapshot_upsert_eq_batch(b1, 1, root, "doc_id") == 2
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in read_snapshot(spark, root).collect()
+        }
+        assert rows == {1: "a", 2: "B", 3: "c"}
+
+    def test_compaction_reconciles_sink_output(self, spark, tmp_path):
+        # the operating model: stream upserts accumulate entries; the
+        # nightly compaction re-sequences, purges them, and preserves rows
+        from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+            current_snapshot_id,
+            read_manifest,
+            read_snapshot,
+            rewrite_data_files,
+        )
+        from pdf_drawing_ocr_recognition_spark.streaming.snapshot_sink import (
+            snapshot_upsert_eq_batch,
+        )
+
+        root = str(tmp_path / "table")
+        for b in range(3):
+            batch = spark.createDataFrame(
+                [(k, f"b{b}k{k}") for k in range(b, b + 3)],
+                "doc_id long, text string",
+            )
+            snapshot_upsert_eq_batch(batch, b, root, "doc_id")
+        before = sorted(
+            map(tuple, read_snapshot(spark, root).collect())
+        )
+        man = read_manifest(root, current_snapshot_id(root))
+        assert len(man["eq_deletes"]) == 2  # batches 1 and 2 each left one
+        sid = rewrite_data_files(spark, root, target_files=1)
+        assert read_manifest(root, sid)["eq_deletes"] == []
+        assert sorted(
+            map(tuple, read_snapshot(spark, root).collect())
+        ) == before
