@@ -3161,6 +3161,35 @@ def q_eq_delete_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, root).select("doc_id", "lang", "n_chars")
 
 
+def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T210 row-level changelog (round 5, fourth sitting): Iceberg's
+    ``create_changelog_view`` over the T208 table — the same four commits
+    as `eq_delete_upsert` (append → equality-delete %10==3 → upsert
+    %10==7 → re-append %100==3), read back as the CHANGES each commit
+    made, derived from manifest metadata (added files → inserts, new eq
+    entries → parent-visible key matches as deletes) rather than diffing
+    table states.  A hash match proves the per-commit derivation for all
+    three commit kinds at once: snap 1 inserts every doc, snap 2 deletes
+    exactly the %10==3 originals, snap 3 emits delete-old + insert-new
+    pairs for %10==7 under ONE commit id, snap 4 inserts the %100==3
+    re-adds.  The DuckDB twin is the five-branch union.  (The replay
+    invariant — folding these changes from empty reproduces the final
+    table — is pytest-pinned in tests/test_changelog.py.)"""
+    from pdf_drawing_ocr_recognition_spark.sources.changelog import (
+        read_changelog,
+    )
+
+    # the table q_eq_delete_upsert builds (shared cache root — same four
+    # commits; build here if this query runs first)
+    q_eq_delete_upsert(spark, sf_dir)
+    root = f"/tmp/pdor_spark_eqtable_{os.path.basename(os.path.normpath(sf_dir))}"
+    return read_changelog(spark, root, 0).select(
+        "doc_id", "lang", "n_chars",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_snapshot_id").alias("commit_id"),
+    )
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7330,6 +7359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_compaction_scan": q_partial_compaction_scan,
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "eq_delete_upsert": q_eq_delete_upsert,
+        "changelog_scan": q_changelog_scan,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -10786,6 +10816,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 10 = 7
             UNION ALL
             SELECT doc_id, lang, n_chars + 5000000 AS n_chars
+            FROM documents WHERE doc_id % 100 = 3
+        """,
+        "changelog_scan": """
+            SELECT doc_id, lang, n_chars,
+                   'insert' AS change_type, CAST(1 AS BIGINT) AS commit_id
+            FROM documents
+            UNION ALL
+            SELECT doc_id, lang, n_chars,
+                   'delete' AS change_type, CAST(2 AS BIGINT) AS commit_id
+            FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT doc_id, lang, n_chars,
+                   'delete' AS change_type, CAST(3 AS BIGINT) AS commit_id
+            FROM documents WHERE doc_id % 10 = 7
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 1000000 AS n_chars,
+                   'insert' AS change_type, CAST(3 AS BIGINT) AS commit_id
+            FROM documents WHERE doc_id % 10 = 7
+            UNION ALL
+            SELECT doc_id, lang, n_chars + 5000000 AS n_chars,
+                   'insert' AS change_type, CAST(4 AS BIGINT) AS commit_id
             FROM documents WHERE doc_id % 100 = 3
         """,
         "hidden_partition_scan": """
