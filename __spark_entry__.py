@@ -3190,6 +3190,68 @@ def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T211 Spark Python DataSource integration (round 5, fifth sitting):
+    the snapshot lakehouse behind ``spark.read.format("pdor_snapshot")``
+    (sources/spark_datasource.py) — Catalyst drives OUR planner through
+    Spark's own source API.  The table is built by the format's
+    DISTRIBUTED WRITE (``df.write.format(...)``: executor tasks stage one
+    parquet file each, the driver commit harvests footers and lands one
+    manifest with full per-file bounds/rows/sizes), then gauntleted with
+    a merge-on-read position delete (doc_id below ~n/10), an equality
+    delete (doc_id % 10 == 4 keys), and a rename (n_chars→chars).  The
+    read is plain DataFrame code: ``.load(root).filter(doc_id < thr)`` —
+    the filter reaches ``pushFilters`` (manifest min/max pruning on the
+    range-partitioned files at PLAN time, provable-only: every filter is
+    handed back for row-wise re-application), deletes apply executor-side
+    per self-described file task, and the rename resolves by field id.
+    A hash match proves write-path metadata, plan-time pruning, both
+    delete kinds, and id-based projection compose end-to-end behind
+    Spark's format API.  DuckDB twin: the three-predicate slice."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        current_snapshot_id,
+        delete_from,
+        delete_where_eq,
+        evolve_schema,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.spark_datasource import (
+        register,
+    )
+
+    register(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # value-range thresholds (not counts): doc_id is non-dense on the
+    # derived sf1/sf10 tables, so the cut must come from the value span
+    # for the slice to stay load-bearing at every scale
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = hi - lo + 1
+    thr_low, thr_hi = lo + span // 10, lo + (8 * span) // 10
+    root = f"/tmp/pdor_spark_dstable_{os.path.basename(os.path.normpath(sf_dir))}"
+    try:
+        ok = current_snapshot_id(root) == 4
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        docs.repartitionByRange(8, "doc_id").write.format(
+            "pdor_snapshot"
+        ).mode("append").save(root)
+        delete_from(spark, root, [("doc_id", "<", thr_low)])
+        delete_where_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 4).select("doc_id"),
+        )
+        evolve_schema(root, rename={"n_chars": "chars"})
+    return (
+        spark.read.format("pdor_snapshot")
+        .load(root)
+        .filter(F.col("doc_id") < thr_hi)
+        .select("doc_id", "lang", "chars")
+    )
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7360,6 +7422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_mor_delete": q_snapshot_mor_delete,
         "eq_delete_upsert": q_eq_delete_upsert,
         "changelog_scan": q_changelog_scan,
+        "datasource_scan": q_datasource_scan,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -10807,6 +10870,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % 2 = 0
               AND doc_id >= (SELECT (7 * count(*)) // 10 FROM documents)
+        """,
+        "datasource_scan": """
+            WITH spanx AS (
+                SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS sp
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars AS chars FROM documents
+            WHERE doc_id >= (SELECT lo + sp // 10 FROM spanx)
+              AND doc_id < (SELECT lo + (8 * sp) // 10 FROM spanx)
+              AND doc_id % 10 <> 4
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -854,6 +854,113 @@ def overwrite_snapshot(
     )
 
 
+def commit_staged_files(
+    root: str,
+    staged: list[str],
+    write_schema: StructType,
+    operation: str = "append",
+    properties: dict | None = None,
+) -> int:
+    """Register parquet files ALREADY written by executor tasks as one
+    commit — the driver half of a distributed write.  The Python
+    DataSource writer (sources/spark_datasource.py) stages one file per
+    task in parallel; this harvests their footers (stats / row counts /
+    byte sizes — the same metadata :func:`_write_data_files` records) and
+    commits the manifest, MOVING the files into the table.  Empty staged
+    files are dropped (as Iceberg; a task that saw no rows never lands).
+
+    *operation* is ``"append"`` (parent files carried, schema merged by
+    name exactly as :func:`append_snapshot`) or ``"overwrite"`` (files
+    replaced, schema replaced as :func:`overwrite_snapshot`).  Staged
+    files carry no partition tuples (the DataSource write path is
+    fanout-free); the table's current spec is inherited untouched and
+    tuple-less files simply never partition-prune — the mixed-table
+    safety T195 guarantees by construction."""
+    import pyarrow.parquet as pq
+
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"operation must be append|overwrite, not {operation!r}")
+    init_table(root)
+    parent = current_snapshot_id(root)
+    partition_spec: list[dict] = []
+    if parent:
+        pman = read_manifest(root, parent)
+        partition_spec = pman.get("partition_spec", [])
+        schemas, pcur, file_sids, last_fid = _schema_meta(pman)
+        if operation == "append":
+            inherited = pman["files"]
+            pstats = pman.get("stats", {})
+            pdels = pman.get("delete_files", {})
+            pparts = pman.get("partitions", {})
+            prows = pman.get("row_counts", {})
+            psizes = pman.get("file_sizes", {})
+            pblooms = pman.get("blooms", {})
+            schemas, cur_sid, file_sid, last_fid = _merge_write_schema(
+                schemas, pcur, last_fid, write_schema
+            )
+        else:
+            inherited, pstats, pdels, pparts = [], {}, {}, {}
+            prows, psizes, pblooms, file_sids = {}, {}, {}, {}
+            by_name = {f["name"]: f for f in schemas[pcur]}
+            fields = []
+            for sf in json.loads(write_schema.json())["fields"]:
+                cf = by_name.get(sf["name"])
+                if cf is not None and (
+                    cf["type"] == sf["type"]
+                    or _widens_to(sf["type"], cf["type"])
+                    or _widens_to(cf["type"], sf["type"])
+                ):
+                    fields.append(_norm_field(sf, cf["id"]))
+                else:
+                    last_fid += 1
+                    fields.append(_norm_field(sf, last_fid))
+            schemas = dict(schemas)
+            cur_sid = _intern_schema(schemas, fields)
+            file_sid = cur_sid
+    else:
+        fields = [
+            _norm_field(f, i + 1)
+            for i, f in enumerate(json.loads(write_schema.json())["fields"])
+        ]
+        schemas, cur_sid, file_sids = {0: fields}, 0, {}
+        file_sid, last_fid = 0, len(fields)
+        inherited, pstats, pdels, pparts = [], {}, {}, {}
+        prows, psizes, pblooms = {}, {}, {}
+    commit_uuid = uuid.uuid4().hex[:12]
+    added: list[str] = []
+    stats: dict[str, dict] = {}
+    row_counts: dict[str, int] = {}
+    file_sizes: dict[str, int] = {}
+    n_rows = 0
+    for i, src in enumerate(sorted(staged)):
+        name = f"{commit_uuid}-{i:05d}.parquet"
+        md = pq.ParquetFile(src).metadata
+        if md.num_rows == 0:
+            continue
+        n_rows += md.num_rows
+        stats[name] = _file_column_stats(md)
+        row_counts[name] = md.num_rows
+        file_sizes[name] = os.stat(src).st_size
+        os.replace(src, os.path.join(_data_dir(root), name))
+        added.append(name)
+    file_sids = dict(file_sids)
+    file_sids.update({f: file_sid for f in added})
+    return _commit(
+        root, parent, inherited + added, added, n_rows,
+        json.dumps(_struct_of(schemas[cur_sid]).jsonValue()), operation,
+        stats={**pstats, **stats},
+        delete_files=pdels,
+        properties=properties,
+        partition_spec=partition_spec,
+        partitions=pparts,
+        schemas=schemas, current_schema_id=cur_sid,
+        file_schemas=file_sids, last_field_id=last_fid,
+        row_counts={**prows, **row_counts},
+        file_sizes={**psizes, **file_sizes},
+        blooms=pblooms,
+    )
+
+
 def table_schema(root: str, snapshot_id: int | None = None) -> list[dict]:
     """The logical schema as of *snapshot_id* (default current): a list of
     ``{"id", "name", "type", ...}`` fields — ids are Iceberg field ids,
