@@ -3252,6 +3252,76 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T212 incremental view maintenance (round 5, fifth sitting): the
+    per-lang corpus rollup (count + exact-integer char sum + min/max) is
+    maintained INCREMENTALLY from the T210 changelog — never recomputed
+    — across a four-commit history: (1) append `documents`, (2) MOR
+    position-delete of the low ~10% doc_id span, (3) equality-delete
+    UPSERT of new versions of the %10==7 rows (+1,000,000 chars — note
+    this resurrects upserted keys the position delete had removed, a
+    sequencing subtlety the fold must track), (4) re-append of %100==3
+    rows (+5,000,000).  After each commit the view folds only that
+    commit's changes: count/sum are self-maintainable (±1/±x per change,
+    Gupta & Mumick 1995), min/max recompute ONLY the groups the delta
+    touched (commit 2 kills minima, commits 3-4 move maxima — both
+    recompute paths load-bearing).  A hash match proves
+    fold(changelog) ≡ direct groupBy over the final state.  DuckDB twin:
+    the three-branch final-state union, aggregated."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.ivm import (
+        maintain_agg,
+        view_snapshot_id,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        upsert_eq,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    thr = lo + (hi - lo + 1) // 10
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pdor_spark_ivmtable_{base}"
+    view = f"/tmp/pdor_spark_ivmview_{base}"
+    aggs = {
+        "n_docs": ("count",),
+        "sum_chars": ("sum", "n_chars"),
+        "min_chars": ("min", "n_chars"),
+        "max_chars": ("max", "n_chars"),
+    }
+    try:
+        ok = current_snapshot_id(root) == 4 and view_snapshot_id(view) == 4
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        for p in (view, view + "_bak"):
+            shutil.rmtree(p, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(8, "doc_id"), root)
+        maintain_agg(spark, root, view, ["lang"], aggs)  # bootstrap
+        delete_from(spark, root, [("doc_id", "<", thr)])
+        maintain_agg(spark, root, view, ["lang"], aggs)  # fold commit 2
+        upsert_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 7).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(1000000)
+            ),
+            ["doc_id"],
+        )
+        maintain_agg(spark, root, view, ["lang"], aggs)  # fold commit 3
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 100 == 3).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(5000000)
+            ),
+            root,
+        )
+    return maintain_agg(spark, root, view, ["lang"], aggs)  # fold commit 4
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7423,6 +7493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eq_delete_upsert": q_eq_delete_upsert,
         "changelog_scan": q_changelog_scan,
         "datasource_scan": q_datasource_scan,
+        "ivm_lang_stats": q_ivm_lang_stats,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -10880,6 +10951,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id >= (SELECT lo + sp // 10 FROM spanx)
               AND doc_id < (SELECT lo + (8 * sp) // 10 FROM spanx)
               AND doc_id % 10 <> 4
+        """,
+        "ivm_lang_stats": """
+            WITH spanx AS (
+                SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS sp
+                FROM documents
+            ),
+            final_state AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id >= (SELECT lo + sp // 10 FROM spanx)
+                  AND doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000000 AS n_chars
+                FROM documents WHERE doc_id % 10 = 7
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 5000000 AS n_chars
+                FROM documents WHERE doc_id % 100 = 3
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM final_state GROUP BY lang
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents
