@@ -3322,6 +3322,56 @@ def q_ivm_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintain_agg(spark, root, view, ["lang"], aggs)  # fold commit 4
 
 
+def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T213 runtime-filter / DPP-analogue join (round 5, fifth sitting):
+    the fact-side `documents` snapshot table is written under a
+    ``bucket[16](doc_id)`` hidden-partition spec and bloom-indexed on
+    doc_id (T207 compute-stats commit); the dim side is the small
+    doc_id % 97 == 0 slice.  ``join_pruned`` collects the dim keys
+    (loud 65,536 cap — never silent truncation) and hands them to
+    plan_scan as ONE ``("doc_id", "in", keys)`` conjunct, so every
+    manifest prover prunes per key — bucket tuples and bloom sidecars
+    both load-bearing here where min/max bounds alone cannot prune a
+    hash-distributed key — and the kept files re-filter row-wise
+    (provable-only: result ≡ the plain broadcast join, which is exactly
+    what the DuckDB twin computes).  This is Spark's dynamic-partition-
+    pruning shape reaching the engine's Python planner, where JVM
+    runtime filters cannot."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.runtime_filter import (
+        join_pruned,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.file_blooms import (
+        compute_file_blooms,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pdor_spark_rftable_{base}"
+    try:
+        ok = current_snapshot_id(root) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs, root,
+            partition_spec=[{"source": "doc_id", "transform": "bucket[16]"}],
+        )
+        compute_file_blooms(spark, root, "doc_id")
+    dim = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", (F.col("doc_id") % 7).alias("dim_tag")
+    )
+    return join_pruned(spark, root, dim, "doc_id").select(
+        "doc_id", "lang", "n_chars", "dim_tag"
+    )
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7494,6 +7544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_scan": q_changelog_scan,
         "datasource_scan": q_datasource_scan,
         "ivm_lang_stats": q_ivm_lang_stats,
+        "runtime_filter_join": q_runtime_filter_join,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -10974,6 +11025,10 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM final_state GROUP BY lang
+        """,
+        "runtime_filter_join": """
+            SELECT doc_id, lang, n_chars, doc_id % 7 AS dim_tag
+            FROM documents WHERE doc_id % 97 = 0
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -1128,7 +1128,9 @@ def plan_scan(
 ) -> tuple[list[str], list[str]]:
     """Manifest-level scan planning — Iceberg's min/max file pruning:
     given ``filters`` as ANDed ``(column, op, literal)`` conjuncts (op in
-    ==, >=, >, <=, <), split the snapshot's files into (kept, skipped)
+    ==, >=, >, <=, <, or ``("col", "in", values)`` — the runtime-filter /
+    DPP shape, where a file survives iff ANY value might be present),
+    split the snapshot's files into (kept, skipped)
     using ONLY the manifest's per-file bounds.  No data file is opened: at
     10⁶ files on object storage this is one JSON read versus 10⁶ footer
     GETs.  Files with no recorded bounds for a filtered column are always
@@ -1153,41 +1155,55 @@ def plan_scan(
         by_id = {
             fd["id"]: fd["name"] for fd in schemas[file_sids.get(f, cur_sid)]
         }
+
+        def _scalar_dead(pname: str, fid, op: str, v) -> bool:
+            """One value provably absent from file *f* by ANY prover:
+            min/max bounds, the file's self-described partition tuple,
+            or (== only — blooms answer membership) its bloom sidecar;
+            sidecars load lazily and only for files the cheaper checks
+            kept."""
+            if pname in bounds:
+                lo, hi = bounds[pname]
+                if _PRUNE_OPS[op](lo, hi, v):
+                    return True
+            # hidden-partition pruning: each file prunes under the spec
+            # it was WRITTEN with (self-described tuple), so spec
+            # evolution and mixed tables stay safe
+            if any(
+                entry["source"] == pname
+                and _partition_prunes(entry, pv, op, v)
+                for entry, pv in slots
+            ):
+                return True
+            bmeta = blooms.get(f, {}).get(str(fid)) if fid else None
+            return bool(
+                op == "=="
+                and bmeta
+                and not _bloom_might_contain(root, bmeta, v, bloom_cache)
+            )
+
         dead = False
         for col, op, val in filters or []:
-            if op not in _PRUNE_OPS:
+            if op not in _PRUNE_OPS and op != "in":
                 raise ValueError(f"unsupported prune op {op!r}")
             fid = cur_ids.get(col)
             pname = by_id.get(fid, col) if fid is not None else col
             if fid is not None and fid not in by_id:
                 # the file predates the column: every row reads NULL and
-                # NULL satisfies no comparison — provably dead
+                # NULL satisfies no comparison (nor IN) — provably dead
                 dead = True
                 break
-            if pname in bounds:
-                lo, hi = bounds[pname]
-                if _PRUNE_OPS[op](lo, hi, val):
+            if op == "in":
+                # the runtime-filter / DPP shape: the file survives iff
+                # ANY value might be present; every prover gets a shot
+                # at every value, short-circuiting on the first survivor.
+                # NULLs never match an IN (SQL three-valued logic), so
+                # they prune away; an empty list matches nothing — dead.
+                vals = [v for v in val if v is not None]
+                if all(_scalar_dead(pname, fid, "==", v) for v in vals):
                     dead = True
                     break
-            # hidden-partition pruning: each file prunes under the spec it
-            # was WRITTEN with (self-described tuple), so spec evolution
-            # and mixed partitioned/unpartitioned tables stay safe
-            if any(
-                entry["source"] == pname
-                and _partition_prunes(entry, pv, op, val)
-                for entry, pv in slots
-            ):
-                dead = True
-                break
-            # per-file bloom (point lookups only — blooms answer
-            # membership, so == is the only provable op); sidecars load
-            # lazily and only for files the cheaper checks kept
-            bmeta = blooms.get(f, {}).get(str(fid)) if fid else None
-            if (
-                op == "=="
-                and bmeta
-                and not _bloom_might_contain(root, bmeta, val, bloom_cache)
-            ):
+            elif _scalar_dead(pname, fid, op, val):
                 dead = True
                 break
         (skipped if dead else kept).append(f)
@@ -1512,10 +1528,14 @@ def read_snapshot(
     df = _read_file_set(spark, root, man, files, _file_col)
     for col, op, val in filters or []:
         c = F.col(col)
-        df = df.filter(
-            {"==": c == val, ">=": c >= val, ">": c > val,
-             "<=": c <= val, "<": c < val}[op]
-        )
+        if op == "in":
+            vals = [v for v in val if v is not None]
+            df = df.filter(c.isin(vals) if vals else F.lit(False))
+        else:
+            df = df.filter(
+                {"==": c == val, ">=": c >= val, ">": c > val,
+                 "<=": c <= val, "<": c < val}[op]
+            )
     return df
 
 

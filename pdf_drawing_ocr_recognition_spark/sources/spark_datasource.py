@@ -80,6 +80,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -228,6 +229,10 @@ class SnapshotBatchReader(DataSourceReader):
             op = _FILTER_OPS.get(type(f))
             if op is not None and len(f.attribute) == 1:
                 self.filters.append((f.attribute[0], op, f.value))
+            elif isinstance(f, In) and len(f.attribute) == 1:
+                # IN-list pruning (the shape a runtime filter / DPP
+                # rewrite produces): keep a file iff ANY value survives
+                self.filters.append((f.attribute[0], "in", list(f.value)))
         return filters
 
     def partitions(self):

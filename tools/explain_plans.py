@@ -1261,6 +1261,52 @@ def main() -> int:
          "MapInPandas" not in eqd_plan and "BatchEvalPython" not in eqd_plan)
     )
 
+    # T211 DataSource read: the scan IS the registered Python source
+    # (Catalyst BatchScan over pdor_snapshot), nothing else added —
+    # filters reach pushFilters (pruning happens in OUR planner, invisible
+    # here) and the scan carries no join/window/exchange of its own
+    grab(
+        "datasource_scan",
+        em.q_datasource_scan(spark, sf),
+        "BatchScan pdor_snapshot",
+    )
+    ds_plan = sections[-1][1]
+    checks.append(
+        ("datasource_scan", "no Window operator", "Window" not in ds_plan)
+    )
+    checks.append(
+        ("datasource_scan", "no join in a pure table scan",
+         "Join" not in ds_plan)
+    )
+
+    # T213 runtime-filter join: the dim side is broadcast (its smallness
+    # is proven by the key cap), the fact side is the pruned DataFrame —
+    # never a SortMergeJoin, no Window
+    grab(
+        "runtime_filter_join",
+        em.q_runtime_filter_join(spark, sf),
+        "BroadcastHashJoin",
+    )
+    rf_plan = sections[-1][1]
+    checks.append(
+        ("runtime_filter_join", "no SortMergeJoin",
+         "SortMergeJoin" not in rf_plan)
+    )
+
+    # T212 IVM fold: the maintained view must never need a Window — the
+    # merge is joins + hash aggregates only (count/sum fold + dirty-group
+    # recompute); assert on the UNPUBLISHED fold plan via a direct agg of
+    # the view read (the published parquet read is trivially clean)
+    grab(
+        "ivm_lang_stats",
+        em.q_ivm_lang_stats(spark, sf),
+        "Scan parquet",
+    )
+    ivm_plan = sections[-1][1]
+    checks.append(
+        ("ivm_lang_stats", "no Window operator", "Window" not in ivm_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
