@@ -3372,6 +3372,52 @@ def q_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T214 metadata-only COUNT(*) (round 5, fifth sitting): Iceberg's
+    manifest count — the commonest interactive query against a 10⁶-file
+    table answered WITHOUT scanning a data file.  History: (1) append
+    the even-doc_id half range-partitioned 8 ways, (2) MOR
+    position-delete of the low ~10% span (masks, not rewrites), (3)
+    append the odd half.  ``fast_count`` sums the manifest's per-file
+    record_counts (harvested once at write) and subtracts the masked
+    positions exactly as the scan would (stacked masks deduplicate —
+    pytest-pinned), equaling ``read_snapshot().count()`` by contract;
+    equality-delete-affected files would take a bounded hybrid read
+    (pytest covers it; this table has none, so the count is pure
+    metadata — also pytest-pinned via a poisoned read path).  DuckDB
+    twin: the two-branch predicate count."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        fast_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    thr = lo + (hi - lo + 1) // 10
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pdor_spark_rcnttable_{base}"
+    try:
+        ok = current_snapshot_id(root) == 3
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 2 == 0).repartitionByRange(
+                8, "doc_id"
+            ),
+            root,
+        )
+        delete_from(spark, root, [("doc_id", "<", thr)])
+        append_snapshot(docs.filter(F.col("doc_id") % 2 == 1), root)
+    n = fast_count(spark, root)
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7545,6 +7591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_scan": q_datasource_scan,
         "ivm_lang_stats": q_ivm_lang_stats,
         "runtime_filter_join": q_runtime_filter_join,
+        "snapshot_fast_count": q_snapshot_fast_count,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -11029,6 +11076,15 @@ def oracle_sql() -> dict[str, str]:
         "runtime_filter_join": """
             SELECT doc_id, lang, n_chars, doc_id % 7 AS dim_tag
             FROM documents WHERE doc_id % 97 = 0
+        """,
+        "snapshot_fast_count": """
+            WITH spanx AS (
+                SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS sp
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+            WHERE doc_id % 2 = 1
+               OR doc_id >= (SELECT lo + sp // 10 FROM spanx)
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -134,6 +134,12 @@ BENCH_QUERIES = [
     # table builds are cold-run cost only, cached across samples)
     "schema_evolution_scan",
     "bucket_local_join",
+    # round 5 (5th sitting): DataSource read, IVM fold, runtime-filter join
+    # (warm number = the format READ / view read / pruned join; table
+    # builds are cold-run cost only, cached across samples)
+    "datasource_scan",
+    "ivm_lang_stats",
+    "runtime_filter_join",
 ]
 
 

@@ -516,7 +516,8 @@ def _partition_prunes(entry: dict, pval, op: str, val) -> bool:
 
 
 def _write_data_files(
-    df: DataFrame, root: str, partition_spec: list[dict] | None = None
+    df: DataFrame, root: str, partition_spec: list[dict] | None = None,
+    distribution: str = "none",
 ) -> tuple[list[str], int, str, dict, dict, dict]:
     """Write *df* once into immutable uniquely-named files under data/.
 
@@ -528,18 +529,40 @@ def _write_data_files(
     rows by the derived partition tuple (``partitionBy`` on temp columns,
     so partition keys never appear as data columns — hidden partitioning)
     and each file's typed tuple is recorded for :func:`plan_scan`.
-    """
+
+    *distribution* is Iceberg's ``write.distribution-mode``: ``"none"``
+    writes each input partition's slice per tuple (fast, but P input
+    partitions × T tuples small files — the classic fanout explosion);
+    ``"hash"`` shuffles on the derived tuple first so each tuple lands
+    in ONE task → one file; ``"range"`` range-partitions on the tuple
+    (clustered output, tuple-contiguous files).  One extra shuffle buys
+    a file count of O(tuples) instead of O(tasks × tuples) — at 10³
+    daily partitions × 10⁴ tasks that is the difference between a
+    manifest that plans in milliseconds and 10⁷ files of debris."""
     import pyarrow.parquet as pq
 
+    if distribution not in ("none", "hash", "range"):
+        raise ValueError(
+            f"distribution must be none|hash|range, not {distribution!r}"
+        )
     commit_uuid = uuid.uuid4().hex[:12]
     staging = os.path.join(root, f".staging-{commit_uuid}")
     schema_json = df.schema.json()
     spec = list(partition_spec or [])
+    if distribution != "none" and not spec:
+        raise ValueError(
+            "distribution=hash|range redistributes on the partition "
+            "tuple — meaningless without a partition_spec"
+        )
     tmp_cols = [f"_p{i}" for i in range(len(spec))]
     if spec:
         out = df
         for name, entry in zip(tmp_cols, spec):
             out = out.withColumn(name, _partition_write_col(entry, df))
+        if distribution == "hash":
+            out = out.repartition(*tmp_cols)
+        elif distribution == "range":
+            out = out.repartitionByRange(*tmp_cols)
         out.write.mode("overwrite").partitionBy(*tmp_cols).parquet(staging)
     else:
         df.write.mode("overwrite").parquet(staging)
@@ -748,6 +771,7 @@ def append_snapshot(
     root: str,
     properties: dict | None = None,
     partition_spec: list[dict] | None = None,
+    distribution: str = "none",
 ) -> int:
     """Commit *df*'s rows as a new snapshot = parent's files + new files.
     *properties* lands in the manifest's summary (Iceberg's snapshot
@@ -757,7 +781,12 @@ def append_snapshot(
     evolves the table's hidden-partitioning spec; ``None`` inherits the
     parent's current spec (Iceberg's default: writes use the table spec).
     Inherited files keep their own recorded tuples — spec evolution never
-    invalidates old files' pruning."""
+    invalidates old files' pruning.
+
+    *distribution* is Iceberg's ``write.distribution-mode`` (``none`` /
+    ``hash`` / ``range`` — see :func:`_write_data_files`): one extra
+    shuffle on the derived partition tuple collapses the fanout writer's
+    O(tasks × tuples) small files to O(tuples)."""
     init_table(root)
     parent = current_snapshot_id(root)
     if parent:
@@ -784,7 +813,7 @@ def append_snapshot(
         schemas, cur_sid, file_sids = {0: fields}, 0, {}
         file_sid, last_fid = 0, len(fields)
     added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
-        df, root, partition_spec
+        df, root, partition_spec, distribution
     )
     file_sids.update({f: file_sid for f in added})
     return _commit(
@@ -804,12 +833,14 @@ def append_snapshot(
 
 
 def overwrite_snapshot(
-    df: DataFrame, root: str, partition_spec: list[dict] | None = None
+    df: DataFrame, root: str, partition_spec: list[dict] | None = None,
+    distribution: str = "none",
 ) -> int:
     """Commit *df* as a new snapshot replacing ALL previous files (the
     Iceberg ``overwrite`` operation); old snapshots stay time-travelable
     until expired.  *partition_spec* sets/evolves the hidden-partitioning
-    spec; ``None`` inherits the parent's."""
+    spec; ``None`` inherits the parent's.  *distribution* is the write
+    distribution mode (see :func:`_write_data_files`)."""
     init_table(root)
     parent = current_snapshot_id(root)
     if parent:
@@ -842,7 +873,7 @@ def overwrite_snapshot(
         ]
         schemas, cur_sid, last_fid = {0: fields}, 0, len(fields)
     added, n_rows, _schema_json, stats, parts, rcounts, fsizes = _write_data_files(
-        df, root, partition_spec
+        df, root, partition_spec, distribution
     )
     return _commit(
         root, parent, added, added, n_rows,
@@ -1462,6 +1493,58 @@ def _read_file_set(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fast_count(spark: SparkSession, root: str, snapshot_id: int | None = None) -> int:
+    """Metadata-only ``COUNT(*)`` — Iceberg's manifest count: the row
+    count of a snapshot WITHOUT scanning data files.
+
+    Three tiers, each exact:
+
+    - files with no deletes: the manifest's per-file ``record_count``
+      (harvested once at write from the parquet footer) — zero I/O;
+    - files carrying position-delete masks: recorded rows minus the
+      masked positions, read from the (O(deleted rows)-sized) delete
+      files — the union is deduplicated exactly as the scan does, so
+      stacked overlapping masks never double-subtract;
+    - files an equality-delete entry applies to (strict ``seq <`` rule):
+      metadata CANNOT answer these — an entry deletes by VALUE — so
+      exactly those file groups are counted through the real read path
+      (:func:`_read_file_set` with the anti-joins), while every other
+      file stays on the metadata tiers.  A freshly-compacted table (the
+      steady state — compaction purges entries) never pays this.
+
+    Legacy files missing a record_count fall back to one driver footer
+    read.  The result always equals ``read_snapshot(...).count()``."""
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+    if sid is None:
+        raise ValueError(f"table at {root} has no committed snapshot")
+    man = read_manifest(root, sid)
+    rcounts = man.get("row_counts", {})
+    dels = man.get("delete_files", {})
+    eq = man.get("eq_deletes", [])
+    seqs = man.get("seqs", {})
+    data_dir = _data_dir(root)
+    eq_files = [
+        f for f in man["files"]
+        if any(int(seqs.get(f, 0)) < int(e["seq"]) for e in eq)
+    ]
+    total = 0
+    for f in man["files"]:
+        if f in eq_files:
+            continue
+        n = rcounts.get(f)
+        if n is None:  # legacy manifest: one footer read, never a scan
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows
+        if f in dels:
+            dead = _deleted_positions(data_dir, dels[f])
+            n -= int((dead < n).sum())
+        total += int(n)
+    if eq_files:
+        total += _read_file_set(spark, root, man, eq_files).count()
+    return total
 
 
 def snapshot_as_of(root: str, ts: float) -> int:

@@ -301,6 +301,21 @@ def test_stream_writer_replay_guard_unit(spark, root):
     ) == [1, 2, 3, 4]
 
 
+def test_sql_using_surface(spark, root):
+    """The lakehouse is reachable from plain SQL: CREATE TEMPORARY VIEW
+    ... USING pdor_snapshot — the registered-format contract."""
+    _docs(spark, 100).write.format("pdor_snapshot").mode("append").save(root)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW ds_sql_v "
+        f"USING pdor_snapshot OPTIONS (path '{root}')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM ds_sql_v").first()["n"] == 100
+    got = spark.sql(
+        "SELECT sum(n_chars) AS s FROM ds_sql_v WHERE doc_id < 10"
+    ).first()["s"]
+    assert got == sum(i * 3 for i in range(10))
+
+
 def test_first_append_then_plain_append_interop(spark, root):
     """A DataSource write and an API append interleave on one table."""
     _docs(spark, 100).write.format("pdor_snapshot").mode("append").save(root)
