@@ -3418,6 +3418,67 @@ def q_snapshot_fast_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n,)], "n_rows long")
 
 
+def q_cdc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T216 CDC-maintained dedup index (round 5, fifth sitting): the
+    T44 incremental-dedup index FOLLOWS the corpus table, maintained
+    from the T210 changelog and stored as the engine's own snapshot
+    tables — inserts hash O(changes) rows into append commits, corpus
+    deletions become ONE equality-delete commit on doc_id (O(keys), no
+    index file rewritten — pytest pins the file-list superset), an
+    upsert's delete entry and insert append order correctly under the
+    strict seq< rule, and the maintained_to watermark rides each append
+    manifest so crash recovery is per-relation idempotent.  History
+    here: append `documents` → eq-delete %10==3 → upsert %10==7 with
+    revised text, folding after each commit.  The query returns the
+    DIGEST relation; a hash match against DuckDB's md5 over the
+    final-state union proves fold ≡ rebuild (the band relation's same
+    invariant is pytest-pinned multiset-exactly)."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.cdc_dedup import (
+        _maintained_to,
+        maintain_dedup_index,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_where_eq,
+        upsert_eq,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pdor_spark_cdcdeduptable_{base}"
+    index = f"/tmp/pdor_spark_cdcdedupindex_{base}"
+    try:
+        ok = (
+            current_snapshot_id(root) == 3
+            and _maintained_to(f"{index}/digests") == 3
+            and _maintained_to(f"{index}/bands") == 3
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        for p in (root, index):
+            shutil.rmtree(p, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(8, "doc_id"), root)
+        maintain_dedup_index(spark, root, index)
+        delete_where_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        )
+        maintain_dedup_index(spark, root, index)
+        upsert_eq(
+            spark, root,
+            docs.filter(F.col("doc_id") % 10 == 7).withColumn(
+                "text", F.concat(F.col("text"), F.lit(" revised"))
+            ),
+            ["doc_id"],
+        )
+    dig, _bands = maintain_dedup_index(spark, root, index)
+    return dig.select("doc_id", "digest")
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7592,6 +7653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_lang_stats": q_ivm_lang_stats,
         "runtime_filter_join": q_runtime_filter_join,
         "snapshot_fast_count": q_snapshot_fast_count,
+        "cdc_dedup_index": q_cdc_dedup_index,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -11085,6 +11147,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
             WHERE doc_id % 2 = 1
                OR doc_id >= (SELECT lo + sp // 10 FROM spanx)
+        """,
+        "cdc_dedup_index": """
+            WITH final_state AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 NOT IN (3, 7)
+                UNION ALL
+                SELECT doc_id, text || ' revised' AS text
+                FROM documents WHERE doc_id % 10 = 7
+            )
+            SELECT doc_id, md5(text) AS digest FROM final_state
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents
