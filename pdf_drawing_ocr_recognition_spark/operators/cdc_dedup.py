@@ -123,12 +123,20 @@ def maintain_dedup_index(
         inserted = changes.filter(F.col("_change_type") == "insert").drop(
             "_change_type", "_commit_snapshot_id"
         )
-        deleted = changes.filter(F.col("_change_type") == "delete")
+        deleted = changes.filter(F.col("_change_type") == "delete").drop(
+            "_change_type", "_commit_snapshot_id"
+        )
+        # net the range first: a row version BOTH inserted and deleted
+        # inside (base, upto] is not in the final state, and the append
+        # (seq k+1) would outrank the delete entry (seq k) — so only the
+        # surviving versions may land (multiset exceptAll; the delete
+        # side still names every dead key for the entry)
+        surviving = inserted.exceptAll(deleted)
         del_keys = deleted.select(key_col).distinct()
         if del_keys.isEmpty():
             del_keys = None
         digests, bands = build_dedup_index(
-            inserted, text_col, key_col, n_bands, rows_per_band
+            surviving, text_col, key_col, n_bands, rows_per_band
         )
         _fold_relation(
             spark, table, upto,

@@ -122,6 +122,27 @@ def test_watermark_and_rewind_refusal(spark, roots):
         maintain_dedup_index(spark, corpus_root, index_root, upto=1)
 
 
+def test_fold_spanning_insert_then_delete_nets(spark, roots):
+    """A doc inserted AND deleted inside one fold range must not leak
+    into the index (the append outranks the delete entry — netting via
+    exceptAll is what keeps it out)."""
+    corpus_root, index_root = roots
+    docs = _docs(spark, 300)
+    S.append_snapshot(docs.filter("doc_id < 200"), corpus_root)
+    maintain_dedup_index(spark, corpus_root, index_root)
+    # two commits folded in ONE refresh: new docs land, then some of
+    # them (and some old ones) are deleted
+    S.append_snapshot(docs.filter("doc_id >= 200"), corpus_root)
+    S.delete_where_eq(
+        spark, corpus_root,
+        docs.filter("doc_id % 10 = 3").select("doc_id"),
+    )
+    dig, band = maintain_dedup_index(spark, corpus_root, index_root)
+    ed, eb = _expected(spark, corpus_root)
+    assert _multiset(dig) == ed and _multiset(band) == eb
+    assert dig.count() == 270  # 300 − 30 deleted, incl. in-range births
+
+
 def test_crash_between_relations_recovers(spark, roots):
     """digests folded, bands not (crash mid-refresh): the re-run folds
     only the lagging relation and both converge."""
