@@ -317,7 +317,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
     retained commit), "latest", or a snapshot id (deliver commits AFTER
     it).  Non-append commits in range raise unless ``skipNonAppends``
     (upstream's skip-overwrite/skip-delete opt-in).  Rows project onto
-    the schema captured at stream start."""
+    the schema captured at stream start.
+
+    ``maxCommitsPerTrigger`` caps each micro-batch to N source commits
+    (admission control — backfilling a 10⁶-commit table in bounded
+    batches instead of one giant first batch).  The cap applies relative
+    to the highest offset this reader has seen planned or committed; on
+    a restart the first batch replays whatever the checkpoint already
+    planned (exactly Spark's contract) and the cap re-engages from the
+    next trigger."""
 
     def __init__(self, options):
         self.root = options.get("path")
@@ -328,6 +336,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
             str(options.get("skipnonappends", "false")).lower() == "true"
         )
         self.start_opt = str(options.get("startingversion", "earliest"))
+        cap = options.get("maxcommitspertrigger")
+        self.max_commits = int(cap) if cap is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        # rate-cap floor: initialized HERE because the engine may latch
+        # latestOffset before ever calling initialOffset (AvailableNow
+        # does); planning/commit advance it monotonically
+        if self.start_opt == "earliest":
+            self._floor = 0
+        elif self.start_opt == "latest":
+            self._floor = current_snapshot_id(self.root) or 0
+        else:
+            self._floor = int(self.start_opt)
         cur = current_snapshot_id(self.root)
         man = read_manifest(self.root, cur) if cur else None
         if man is None:
@@ -340,16 +361,27 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.start_opt == "earliest":
-            return {"snapshot_id": 0}
-        if self.start_opt == "latest":
-            return {"snapshot_id": current_snapshot_id(self.root) or 0}
-        return {"snapshot_id": int(self.start_opt)}
+            off = 0
+        elif self.start_opt == "latest":
+            off = current_snapshot_id(self.root) or 0
+        else:
+            off = int(self.start_opt)
+        return {"snapshot_id": off}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": current_snapshot_id(self.root) or 0}
+        cur = current_snapshot_id(self.root) or 0
+        if self.max_commits is not None:
+            cur = min(cur, self._floor + self.max_commits)
+        return {"snapshot_id": cur}
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint; the table needs no ack — but
+        # the rate cap advances from the committed watermark
+        self._floor = max(self._floor or 0, int(end["snapshot_id"]))
 
     def partitions(self, start: dict, end: dict):
         s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        self._floor = max(self._floor or 0, s)
         tasks: list[_ScanTask] = []
         by_id_cur = {f["id"]: f["name"] for f in self.cur_fields}
         sid = e
@@ -393,9 +425,6 @@ class SnapshotStreamReader(DataSourceStreamReader):
             return iter(())
         tab = _read_task_table(self.data_dir, partition, self.arrow)
         return iter(tab.to_batches())
-
-    def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; the table needs no ack
 
 
 @dataclass

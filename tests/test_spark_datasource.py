@@ -265,6 +265,50 @@ def test_streaming_non_append_raises_unless_skipped(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == list(range(0, 100))
 
 
+def test_max_commits_per_trigger_rate_cap(spark, tmp_path):
+    """Admission control: each micro-batch is capped to N source
+    commits — backfill proceeds in bounded batches, never one giant
+    first batch.  Under availableNow the latched latest offset bounds
+    the whole run; repeated runs advance exactly-once to full drain."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df = _docs(spark, 600).drop("n_chars")
+    for k in range(6):
+        S.append_snapshot(
+            df.filter(
+                (F.col("doc_id") >= k * 100) & (F.col("doc_id") < (k + 1) * 100)
+            ),
+            src,
+        )
+
+    def run():
+        q = (
+            spark.readStream.format("pdor_snapshot")
+            .option("maxCommitsPerTrigger", "2")
+            .load(src)
+            .writeStream.format("pdor_snapshot")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(sink)
+        )
+        q.awaitTermination(120)
+        return S.read_snapshot(spark, sink).count()
+
+    totals = [run() for _ in range(4)]
+    assert totals == [200, 400, 600, 600]  # 2 commits per batch, no dupes
+    batches = [
+        m["summary"]["added_rows"] for m in S.snapshot_log(sink)
+    ]
+    assert batches == [200, 200, 200]
+    from pdf_drawing_ocr_recognition_spark.sources.spark_datasource import (
+        SnapshotStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="maxCommitsPerTrigger"):
+        SnapshotStreamReader({"path": src, "maxcommitspertrigger": "0"})
+
+
 def test_stream_writer_replay_guard_unit(spark, root):
     import pyarrow as pa
     import pyarrow.parquet as pq
