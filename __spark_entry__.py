@@ -3479,6 +3479,63 @@ def q_cdc_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dig.select("doc_id", "digest")
 
 
+def q_analyze_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T218 ANALYZE TABLE (round 5, fifth sitting): Iceberg-style
+    statistics commits — one aggregation pass over the current snapshot
+    lands per-column (n_nulls, ndv, min, max) in a metadata-only
+    ``compute-stats`` commit; `table_stats` reads them back from
+    manifest JSON with a staleness report.  The table here carries a
+    merge-on-read position delete, so the stats provably describe the
+    VISIBLE rows (the masked low span moves every min).  The gate runs
+    EXACT ndv mode — production runs Spark's native HyperLogLog++
+    (approx_count_distinct, the only honest NDV at 10¹² rows; the flag
+    is the documented trade, pytest covers the approx path).  DuckDB
+    twin: per-column count/distinct/min/max over the equivalent slice,
+    min/max as strings so heterogeneous column types share one result
+    schema."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+        delete_from,
+        read_manifest,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.table_stats import (
+        analyze_table,
+        table_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    thr = lo + (hi - lo + 1) // 10
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/pdor_spark_statstable_{base}"
+    try:
+        sid = current_snapshot_id(root)
+        ok = (
+            sid == 3
+            and read_manifest(root, 3)["operation"] == "compute-stats"
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        append_snapshot(docs.repartitionByRange(8, "doc_id"), root)
+        delete_from(spark, root, [("doc_id", "<", thr)])
+        analyze_table(spark, root, exact=True)
+    st = table_stats(root)["columns"]
+    rows = [
+        (c, st[c]["n_nulls"], st[c]["ndv"], str(st[c]["min"]),
+         str(st[c]["max"]))
+        for c in ("doc_id", "lang", "n_chars")
+    ]
+    return spark.createDataFrame(
+        rows, "col string, n_nulls long, ndv long, min_str string, "
+        "max_str string"
+    )
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7654,6 +7711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runtime_filter_join": q_runtime_filter_join,
         "snapshot_fast_count": q_snapshot_fast_count,
         "cdc_dedup_index": q_cdc_dedup_index,
+        "analyze_columns": q_analyze_columns,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -11157,6 +11215,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 10 = 7
             )
             SELECT doc_id, md5(text) AS digest FROM final_state
+        """,
+        "analyze_columns": """
+            WITH spanx AS (
+                SELECT min(doc_id) AS lo, max(doc_id) - min(doc_id) + 1 AS sp
+                FROM documents
+            ),
+            fs AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id >= (SELECT lo + sp // 10 FROM spanx)
+            )
+            SELECT 'doc_id' AS col,
+                   CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS ndv,
+                   CAST(min(doc_id) AS VARCHAR) AS min_str,
+                   CAST(max(doc_id) AS VARCHAR) AS max_str
+            FROM fs
+            UNION ALL
+            SELECT 'lang',
+                   CAST(count(*) - count(lang) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+            FROM fs
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(count(*) - count(n_chars) AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   CAST(min(n_chars) AS VARCHAR),
+                   CAST(max(n_chars) AS VARCHAR)
+            FROM fs
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents
