@@ -144,6 +144,17 @@ def _arrow_schema(fields: list[dict]):
     return to_arrow_schema(_struct_of(fields))
 
 
+def _norm_key(v):
+    """Key-tuple element normalization: None stays None (to_pylist gives
+    None for nulls on both sides, so tuple equality IS null-safe), and a
+    float NaN maps to a sentinel — Spark's join semantics treat
+    NaN == NaN as TRUE, while Python's nan != nan would silently diverge
+    from the JVM eqNullSafe path read_snapshot takes."""
+    if isinstance(v, float) and v != v:
+        return "__nan__"
+    return v
+
+
 @dataclass
 class _ScanTask(InputPartition):
     """One self-described scan task = one data file (the Iceberg model):
@@ -273,9 +284,11 @@ class SnapshotBatchReader(DataSourceReader):
                 t = pq.read_table(
                     os.path.join(self.data_dir, ref), columns=e["phys"]
                 )
-                tuples.update(
-                    zip(*(t.column(c).to_pylist() for c in e["phys"]))
-                )
+                cols = [
+                    [_norm_key(v) for v in t.column(c).to_pylist()]
+                    for c in e["phys"]
+                ]
+                tuples.update(zip(*cols))
             cache[idx] = tuples
         return cache[idx]
 
@@ -294,7 +307,10 @@ class SnapshotBatchReader(DataSourceReader):
                 # tuple equality IS null-safe matching (IS NOT DISTINCT
                 # FROM), as the Iceberg spec requires
                 rows = zip(
-                    *(tab.column(c).to_pylist() for c in e["logical"])
+                    *(
+                        [_norm_key(v) for v in tab.column(c).to_pylist()]
+                        for c in e["logical"]
+                    )
                 )
                 mask = [t not in dead for t in rows]
                 keep = mask if keep is None else [

@@ -132,6 +132,26 @@ def test_eq_delete_matching_is_null_safe(spark, root):
     assert got == [1, 3]  # NULL key matched the NULL row, nothing else
 
 
+def test_eq_delete_nan_key_matches_like_jvm(spark, root):
+    """Spark's null-safe matching treats NaN == NaN as TRUE; the Python
+    key-set path must agree with the read_snapshot JVM path."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 1.5), (3, None)],
+        "doc_id long, score double",
+    )
+    S.append_snapshot(df, root)
+    S.delete_where_eq(
+        spark, root,
+        spark.createDataFrame([(float("nan"),)], "score double"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.format("pdor_snapshot").load(root).collect()
+    )
+    exp = sorted(r["doc_id"] for r in S.read_snapshot(spark, root).collect())
+    assert got == exp == [2, 3]  # the NaN row died on BOTH paths
+
+
 def test_time_travel_options(spark, root):
     _docs(spark, 100).write.format("pdor_snapshot").mode("append").save(root)
     t_mid = S.read_manifest(root, 1)["ts"]
