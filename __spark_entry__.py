@@ -3536,6 +3536,51 @@ def q_analyze_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T219 metadata-driven join planning (round 5, fifth sitting): the
+    CBO-lite decision layer over the lakehouse — `auto_join` picks
+    spj / broadcast / runtime-filter / shuffle from MANIFEST JSON alone
+    (byte totals, row counts, T218 ANALYZE ndv, bucket specs, bloom
+    sidecars) and executes it; strategies change cost, never values.
+    Here the fact side is the T213 table (bucket[16](doc_id) + bloom
+    sidecars) and the dim side is a snapshot table of the %97 slice; a
+    1-byte broadcast budget forces the decision past broadcast, so the
+    planner must find the runtime-filter path via the fact side's
+    pruning power — the hash match proves the WHOLE planned execution
+    equals the plain join (the DuckDB twin).  Pytests pin each of the
+    four strategies against its metadata scenario."""
+    import shutil
+
+    from pdf_drawing_ocr_recognition_spark.operators.join_planner import (
+        auto_join,
+    )
+    from pdf_drawing_ocr_recognition_spark.sources.snapshots import (
+        append_snapshot,
+        current_snapshot_id,
+    )
+
+    q_runtime_filter_join(spark, sf_dir)  # ensures the fact table exists
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fact = f"/tmp/pdor_spark_rftable_{base}"
+    dim = f"/tmp/pdor_spark_dimtable_{base}"
+    try:
+        ok = current_snapshot_id(dim) == 1
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(dim, ignore_errors=True)
+        append_snapshot(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                "doc_id", (F.col("doc_id") % 7).alias("dim_tag")
+            ),
+            dim,
+        )
+    out, decision = auto_join(spark, fact, dim, "doc_id", broadcast_bytes=1)
+    assert decision["strategy"] == "runtime_filter", decision["reason"]
+    return out.select("doc_id", "lang", "n_chars", "dim_tag")
+
+
 def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T174 Z-order layout audit (round 5 closing): the Morton key over
     (doc_id, n_chars) — exact-integer quantization `(v - min) div step`,
@@ -7712,6 +7757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_fast_count": q_snapshot_fast_count,
         "cdc_dedup_index": q_cdc_dedup_index,
         "analyze_columns": q_analyze_columns,
+        "auto_join_plan": q_auto_join_plan,
         "snapshot_tag_read": q_snapshot_tag_read,
         "zorder_pruning_audit": q_zorder_pruning_audit,
         "snapshot_merge": q_snapshot_merge,
@@ -11244,6 +11290,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS VARCHAR),
                    CAST(max(n_chars) AS VARCHAR)
             FROM fs
+        """,
+        "auto_join_plan": """
+            SELECT doc_id, lang, n_chars, doc_id % 7 AS dim_tag
+            FROM documents WHERE doc_id % 97 = 0
         """,
         "eq_delete_upsert": """
             SELECT doc_id, lang, n_chars FROM documents
