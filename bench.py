@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "datasource_scan",
     "ivm_lang_stats",
     "runtime_filter_join",
+    "auto_join_plan",
 ]
 
 
