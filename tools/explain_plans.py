@@ -1307,6 +1307,18 @@ def main() -> int:
         ("ivm_lang_stats", "no Window operator", "Window" not in ivm_plan)
     )
 
+    # T219 planner-forced runtime-filter join: the executed plan must be
+    # a broadcast join over the pruned fact read — never a sort-merge
+    grab(
+        "auto_join_plan",
+        em.q_auto_join_plan(spark, sf),
+        "BroadcastHashJoin",
+    )
+    aj_plan = sections[-1][1]
+    checks.append(
+        ("auto_join_plan", "no SortMergeJoin", "SortMergeJoin" not in aj_plan)
+    )
+
     lines = ["# PLANS.md — physical-plan assertions for the headline queries", ""]
     lines.append("| query | property | holds |")
     lines.append("|---|---|---|")
